@@ -1,0 +1,23 @@
+"""brotli_tpu: a TPU-native Brotli (RFC 7932) codec.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+google/brotli: format layer as NumPy tables, batched/vectorized encoder
+pipeline, sharded multi-chip compression via ``jax.sharding``, plus a
+reference host path for bit-exact validation.
+
+Public API mirrors the reference Python binding (python/brotli.py):
+``compress``, ``decompress``, ``Compressor``, ``Decompressor``, ``error``.
+"""
+
+from .api import (  # noqa: F401
+    MODE_GENERIC,
+    MODE_TEXT,
+    MODE_FONT,
+    Compressor,
+    Decompressor,
+    compress,
+    decompress,
+    error,
+)
+
+__version__ = "0.1.0"

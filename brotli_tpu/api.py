@@ -1,0 +1,109 @@
+"""Public Python API, parity with the reference binding.
+
+Mirrors python/brotli.py + python/_brotli.c of the reference: module-level
+``compress``/``decompress``, streaming ``Compressor``/``Decompressor``
+(with ``output_buffer_limit`` back-pressure), and a single ``error``
+exception type.
+"""
+
+from .dec.decoder import Decoder, FormatError
+
+# Compression modes (parity: c/include/brotli/encode.h BrotliEncoderMode).
+MODE_GENERIC = 0
+MODE_TEXT = 1
+MODE_FONT = 2
+
+_QUALITY_DEFAULT = 11
+_LGWIN_DEFAULT = 22
+
+
+class error(Exception):
+    """Raised on invalid input or parameters (parity: brotli.error)."""
+
+
+def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
+             lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None) -> bytes:
+    """One-shot compression."""
+    from .enc.encoder import encode
+    try:
+        return encode(bytes(string), quality=quality, lgwin=lgwin,
+                      lgblock=lgblock, mode=mode, dictionary=dictionary)
+    except ValueError as e:
+        raise error(str(e)) from e
+
+
+def decompress(string, dictionary=None) -> bytes:
+    """One-shot decompression."""
+    try:
+        return Decoder().decompress(bytes(string))
+    except FormatError as e:
+        raise error(str(e)) from e
+    except Exception as e:  # truncated input etc.
+        raise error(f"decompression failed: {e}") from e
+
+
+class Compressor:
+    """Streaming compressor (process/flush/finish).
+
+    Each ``process`` chunk is buffered; ``flush`` emits a byte-aligned,
+    independently decodable prefix (FLUSH semantics of
+    BrotliEncoderCompressStream); ``finish`` closes the stream.
+    """
+
+    def __init__(self, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
+                 lgwin=_LGWIN_DEFAULT, lgblock=0):
+        from .enc.encoder import StreamingEncoder
+        self._enc = StreamingEncoder(quality=quality, lgwin=lgwin,
+                                     lgblock=lgblock, mode=mode)
+
+    def process(self, string) -> bytes:
+        return self._enc.process(bytes(string))
+
+    def flush(self) -> bytes:
+        return self._enc.flush()
+
+    def finish(self) -> bytes:
+        return self._enc.finish()
+
+
+class Decompressor:
+    """Streaming decompressor with output back-pressure.
+
+    ``output_buffer_limit`` caps the bytes returned by a single
+    ``process`` call; remaining output is drained by subsequent calls
+    (parity: python/_brotli.c Decompressor, 1.2.0 SECURITY change).
+    """
+
+    def __init__(self, dictionary=None):
+        self._buf = bytearray()
+        self._pending = bytearray()
+        self._finished = False
+
+    def process(self, string=b"", output_buffer_limit=None) -> bytes:
+        if string and not self.can_accept_more_data():
+            raise error("cannot accept more data: drain pending output")
+        self._buf += bytes(string)
+        # Incremental host decode: retry full decode until enough input.
+        # (Round 1: whole-buffer retry; resumable state machine to follow.)
+        if not self._finished:
+            try:
+                out = Decoder().decompress(bytes(self._buf))
+                self._pending += out
+                self._finished = True
+            except FormatError as e:
+                raise error(str(e)) from e
+            except Exception:
+                pass  # needs more input
+        if output_buffer_limit is None:
+            out = bytes(self._pending)
+            self._pending.clear()
+            return out
+        out = bytes(self._pending[:output_buffer_limit])
+        del self._pending[:output_buffer_limit]
+        return out
+
+    def is_finished(self) -> bool:
+        return self._finished and not self._pending
+
+    def can_accept_more_data(self) -> bool:
+        return not self._finished and not self._pending

@@ -1,0 +1,409 @@
+"""RFC 7932 decoder, host reference path.
+
+A from-scratch, spec-driven implementation: every metablock is parsed into
+(commands, literals) and the LZ/dictionary expansion runs over plain byte
+buffers. This is the correctness oracle for the codec; the TPU-vectorized
+decode stages in ``brotli_tpu.ops`` are validated against it.
+
+Parity anchors (behavior, not code): c/dec/decode.c (state machine),
+c/dec/bit_reader.h, RFC 7932 sections 2-10.
+"""
+
+import numpy as np
+
+from ..format import constants as C
+from ..format import context as ctx
+from ..format import dictionary as dict_mod
+from ..format import prefix
+from ..format.bitio import BitReader, NeedMoreInput  # noqa: F401
+from ..format.huffman import DecodeTable, simple_table
+
+
+class FormatError(Exception):
+    """Invalid Brotli stream."""
+
+
+def _read_varlen_uint8(br: BitReader) -> int:
+    """1..11 bit encoding of 0..255 (RFC 9.2 NBLTYPES)."""
+    if not br.take(1):
+        return 0
+    n = br.take(3)
+    if n == 0:
+        return 1
+    return (1 << n) + br.take(n)
+
+
+def _read_window_bits(br: BitReader, large_window: bool) -> tuple:
+    """Returns (window_bits, is_large)."""
+    if br.take(1) == 0:
+        return 16, False
+    n = br.take(3)
+    if n != 0:
+        return 17 + n, False
+    n = br.take(3)
+    if n == 1:
+        if not large_window:
+            raise FormatError("large-window stream, flag not set")
+        if br.take(1) == 1:
+            raise FormatError("invalid large window bits")
+        return br.take(6), True
+    if n != 0:
+        return 8 + n, False
+    return 17, False
+
+
+def read_huffman_code(br: BitReader, alphabet_size_max: int,
+                      alphabet_size_limit: int = None) -> DecodeTable:
+    """RFC 3.4/3.5: simple or complex prefix-code description."""
+    if alphabet_size_limit is None:
+        alphabet_size_limit = alphabet_size_max
+    kind = br.take(2)
+    if kind == 1:  # simple code
+        num_symbols = br.take(2) + 1
+        max_bits = (alphabet_size_max - 1).bit_length()
+        symbols = [br.take(max_bits) for _ in range(num_symbols)]
+        for s in symbols:
+            if s >= alphabet_size_limit:
+                raise FormatError("simple code symbol out of range")
+        if len(set(symbols)) != num_symbols:
+            raise FormatError("duplicate symbol in simple code")
+        tree_select = bool(br.take(1)) if num_symbols == 4 else False
+        return simple_table(symbols, tree_select, alphabet_size_limit)
+
+    # complex code: `kind` = number of leading cl-code slots to skip
+    cl_table = _read_code_length_code_with_skip(br, kind)
+    lengths = np.zeros(alphabet_size_limit, dtype=np.int32)
+    space = 32768
+    symbol = 0
+    prev_len = C.INITIAL_REPEATED_CODE_LENGTH
+    repeat = 0
+    repeat_len = 0
+    while symbol < alphabet_size_limit and space > 0:
+        code_len, used = cl_table.decode(br.peek(cl_table.max_len))
+        br.skip(used)
+        if code_len < C.REPEAT_PREVIOUS_CODE_LENGTH:
+            repeat = 0
+            if code_len != 0:
+                lengths[symbol] = code_len
+                prev_len = code_len
+                space -= 32768 >> code_len
+            symbol += 1
+        else:
+            if code_len == C.REPEAT_PREVIOUS_CODE_LENGTH:
+                extra_bits, new_len = 2, prev_len
+            else:
+                extra_bits, new_len = 3, 0
+            if repeat_len != new_len:
+                repeat = 0
+                repeat_len = new_len
+            old_repeat = repeat
+            if repeat > 0:
+                repeat = (repeat - 2) << extra_bits
+            repeat += br.take(extra_bits) + 3
+            delta = repeat - old_repeat
+            if symbol + delta > alphabet_size_limit:
+                raise FormatError("repeat overruns alphabet")
+            if repeat_len != 0:
+                lengths[symbol:symbol + delta] = repeat_len
+                space -= delta << (15 - repeat_len)
+            symbol += delta
+    if space != 0:
+        raise FormatError("prefix code over/under-subscribed")
+    return DecodeTable(lengths)
+
+
+def _read_code_length_code_with_skip(br: BitReader, skip: int) -> DecodeTable:
+    lengths = np.zeros(C.CODE_LENGTH_CODES, dtype=np.int32)
+    space = 32
+    num_codes = 0
+    fixed = {}
+    for sym, (code, ln) in C.CODE_LENGTH_CODE_FIXED.items():
+        for pad in range(1 << (4 - ln)):
+            fixed[code | (pad << ln)] = (sym, ln)
+    for idx in C.CODE_LENGTH_CODE_ORDER[skip:]:
+        v, ln = fixed[br.peek(4)]
+        br.skip(ln)
+        lengths[idx] = v
+        if v != 0:
+            space -= 32 >> v
+            num_codes += 1
+            if space <= 0:  # filled (or over-subscribed -> error below)
+                break
+    if not (num_codes == 1 or space == 0):
+        raise FormatError("code-length code space")
+    if num_codes == 1:
+        sym = int(np.flatnonzero(lengths)[0])
+        t = DecodeTable.__new__(DecodeTable)
+        t.max_len = 0
+        t.symbols = np.array([sym], dtype=np.int32)
+        t.nbits = np.zeros(1, dtype=np.int8)
+        return t
+    return DecodeTable(lengths, max_len=C.HUFFMAN_MAX_CODE_LENGTH_CODE_LENGTH)
+
+
+def _inverse_mtf(values: np.ndarray) -> np.ndarray:
+    mtf = list(range(256))
+    out = np.empty_like(values)
+    for i, x in enumerate(values):
+        v = mtf.pop(int(x))
+        out[i] = v
+        mtf.insert(0, v)
+    return out
+
+
+def read_context_map(br: BitReader, size: int) -> tuple:
+    """RFC 7.3. Returns (context_map uint8[size], num_htrees)."""
+    num_htrees = _read_varlen_uint8(br) + 1
+    cmap = np.zeros(size, dtype=np.uint8)
+    if num_htrees <= 1:
+        return cmap, num_htrees
+    use_rle = br.take(1)
+    max_run_length_prefix = (br.take(4) + 1) if use_rle else 0
+    alphabet = num_htrees + max_run_length_prefix
+    table = read_huffman_code(br, alphabet)
+    i = 0
+    while i < size:
+        code, used = table.decode(br.peek(table.max_len))
+        br.skip(used)
+        if code == 0:
+            cmap[i] = 0
+            i += 1
+        elif code <= max_run_length_prefix:
+            reps = (1 << code) + br.take(code)
+            if i + reps > size:
+                raise FormatError("context map run overruns")
+            cmap[i:i + reps] = 0
+            i += reps
+        else:
+            cmap[i] = code - max_run_length_prefix
+            i += 1
+    if br.take(1):
+        cmap = _inverse_mtf(cmap)
+    return cmap, num_htrees
+
+
+class _BlockState:
+    """Per-category (literal/command/distance) block switching state."""
+
+    __slots__ = ("num_types", "type_rb", "length", "type_table", "len_table")
+
+    def __init__(self, br: BitReader):
+        self.num_types = _read_varlen_uint8(br) + 1
+        self.type_rb = [1, 0]
+        self.length = 1 << 28
+        self.type_table = None
+        self.len_table = None
+        if self.num_types >= 2:
+            self.type_table = read_huffman_code(br, self.num_types + 2)
+            self.len_table = read_huffman_code(br, C.NUM_BLOCK_LEN_SYMBOLS)
+            self.length = self._read_block_length(br)
+
+    def _read_block_length(self, br: BitReader) -> int:
+        code, used = self.len_table.decode(br.peek(self.len_table.max_len))
+        br.skip(used)
+        return int(prefix.BLOCK_COUNT_BASE[code]) + \
+            br.take(int(prefix.BLOCK_COUNT_EXTRA[code]))
+
+    def switch(self, br: BitReader) -> int:
+        """Read a block-switch command; returns new block type."""
+        if self.num_types <= 1:
+            raise FormatError("block switch with single block type")
+        bt, used = self.type_table.decode(br.peek(self.type_table.max_len))
+        br.skip(used)
+        self.length = self._read_block_length(br)
+        if bt == 0:
+            bt = self.type_rb[0]
+        elif bt == 1:
+            bt = self.type_rb[1] + 1
+        else:
+            bt -= 2
+        if bt >= self.num_types:
+            bt -= self.num_types
+        self.type_rb = [self.type_rb[1], bt]
+        return bt
+
+
+class Decoder:
+    """One-shot / incremental RFC 7932 decoder."""
+
+    def __init__(self, large_window: bool = False):
+        self.large_window = large_window
+
+    def decompress(self, data) -> bytes:
+        br = BitReader(data)
+        out = bytearray()
+        window_bits, is_large = _read_window_bits(br, self.large_window)
+        if not is_large and not (10 <= window_bits <= 24):
+            raise FormatError(f"bad window bits {window_bits}")
+        if is_large and not (C.LARGE_MIN_WINDOW_BITS <= window_bits
+                             <= C.LARGE_MAX_WINDOW_BITS):
+            raise FormatError(f"bad large window bits {window_bits}")
+        max_backward = (1 << window_bits) - C.WINDOW_GAP
+        dist_rb = list(C.INITIAL_DISTANCE_RB)
+        rb_idx = 0
+
+        while True:
+            is_last = br.take(1)
+            if is_last:
+                if br.take(1):  # ISLASTEMPTY
+                    break
+            mnibbles = br.take(2) + 4
+            if mnibbles == 7:  # metadata block
+                if br.take(1):
+                    raise FormatError("reserved bit set")
+                skip_bytes = br.take(2)
+                mlen = 0
+                for i in range(skip_bytes):
+                    b = br.take(8)
+                    if i + 1 == skip_bytes and skip_bytes > 1 and b == 0:
+                        raise FormatError("exuberant metadata nibble")
+                    mlen |= b << (i * 8)
+                if skip_bytes:
+                    mlen += 1
+                br.align_to_byte()
+                br.read_bytes(mlen)  # metadata content (exposed later)
+                if is_last:
+                    break
+                continue
+            mlen = 0
+            for i in range(mnibbles):
+                nib = br.take(4)
+                if i + 1 == mnibbles and mnibbles > 4 and nib == 0:
+                    raise FormatError("exuberant nibble")
+                mlen |= nib << (i * 4)
+            mlen += 1
+            is_uncompressed = 0 if is_last else br.take(1)
+            if is_uncompressed:
+                pad = br.align_to_byte()
+                if pad != 0:
+                    raise FormatError("non-zero padding")
+                out += br.read_bytes(mlen)
+                continue
+
+            rb_idx = self._metablock(br, out, mlen, max_backward, dist_rb,
+                                     rb_idx, is_large)
+            if is_last:
+                break
+
+        pad = br.align_to_byte()
+        if pad != 0:
+            raise FormatError("non-zero stream padding")
+        # Trailing garbage check: remaining bytes must be absent.
+        if br.available() >= 8:
+            raise FormatError("trailing data after last metablock")
+        return bytes(out)
+
+    # -- compressed metablock ------------------------------------------------
+
+    def _metablock(self, br, out, mlen, max_backward, dist_rb, rb_idx,
+                   is_large) -> int:
+        blocks = [_BlockState(br) for _ in range(3)]  # L, I, D
+        npostfix = br.take(2)
+        ndirect = br.take(4) << npostfix
+        context_modes = [br.take(2) for _ in range(blocks[0].num_types)]
+        lit_cmap, n_lit_trees = read_context_map(
+            br, blocks[0].num_types << C.LITERAL_CONTEXT_BITS)
+        dist_cmap, n_dist_trees = read_context_map(
+            br, blocks[2].num_types << C.DISTANCE_CONTEXT_BITS)
+        lit_trees = [read_huffman_code(br, C.NUM_LITERAL_SYMBOLS)
+                     for _ in range(n_lit_trees)]
+        cmd_trees = [read_huffman_code(br, C.NUM_COMMAND_SYMBOLS)
+                     for _ in range(blocks[1].num_types)]
+        maxnbits = (C.LARGE_MAX_DISTANCE_BITS if is_large
+                    else C.MAX_DISTANCE_BITS)
+        dist_alpha = C.distance_alphabet_size(npostfix, ndirect, maxnbits)
+        dist_trees = [read_huffman_code(br, dist_alpha)
+                      for _ in range(n_dist_trees)]
+        dist_extra, dist_offset = prefix.distance_lut(
+            npostfix, ndirect, maxnbits)
+        cmd_lut = prefix.cmd_lut()
+
+        lit_block, cmd_block, dist_block = 0, 0, 0
+        lit_lut = ctx.context_lut(context_modes[0])
+        remaining = mlen
+        while remaining > 0:
+            # --- command symbol
+            if blocks[1].length == 0:
+                cmd_block = blocks[1].switch(br)
+            blocks[1].length -= 1
+            tbl = cmd_trees[cmd_block]
+            sym, used = tbl.decode(br.peek(tbl.max_len))
+            br.skip(used)
+            insert_len = int(cmd_lut["insert_base"][sym]) + \
+                br.take(int(cmd_lut["insert_extra"][sym]))
+            copy_len = int(cmd_lut["copy_base"][sym]) + \
+                br.take(int(cmd_lut["copy_extra"][sym]))
+            implicit_dist0 = bool(cmd_lut["implicit_dist0"][sym])
+            dctx = int(cmd_lut["dist_context"][sym])
+
+            # --- literals
+            for _ in range(insert_len):
+                if blocks[0].length == 0:
+                    lit_block = blocks[0].switch(br)
+                    lit_lut = ctx.context_lut(context_modes[lit_block])
+                blocks[0].length -= 1
+                p1 = out[-1] if out else 0
+                p2 = out[-2] if len(out) >= 2 else 0
+                c = int(lit_lut[0][p1] | lit_lut[1][p2])
+                tree = lit_trees[lit_cmap[
+                    (lit_block << C.LITERAL_CONTEXT_BITS) + c]]
+                lit, used = tree.decode(br.peek(tree.max_len))
+                br.skip(used)
+                out.append(lit)
+            remaining -= insert_len
+            if remaining <= 0:
+                break
+
+            # --- distance
+            max_distance = min(len(out), max_backward)
+            if implicit_dist0:
+                distance = dist_rb[(rb_idx - 1) & 3]
+                dist_code_is_zero = True
+            else:
+                if blocks[2].length == 0:
+                    dist_block = blocks[2].switch(br)
+                blocks[2].length -= 1
+                dtree = dist_trees[dist_cmap[
+                    (dist_block << C.DISTANCE_CONTEXT_BITS) + dctx]]
+                dcode, used = dtree.decode(br.peek(dtree.max_len))
+                br.skip(used)
+                dist_code_is_zero = (dcode == 0)
+                if dcode < C.NUM_DISTANCE_SHORT_CODES:
+                    ring, delta = prefix.DISTANCE_SHORT_CODES[dcode]
+                    distance = dist_rb[(rb_idx - 1 - ring) & 3] + delta
+                    if distance <= 0:
+                        raise FormatError("non-positive short-code distance")
+                else:
+                    extra = br.take(int(dist_extra[dcode]))
+                    distance = int(dist_offset[dcode]) + (extra << npostfix)
+
+            if distance > max_distance:
+                # static dictionary reference
+                if distance > C.MAX_ALLOWED_DISTANCE:
+                    raise FormatError("distance too large")
+                word = dict_mod.decode_reference(
+                    copy_len, distance - max_distance - 1)
+                if word is None:
+                    raise FormatError("invalid dictionary reference")
+                out += word
+                remaining -= len(word)
+            else:
+                if not dist_code_is_zero:
+                    dist_rb[rb_idx & 3] = distance
+                    rb_idx += 1
+                # overlapping copy: byte-serial semantics
+                start = len(out) - distance
+                if copy_len <= distance:
+                    out += out[start:start + copy_len]
+                else:
+                    for k in range(copy_len):
+                        out.append(out[start + k])
+                remaining -= copy_len
+        if remaining < 0:
+            raise FormatError("metablock length overrun")
+        return rb_idx
+
+
+def decompress(data, large_window: bool = False) -> bytes:
+    """One-shot decode (API parity: python/brotli.py `decompress`)."""
+    return Decoder(large_window=large_window).decompress(bytes(data))
