@@ -171,6 +171,7 @@ def encode_distance(distance: int, npostfix: int, ndirect: int) -> tuple:
     Does not consider ring-buffer short codes -- callers pick those
     separately when profitable.
     """
+    distance = int(distance)
     if distance <= ndirect:
         return C.NUM_DISTANCE_SHORT_CODES + distance - 1, 0, 0
     pmask = (1 << npostfix) - 1
