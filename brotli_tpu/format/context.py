@@ -105,8 +105,9 @@ def context_lut(mode: int):
             else:
                 # lead byte: next is a continuation byte -> context 2/3
                 lut0[b] = 2 + (b & 1)
-                # second-last lead byte >= 208 means last is a continuation
-                lut1[b] = 2 if b >= 208 else 0
+                # as second-last: >= 224 (3+-byte lead) implies the last
+                # byte is a continuation byte of a long rune
+                lut1[b] = 2 if b >= 224 else 0
     elif mode == CONTEXT_SIGNED:
         for b in range(256):
             lut0[b] = _signed_quantile(b) << 3

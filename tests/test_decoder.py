@@ -1,0 +1,45 @@
+"""Golden-file compatibility: every tests/testdata stream must decode
+bit-exactly (mirrors the reference's compatibility suite,
+CMakeLists.txt:295-312)."""
+
+import re
+
+import pytest
+
+import brotli_tpu
+from tests.conftest import ref_compress
+
+
+def _pairs(testdata):
+    for f in sorted(testdata.glob("*.compressed*")):
+        base = re.sub(r"\.compressed(\.\d+)?$", "", f.name)
+        yield f, testdata / base
+
+
+def test_all_golden_files(testdata):
+    count = 0
+    for comp, raw in _pairs(testdata):
+        assert brotli_tpu.decompress(comp.read_bytes()) == raw.read_bytes(), \
+            comp.name
+        count += 1
+    assert count >= 40
+
+
+@pytest.mark.parametrize("quality", [0, 1, 5, 9, 11])
+def test_decode_reference_encoder_output(testdata, ref_cli, quality):
+    for name in ("alice29.txt", "random_org_10k.bin", "monkey"):
+        data = (testdata / name).read_bytes()
+        comp = ref_compress(ref_cli, data, quality)
+        assert brotli_tpu.decompress(comp) == data
+
+
+def test_invalid_inputs_raise():
+    for bad in (b"", b"\x00", b"\xff" * 16, b"garbage input here"):
+        with pytest.raises(brotli_tpu.error):
+            brotli_tpu.decompress(bad)
+
+
+def test_trailing_garbage_rejected(testdata):
+    comp = (testdata / "quickfox.compressed").read_bytes()
+    with pytest.raises(brotli_tpu.error):
+        brotli_tpu.decompress(comp + b"tail")
