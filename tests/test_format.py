@@ -87,8 +87,8 @@ def test_transforms_against_reference_data():
     lit = "".join(re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1)))
     ps = lit.encode("latin1").decode("unicode_escape").encode("latin1")
     ps += b"\x00\x00"
-    pmap = _parse_c_ints(re.search(
-        r"kPrefixSuffixMap\[50\] = \{(.*?)\}", src, re.S).group(1))
+    pmap = [int(t, 16) for t in re.findall(r"0x[0-9A-Fa-f]+", re.search(
+        r"kPrefixSuffixMap\[50\] = \{(.*?)\}", src, re.S).group(1))]
 
     def getstr(idx):
         off = pmap[idx]
