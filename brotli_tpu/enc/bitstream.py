@@ -1,9 +1,11 @@
 """RFC 7932 bitstream assembly: stream header + metablock serialization.
 
-Round-1 writer: single block type per category, trivial context maps,
-one optimal Huffman tree per alphabet ("StoreMetaBlockTrivial" semantics,
-parity anchor c/enc/brotli_bit_stream.c:43-74). Context-mapped multi-tree
-stores land with the quality ladder.
+Fully vectorized: command fields and literal runs are interleaved into a
+single (value, nbits) stream with cumsum/scatter array surgery -- the
+same contract as the device bit-pack kernel (brotli_tpu/ops/bitpack.py).
+Round-1 writer uses single block types and trivial context maps
+("StoreMetaBlockTrivial" semantics, parity anchor
+c/enc/brotli_bit_stream.c:43-74).
 """
 
 import numpy as np
@@ -45,7 +47,6 @@ def write_varlen_uint8(bw: BitWriter, value: int) -> None:
     bw.write(nbits, 3)
     if nbits:
         bw.write(value - (1 << nbits), nbits)
-    # NB: value 1 encodes as '1' + '000'
 
 
 def write_metablock_header_mlen(bw: BitWriter, mlen: int, is_last: bool,
@@ -75,55 +76,99 @@ def write_last_empty(bw: BitWriter) -> None:
     bw.write(1, 1)  # ISLASTEMPTY
 
 
-class CommandPlan:
-    """Commands of one metablock resolved to symbol streams."""
+def _encode_values(values, base, extra):
+    """Vectorized (code, extra_value, extra_bits) for a value array."""
+    values = np.asarray(values, dtype=np.int64)
+    codes = np.searchsorted(base, values, side="right") - 1
+    return codes, values - base[codes], extra[codes].astype(np.int64)
 
-    __slots__ = ("cmd_syms", "insert_extras", "copy_extras", "dist_syms",
-                 "dist_extras", "has_dist", "literals", "last_distance")
 
-    def __init__(self, data: np.ndarray, block_start: int, cmds,
-                 last_distance: int):
-        """`cmds`: (insert_len, copy_len, distance) with distance 0 for the
-        trailing insert-only command. `data` is the full stream so far so
-        literals can reach it at absolute positions."""
-        n = len(cmds)
-        self.cmd_syms = np.zeros(n, np.int32)
-        self.insert_extras = np.zeros((n, 2), np.int32)  # (value, bits)
-        self.copy_extras = np.zeros((n, 2), np.int32)
-        self.dist_syms = np.full(n, -1, np.int32)
-        self.dist_extras = np.zeros((n, 2), np.int32)
-        self.has_dist = np.zeros(n, bool)
-        lit_chunks = []
-        pos = block_start
-        for k, (ins, cpy, dist) in enumerate(cmds):
-            icode, iextra, ibits = prefix.encode_value(
-                ins, prefix.INSERT_BASE, prefix.INSERT_EXTRA)
-            if dist == 0 and cpy == 0:
-                ccode, cextra, cbits = 0, 0, 0  # dummy copy part, unread
-                implicit = icode < 8
-            else:
-                ccode, cextra, cbits = prefix.encode_value(
-                    cpy, prefix.COPY_BASE, prefix.COPY_EXTRA)
-                implicit = (dist == last_distance and icode < 8
-                            and ccode < 16)
-                if not implicit:
-                    self.has_dist[k] = True
-                    if dist == last_distance:
-                        self.dist_syms[k] = 0  # short code: last distance
-                    else:
-                        dcode, dextra, dbits = prefix.encode_distance(
-                            dist, npostfix=0, ndirect=0)
-                        self.dist_syms[k] = dcode
-                        self.dist_extras[k] = (dextra, dbits)
-                        last_distance = dist
-            self.cmd_syms[k] = prefix.combine_cmd_code(icode, ccode, implicit)
-            self.insert_extras[k] = (iextra, ibits)
-            self.copy_extras[k] = (cextra, cbits)
-            lit_chunks.append(data[pos:pos + ins])
-            pos += ins + cpy
-        self.literals = (np.concatenate(lit_chunks) if lit_chunks
-                         else np.zeros(0, np.uint8))
-        self.last_distance = last_distance
+def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
+                  last_distance: int):
+    """Resolve commands to symbols + extras, all vectorized.
+
+    Returns dict of per-command arrays and the updated last distance.
+    The final command of a metablock may be insert-only (cpy == 0,
+    dist == 0); mid-stream commands always have cpy >= 2.
+    """
+    n = len(ins)
+    icode, iextra, ibits = _encode_values(ins, prefix.INSERT_BASE,
+                                          prefix.INSERT_EXTRA)
+    final_insert = (cpy == 0) & (dist == 0)
+    ccode, cextra, cbits = _encode_values(np.where(final_insert, 2, cpy),
+                                          prefix.COPY_BASE,
+                                          prefix.COPY_EXTRA)
+    # Last-distance chain: a command "reuses" when its distance equals
+    # the decoder's ring-buffer top, i.e. the distance of the nearest
+    # earlier command with a copy part (reuses keep the value flowing
+    # even though they don't push). Vectorized forward-fill:
+    if n:
+        has_copy = ~final_insert
+        idx = np.arange(n)
+        last_copy_idx = np.maximum.accumulate(np.where(has_copy, idx, -1))
+        shifted = np.concatenate([[-1], last_copy_idx[:-1]])
+        prev_real = np.where(shifted >= 0, dist[np.maximum(shifted, 0)],
+                             last_distance)
+    else:
+        prev_real = np.zeros(0, dtype=np.int64)
+    is_reuse = (~final_insert) & (dist == prev_real)
+    implicit = is_reuse & (icode < 8) & (ccode < 16)
+    explicit_reuse = is_reuse & ~implicit
+
+    dcode = np.zeros(n, dtype=np.int64)
+    dextra = np.zeros(n, dtype=np.int64)
+    dbits = np.zeros(n, dtype=np.int64)
+    explicit_new = (~final_insert) & ~is_reuse
+    if np.any(explicit_new):
+        d = dist[explicit_new].astype(np.int64) - 1  # RFC: d = dist-NDIRECT-1
+        # vectorized encode_distance (npostfix=0, ndirect=0):
+        # nbits = bit_length(d + 4) - 2, integer math
+        nbits = np.zeros(len(d), dtype=np.int64)
+        tmp = (d + 4) >> 2
+        while np.any(tmp):
+            nbits += (tmp > 0)
+            tmp >>= 1
+        rest = d + 4 - (np.int64(1) << (nbits + 1))
+        half = rest >> nbits
+        ev = rest - (half << nbits)
+        dcode[explicit_new] = (C.NUM_DISTANCE_SHORT_CODES +
+                               (((nbits - 1) << 1) | half))
+        dextra[explicit_new] = ev
+        dbits[explicit_new] = nbits
+    # explicit reuse -> short code 0 (no extra bits)
+
+    has_dist = ~final_insert & ~implicit
+    # command symbol via cell mapping
+    cmd_syms = _combine_codes(icode, ccode, implicit | final_insert & (
+        icode < 8))
+    # insert-only finals with icode >= 8 need a non-implicit cell
+    fix = final_insert & (icode >= 8)
+    if np.any(fix):
+        cmd_syms[fix] = _combine_codes(icode[fix], ccode[fix],
+                                       np.zeros(int(fix.sum()), bool))
+
+    new_last = int(dist[explicit_new][-1]) if np.any(explicit_new) else \
+        last_distance
+    return {
+        "cmd_syms": cmd_syms.astype(np.int64),
+        "insert_extras": (iextra, ibits),
+        "copy_extras": (np.where(final_insert, 0, cextra),
+                        np.where(final_insert, 0, cbits)),
+        "dist_syms": dcode,
+        "dist_extras": (dextra, dbits),
+        "has_dist": has_dist,
+        "ins": np.asarray(ins, np.int64),
+    }, new_last
+
+
+def _combine_codes(icode, ccode, implicit):
+    """Vectorized combine_cmd_code (RFC 5)."""
+    low = ((icode & 7) << 3) | (ccode & 7)
+    cell_starts = np.array([[128, 192, 384], [256, 320, 512],
+                            [448, 576, 640]], dtype=np.int64)
+    start = cell_starts[icode >> 3, ccode >> 3]
+    implicit_start = np.where((ccode >> 3) == 0, 0, 64)
+    return np.where(implicit, implicit_start + low, start + low)
 
 
 def store_metablock_trivial(bw: BitWriter, data: np.ndarray,
@@ -131,9 +176,16 @@ def store_metablock_trivial(bw: BitWriter, data: np.ndarray,
                             is_last: bool, last_distance: int) -> int:
     """Serialize one compressed metablock with single-tree histograms.
 
+    `cmds` is (ins, cpy, dist) arrays or a list of tuples.
     Returns the updated decoder-visible last distance.
     """
-    plan = CommandPlan(data, block_start, cmds, last_distance)
+    ins, cpy, dist = _as_arrays(cmds)
+    plan, new_last = plan_commands(ins, cpy, dist, last_distance)
+
+    # literals: gather runs [pos, pos+ins) for each command
+    starts = block_start + np.concatenate(
+        [[0], np.cumsum(ins + cpy)[:-1]]).astype(np.int64)
+    literals = _gather_runs(data, starts, plan["ins"])
 
     write_metablock_header_mlen(bw, mlen, is_last)
     for _ in range(3):  # NBLTYPES L/I/D = 1
@@ -144,9 +196,10 @@ def store_metablock_trivial(bw: BitWriter, data: np.ndarray,
     write_varlen_uint8(bw, 0)  # literal context map: 1 tree
     write_varlen_uint8(bw, 0)  # distance context map: 1 tree
 
-    lit_freq = np.bincount(plan.literals, minlength=C.NUM_LITERAL_SYMBOLS)
-    cmd_freq = np.bincount(plan.cmd_syms, minlength=C.NUM_COMMAND_SYMBOLS)
-    dsyms = plan.dist_syms[plan.has_dist]
+    lit_freq = np.bincount(literals, minlength=C.NUM_LITERAL_SYMBOLS)
+    cmd_freq = np.bincount(plan["cmd_syms"],
+                           minlength=C.NUM_COMMAND_SYMBOLS)
+    dsyms = plan["dist_syms"][plan["has_dist"]]
     dist_freq = np.bincount(dsyms, minlength=64) if len(dsyms) else \
         np.zeros(64, np.int64)
 
@@ -157,38 +210,90 @@ def store_metablock_trivial(bw: BitWriter, data: np.ndarray,
     write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
     write_huffman_code(bw, dist_len, 64)
 
-    # single-symbol alphabets decode with zero bits per symbol
-    def emission(lengths):
-        if np.count_nonzero(lengths) <= 1:
-            return np.zeros_like(lengths)
-        return lengths
+    def emission(lengths):  # single-symbol alphabets decode with 0 bits
+        return np.zeros_like(lengths) if np.count_nonzero(lengths) <= 1 \
+            else lengths
 
-    lit_len = emission(lit_len)
-    cmd_len = emission(cmd_len)
-    dist_len = emission(dist_len)
-    lit_codes = lengths_to_codes(lit_len)
-    cmd_codes = lengths_to_codes(cmd_len)
-    dist_codes = lengths_to_codes(dist_len)
+    lit_len, cmd_len, dist_len = map(emission, (lit_len, cmd_len, dist_len))
+    values, nbits = _interleave_symbols(
+        plan, literals,
+        (lengths_to_codes(lit_len).astype(np.int64), lit_len),
+        (lengths_to_codes(cmd_len).astype(np.int64), cmd_len),
+        (lengths_to_codes(dist_len).astype(np.int64), dist_len))
+    bw.write_arrays(values, nbits)
+    return new_last
 
-    lit_pos = 0
-    for k in range(len(plan.cmd_syms)):
-        s = int(plan.cmd_syms[k])
-        bw.write(int(cmd_codes[s]), int(cmd_len[s]))
-        iv, ib = plan.insert_extras[k]
-        if ib:
-            bw.write(int(iv), int(ib))
-        cv, cb = plan.copy_extras[k]
-        if cb:
-            bw.write(int(cv), int(cb))
-        icode = prefix.cmd_lut()["insert_base"][s]
-        ins = int(icode) + int(iv)
-        for b in plan.literals[lit_pos:lit_pos + ins]:
-            bw.write(int(lit_codes[b]), int(lit_len[b]))
-        lit_pos += ins
-        if plan.has_dist[k]:
-            d = int(plan.dist_syms[k])
-            bw.write(int(dist_codes[d]), int(dist_len[d]))
-            dv, db = plan.dist_extras[k]
-            if db:
-                bw.write(int(dv), int(db))
-    return plan.last_distance
+
+def _as_arrays(cmds):
+    if isinstance(cmds, tuple) and len(cmds) == 3 and \
+            isinstance(cmds[0], np.ndarray):
+        return cmds
+    if len(cmds) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    a = np.asarray(cmds, dtype=np.int64)
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
+def _gather_runs(data: np.ndarray, starts: np.ndarray,
+                 lengths: np.ndarray) -> np.ndarray:
+    """Concatenate data[starts[k]:starts[k]+lengths[k]] for all k."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, np.uint8)
+    # index arithmetic: for each output slot, its source position
+    ends = np.cumsum(lengths)
+    out_start = ends - lengths
+    idx = np.arange(total, dtype=np.int64)
+    run_id = np.searchsorted(ends, idx, side="right")
+    src = starts[run_id] + (idx - out_start[run_id])
+    return data[src]
+
+
+def _interleave_symbols(plan, literals, lit_code, cmd_code, dist_code):
+    """Build the metablock body (value, nbits) stream in decode order:
+    per command: cmd sym, insert extra, copy extra, literals, dist sym,
+    dist extra."""
+    ins = plan["ins"]
+    n = len(ins)
+    nlit = len(literals)
+    slots_per_cmd = 3 + 2  # fixed slots; literals inserted between
+    total = n * slots_per_cmd + nlit
+    values = np.zeros(total, dtype=np.int64)
+    nbits = np.zeros(total, dtype=np.int64)
+    # per-command record length = 3 + ins_k + 2
+    rec_len = 5 + ins
+    rec_start = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(
+        np.int64)
+    # fixed fields
+    cmd_codes, cmd_lens = cmd_code
+    s = plan["cmd_syms"]
+    values[rec_start] = cmd_codes[s]
+    nbits[rec_start] = cmd_lens[s]
+    iv, ib = plan["insert_extras"]
+    values[rec_start + 1] = iv
+    nbits[rec_start + 1] = ib
+    cv, cb = plan["copy_extras"]
+    values[rec_start + 2] = cv
+    nbits[rec_start + 2] = cb
+    # literals at rec_start + 3 + offset_within_run
+    if nlit:
+        lit_codes, lit_lens = lit_code
+        ends = np.cumsum(ins)
+        out_start = ends - ins
+        idx = np.arange(nlit, dtype=np.int64)
+        run_id = np.searchsorted(ends, idx, side="right")
+        slot = rec_start[run_id] + 3 + (idx - out_start[run_id])
+        values[slot] = lit_codes[literals]
+        nbits[slot] = lit_lens[literals]
+    # distances at record end
+    dist_codes, dist_lens = dist_code
+    dslot = rec_start + 3 + ins
+    has = plan["has_dist"]
+    ds = plan["dist_syms"]
+    values[dslot] = np.where(has, dist_codes[ds], 0)
+    nbits[dslot] = np.where(has, dist_lens[ds], 0)
+    dv, db = plan["dist_extras"]
+    values[dslot + 1] = np.where(has, dv, 0)
+    nbits[dslot + 1] = np.where(has, db, 0)
+    return values, nbits

@@ -1,6 +1,10 @@
 """Encoder orchestration: quality dispatch, metablock partitioning,
 uncompressed fallback, streaming. (Parity anchor: c/enc/encode.c
 EncodeData / WriteMetaBlockInternal / BrotliEncoderCompress.)
+
+Pipeline: match-find over the whole input (vectorized; JAX path on TPU)
+-> split matches at metablock boundaries -> per-block command streams ->
+histograms + package-merge trees -> vectorized bit emission.
 """
 
 import numpy as np
@@ -10,6 +14,7 @@ from ..format.bitio import BitWriter
 from . import bitstream, matcher
 
 _DEFAULT_MB_BITS = 22  # metablock size (lgblock); <= 24
+_VECTOR_THRESHOLD = 1 << 16  # below this the serial matcher is faster
 
 
 def _sanitize_params(quality, lgwin, lgblock):
@@ -22,68 +27,22 @@ def _sanitize_params(quality, lgwin, lgblock):
     return quality, lgwin, lgblock
 
 
-def partition_commands(cmds, boundaries):
-    """Split a global command stream at metablock boundaries.
+import os  # noqa: E402
 
-    `boundaries` are absolute end offsets (ascending, last == total
-    length). Inserts split freely; copies split into pieces with the same
-    distance (later pieces become cheap last-distance references); 1-byte
-    copy fragments are demoted to literals (always valid: literal bytes
-    come from the original data). Each block's trailing pending insert
-    becomes a final insert-only command.
-    """
-    blocks = []
-    cur = []
-    pend_ins = 0
-    pos = 0
-    b = 0
 
-    def close_block():
-        nonlocal cur, pend_ins, b
-        if pend_ins:
-            cur.append((pend_ins, 0, 0))
-            pend_ins = 0
-        blocks.append(cur)
-        cur = []
-        b += 1
-
-    for ins, cpy, dist in cmds:
-        while ins:
-            room = boundaries[b] - pos
-            take = min(ins, room)
-            pend_ins += take
-            pos += take
-            ins -= take
-            if pos == boundaries[b]:
-                close_block()
-        while cpy:
-            room = boundaries[b] - pos
-            if room == 0:
-                close_block()
-                continue
-            take = min(cpy, room)
-            if cpy - take == 1:
-                take -= 1  # never leave a 1-byte copy remnant
-            if take < 2:
-                # demote to a literal (bytes always exist in `data`)
-                pend_ins += 1
-                pos += 1
-                cpy -= 1
-            else:
-                cur.append((pend_ins, take, dist))
-                pend_ins = 0
-                pos += take
-                cpy -= take
-            if pos == boundaries[b]:
-                close_block()
-    if pend_ins or b < len(boundaries):
-        while b < len(boundaries) - 1:
-            close_block()
-        if pend_ins:
-            cur.append((pend_ins, 0, 0))
-        if cur or not blocks:
-            blocks.append(cur)
-    return blocks
+def find_matches(arr, max_distance, quality):
+    """Quality-dispatched match finder over the full buffer."""
+    backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
+    if len(arr) >= _VECTOR_THRESHOLD and backend != "numpy":
+        try:
+            from ..ops.matcher_jax import find_matches_jax
+            return find_matches_jax(arr, max_distance, quality)
+        except ImportError:
+            pass
+        return matcher.find_matches_vectorized(arr, max_distance)
+    if len(arr) >= _VECTOR_THRESHOLD:
+        return matcher.find_matches_vectorized(arr, max_distance)
+    return matcher.find_matches_greedy(arr, max_distance)
 
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
@@ -98,27 +57,31 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
         bitstream.write_last_empty(bw)
         return bw.getvalue()
 
-    max_distance = C.max_backward_distance(lgwin)
-    cmds = matcher.find_matches_greedy(arr, max_distance)
-
-    mb_size = 1 << lgblock
-    boundaries = list(range(mb_size, n, mb_size)) + [n]
-    blocks = partition_commands(cmds, boundaries)
-    assert len(blocks) == len(boundaries), (len(blocks), len(boundaries))
-
-    last_distance = -1  # conservatively unknown (ring inits {16,15,11,4})
-    pos = 0
-    for bi, block_cmds in enumerate(blocks):
-        is_last = bi == len(blocks) - 1
-        mlen = boundaries[bi] - pos
-        last_distance = bitstream.store_metablock_trivial(
-            bw, arr, pos, mlen, block_cmds, is_last, last_distance)
-        pos = boundaries[bi]
+    m, lens, dists = find_matches(arr, C.max_backward_distance(lgwin),
+                                  quality)
+    _write_blocks(bw, arr, 0, n, m, lens, dists, lgblock, is_last=True,
+                  last_distance=-1)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
         return _store_uncompressed(arr, lgwin)
     return out
+
+
+def _write_blocks(bw, arr, lo, hi, m, lens, dists, lgblock, is_last,
+                  last_distance):
+    """Serialize region [lo, hi) as metablocks; returns last_distance."""
+    mb_size = 1 << lgblock
+    boundaries = list(range(lo + mb_size, hi, mb_size)) + [hi]
+    m, lens, dists = matcher.split_matches_at(m, lens, dists, boundaries)
+    pos = lo
+    for bi, b in enumerate(boundaries):
+        block_last = is_last and bi == len(boundaries) - 1
+        cmds = matcher.matches_to_commands(m, lens, dists, pos, b)
+        last_distance = bitstream.store_metablock_trivial(
+            bw, arr, pos, b - pos, cmds, block_last, last_distance)
+        pos = b
+    return last_distance
 
 
 def _store_uncompressed(arr, lgwin) -> bytes:
@@ -170,7 +133,7 @@ class StreamingEncoder:
         return b""
 
     def _emit_buffered(self, is_last: bool):
-        _, lgwin, lgblock = self.params
+        quality, lgwin, lgblock = self.params
         self._ensure_header()
         if not self._buf:
             if is_last:
@@ -179,20 +142,15 @@ class StreamingEncoder:
         data = bytes(self._history) + bytes(self._buf)
         arr = np.frombuffer(data, dtype=np.uint8)
         start = len(self._history)
-        cmds = matcher.find_matches_greedy(
-            arr, C.max_backward_distance(lgwin))
-        mb = 1 << lgblock
-        boundaries = [start] + list(range(start + mb, len(arr), mb)) + \
-            [len(arr)]
-        blocks = partition_commands(cmds, boundaries)
-        pos = start
-        for bi in range(1, len(blocks)):
-            block_is_last = is_last and bi == len(blocks) - 1
-            mlen = boundaries[bi] - pos
-            self._last_distance = bitstream.store_metablock_trivial(
-                self._bw, arr, pos, mlen, blocks[bi], block_is_last,
-                self._last_distance)
-            pos = boundaries[bi]
+        m, lens, dists = find_matches(
+            arr, C.max_backward_distance(lgwin), quality)
+        # clip matches to the new region (window lookback still works)
+        m, lens, dists = matcher.split_matches_at(
+            m, lens, dists, [start, len(arr)])
+        keep = m >= start
+        self._last_distance = _write_blocks(
+            self._bw, arr, start, len(arr), m[keep], lens[keep],
+            dists[keep], lgblock, is_last, self._last_distance)
         self._history = bytearray(data[-(1 << lgwin):])
         self._buf.clear()
 

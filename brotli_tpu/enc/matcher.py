@@ -40,45 +40,235 @@ def _match_len(data, a: int, b: int, max_len: int) -> int:
     return n
 
 
-def find_matches_greedy(data: np.ndarray, max_distance: int,
-                        hash_bits: int = 17, min_quality_len: int = 4):
-    """Greedy single-probe matcher (quality-1-like).
+def find_matches_vectorized(data: np.ndarray, max_distance: int,
+                            hash_bits: int = 18, num_candidates: int = 2,
+                            max_match: int = 1 << 24):
+    """Batch matcher: the NumPy reference of the TPU parse pipeline.
 
-    Returns list of commands (insert_len, copy_len, distance) covering
-    `data`, final command has distance 0 and copy_len 0.
+    1. rolling 4-byte hashes over every position (vector op)
+    2. candidate discovery via stable sort by (hash, pos): the previous
+       K entries in sort order are the K nearest earlier occurrences
+    3. vectorized common-prefix match lengths (chunked compares)
+    4. greedy parse as pointer-doubling reachability over next[i] =
+       i + skip[i] -- O(n log n) parallel work, no serial scan
+    Returns (ins, cpy, dist) int64 arrays.
     """
     n = len(data)
-    cmds = []
-    if n < MIN_MATCH + 4:
-        if n:
-            cmds.append((n, 0, 0))
-        return cmds
-    hashes = hash4(data, hash_bits)
-    table = np.full(1 << hash_bits, -1, dtype=np.int64)
-    anchor = 0
-    pos = 0
-    limit = n - MIN_MATCH
-    while pos <= limit:
-        h = hashes[pos]
-        cand = table[h]
-        table[h] = pos
-        if cand >= 0 and pos - cand <= max_distance and \
-                data[cand] == data[pos] and data[cand + 1] == data[pos + 1] \
-                and data[cand + 2] == data[pos + 2] \
-                and data[cand + 3] == data[pos + 3]:
-            ln = _match_len(data, cand, pos, n - pos)
-            if ln >= min_quality_len:
-                cmds.append((pos - anchor, ln, pos - cand))
-                # insert hashes sparsely inside the match (stride keeps
-                # the serial loop cheap; the TPU path hashes everything)
-                end = min(pos + ln, limit)
-                step = 1 if ln < 64 else 4
-                for p in range(pos + 1, end, step):
-                    table[hashes[p]] = p
-                pos += ln
-                anchor = pos
-                continue
-        pos += 1
-    if anchor < n:
-        cmds.append((n - anchor, 0, 0))
-    return cmds
+    if n < 8:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    CAP = 16  # capped parallel match length; cap-hits extend serially
+    npos = n - 3
+    # 8-byte little-endian words at every position (vector build)
+    w8 = np.zeros(n, np.uint64)
+    for i in range(8):
+        w8[:n - i] |= data[i:].astype(np.uint64) << np.uint64(8 * i)
+    h = hash4(data, hash_bits)
+    order = np.argsort(h, kind="stable").astype(np.int64)
+    h_s = h[order]
+    best_len = np.zeros(n, np.int32)
+    best_dist = np.zeros(n, np.int64)
+    pos_idx = np.arange(npos, dtype=np.int64)
+    for k in range(1, num_candidates + 1):
+        cand = np.full(npos, -1, np.int64)
+        same = h_s[k:] == h_s[:-k]
+        cand[order[k:]] = np.where(same, order[:-k], -1)
+        dist = pos_idx - cand
+        valid = (cand >= 0) & (dist <= max_distance)
+        c = np.where(valid, cand, 0)
+        # two uint64 rounds -> match length in [0, 16]
+        x0 = w8[pos_idx] ^ w8[c]
+        l0 = _tz_bytes(x0)
+        p1 = np.minimum(pos_idx + 8, n - 1)
+        c1 = np.minimum(c + 8, n - 1)
+        x1 = w8[p1] ^ w8[c1]
+        mlen = np.where(x0 == 0, 8 + _tz_bytes(x1), l0).astype(np.int32)
+        mlen = np.minimum(mlen, (n - 3 - pos_idx).clip(0) + 3)
+        mlen = np.where(valid, mlen, 0)
+        better = mlen > best_len[:npos]
+        best_len[:npos] = np.where(better, mlen, best_len[:npos])
+        best_dist[:npos] = np.where(better, dist, best_dist[:npos])
+
+    # score gate: longer minimum match for far distances (cheap stand-in
+    # for the reference's score model, c/enc/hash.h:73-120)
+    min_len = np.where(best_dist >= (1 << 18), 6,
+                       np.where(best_dist >= (1 << 12), 5, 4))
+    take = best_len >= np.maximum(min_len, MIN_MATCH)
+    skip = np.where(take, best_len.astype(np.int64), 1)
+
+    # pointer-doubling reachability from position 0
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + skip, n)
+    jump = np.concatenate([nxt, [n]])
+    reached = np.zeros(n + 1, bool)
+    reached[0] = True
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    for _ in range(steps):
+        tmp = np.zeros(n + 1, bool)
+        tmp[jump[reached]] = True
+        reached |= tmp
+        jump = jump[jump]
+    sel = np.flatnonzero(reached[:n])
+    m = sel[take[sel]]
+    lens = best_len[m].astype(np.int64)
+    dists = best_dist[m]
+    return _extend_capped(data, m, lens, dists, CAP, max_match)
+
+
+def _tz_bytes(x: np.ndarray) -> np.ndarray:
+    """Number of trailing zero BYTES of uint64 values (8 for x == 0)."""
+    out = np.zeros(x.shape, np.int32)
+    nz = x != 0
+    low = (x & np.uint64(0xFFFFFFFF)) == 0
+    v = np.where(low, x >> np.uint64(32), x)
+    out += np.where(low, 4, 0).astype(np.int32)
+    low16 = (v & np.uint64(0xFFFF)) == 0
+    v = np.where(low16, v >> np.uint64(16), v)
+    out += np.where(low16, 2, 0).astype(np.int32)
+    low8 = (v & np.uint64(0xFF)) == 0
+    out += np.where(low8, 1, 0).astype(np.int32)
+    return np.where(nz, out, 8)
+
+
+def _extend_capped(data, m, lens, dists, cap, max_match):
+    """Serially extend matches that hit the parallel cap, dropping later
+    matches they swallow. Iterations ~ number of cap-hit matches."""
+    n = len(data)
+    if len(m) == 0 or not np.any(lens >= cap):
+        return m, lens, dists
+    out_m, out_l, out_d = [], [], []
+    i = 0
+    nm = len(m)
+    hit_idx = np.flatnonzero(lens >= cap)
+    while i < nm:
+        hi = np.searchsorted(hit_idx, i)
+        nxt_hit = int(hit_idx[hi]) if hi < len(hit_idx) else nm
+        if nxt_hit > i:  # bulk-copy the run of uncapped matches
+            out_m.append(m[i:nxt_hit])
+            out_l.append(lens[i:nxt_hit])
+            out_d.append(dists[i:nxt_hit])
+            i = nxt_hit
+            continue
+        p, d = int(m[i]), int(dists[i])
+        ln = cap + _match_len(data, p - d + cap, p + cap,
+                              min(max_match, n - p) - cap)
+        out_m.append(np.array([p]))
+        out_l.append(np.array([ln]))
+        out_d.append(np.array([d]))
+        # skip matches swallowed by the extension
+        i = int(np.searchsorted(m, p + ln, side="left"))
+    return (np.concatenate(out_m).astype(np.int64),
+            np.concatenate(out_l).astype(np.int64),
+            np.concatenate(out_d).astype(np.int64))
+
+
+def matches_to_commands(m, lens, dists, lo: int, hi: int):
+    """Commands for block [lo, hi) from non-overlapping sorted matches.
+
+    Inserts are the gaps between consecutive matches; a trailing gap
+    becomes a final insert-only command (cpy = dist = 0).
+    """
+    keep = (m >= lo) & (m + lens <= hi)
+    m, lens, dists = m[keep], lens[keep], dists[keep]
+    prev_end = np.concatenate([[lo], m + lens])
+    ins = m - prev_end[:-1]
+    final_ins = hi - int(prev_end[-1]) if len(m) else hi - lo
+    if final_ins > 0 or len(m) == 0:
+        ins = np.concatenate([ins, [final_ins]])
+        lens = np.concatenate([lens, [0]])
+        dists = np.concatenate([dists, [0]])
+    return (ins.astype(np.int64), lens.astype(np.int64),
+            dists.astype(np.int64))
+
+
+def split_matches_at(m, lens, dists, boundaries):
+    """Split matches straddling block boundaries; pieces shorter than 2
+    are dropped (their bytes fall back to literals via the gap rule)."""
+    for b in boundaries[:-1]:
+        cross = np.flatnonzero((m < b) & (m + lens > b))
+        for i in cross:
+            p, ln, d = int(m[i]), int(lens[i]), int(dists[i])
+            left = b - p
+            right = ln - left
+            pieces = []
+            if left >= 2:
+                pieces.append((p, left, d))
+            if right >= 2:
+                pieces.append((b, right, d))
+            m = np.delete(m, i)
+            lens = np.delete(lens, i)
+            dists = np.delete(dists, i)
+            if pieces:
+                pm, pl, pd = map(np.array, zip(*pieces))
+                j = np.searchsorted(m, pm[0])
+                m = np.insert(m, j, pm)
+                lens = np.insert(lens, j, pl)
+                dists = np.insert(dists, j, pd)
+    return m, lens, dists
+
+
+def _batch_match_len(data, pos, cand, valid, cap, chunk=32):
+    """Vectorized LCP of data[pos:] vs data[cand:], capped at `cap`."""
+    n = len(data)
+    npos = len(pos)
+    mlen = np.zeros(npos, np.int64)
+    active = valid.copy()
+    offset = 0
+    d64 = data
+    while offset < cap and active.any():
+        idx = np.flatnonzero(active)
+        p = pos[idx] + offset
+        c = cand[idx] + offset
+        # stay in bounds: compare up to `chunk` bytes
+        max_here = np.minimum(n - p, chunk)
+        span = np.arange(chunk)
+        pa = np.minimum(p[:, None] + span, n - 1)
+        ca = np.minimum(c[:, None] + span, n - 1)
+        eq = d64[pa] == d64[ca]
+        eq &= span < max_here[:, None]
+        # first mismatch within the chunk
+        any_neq = ~eq.all(axis=1)
+        first = np.where(any_neq, np.argmin(eq, axis=1), max_here)
+        mlen[idx] += first
+        full = (first == chunk) & (max_here == chunk)
+        active[idx] = full
+        offset += chunk
+    return np.minimum(mlen, cap)
+
+
+def find_matches_greedy(data: np.ndarray, max_distance: int,
+                        hash_bits: int = 17, min_quality_len: int = 4):
+    """Greedy single-probe serial matcher (simple oracle for tests).
+
+    Returns (positions, lengths, distances) of non-overlapping matches.
+    """
+    n = len(data)
+    out = []
+    if n >= MIN_MATCH + 4:
+        hashes = hash4(data, hash_bits)
+        table = np.full(1 << hash_bits, -1, dtype=np.int64)
+        pos = 0
+        limit = n - MIN_MATCH
+        while pos <= limit:
+            h = hashes[pos]
+            cand = table[h]
+            table[h] = pos
+            if cand >= 0 and pos - cand <= max_distance and \
+                    data[cand] == data[pos] and \
+                    data[cand + 1] == data[pos + 1] and \
+                    data[cand + 2] == data[pos + 2] and \
+                    data[cand + 3] == data[pos + 3]:
+                ln = _match_len(data, cand, pos, n - pos)
+                if ln >= min_quality_len:
+                    out.append((pos, ln, pos - cand))
+                    end = min(pos + ln, limit)
+                    step = 1 if ln < 64 else 4
+                    for p in range(pos + 1, end, step):
+                        table[hashes[p]] = p
+                    pos += ln
+                    continue
+            pos += 1
+    if out:
+        m, lens, dists = map(np.array, zip(*out))
+    else:
+        m = lens = dists = np.zeros(0, np.int64)
+    return m.astype(np.int64), lens.astype(np.int64), dists.astype(np.int64)
