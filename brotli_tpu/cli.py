@@ -1,0 +1,117 @@
+"""Command-line interface, flag-compatible subset of the reference
+`brotli` tool (parity anchor: c/tools/brotli.c ParseParams/main).
+
+Usage: python -m brotli_tpu.cli [OPTIONS] [FILES]
+"""
+
+import argparse
+import os
+import sys
+
+from . import Compressor, compress, decompress
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="brotli_tpu",
+        description="TPU-native brotli compressor/decompressor")
+    p.add_argument("files", nargs="*", help="files (default: stdin)")
+    p.add_argument("-c", "--stdout", action="store_true",
+                   help="write to standard output")
+    p.add_argument("-d", "--decompress", action="store_true")
+    p.add_argument("-t", "--test", action="store_true",
+                   help="test compressed file integrity")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="overwrite existing output files")
+    p.add_argument("-k", "--keep", action="store_true", default=True,
+                   help="keep source files (default)")
+    p.add_argument("--rm", action="store_true", help="remove source files")
+    p.add_argument("-q", "--quality", type=int, default=11,
+                   help="compression level (0-11)")
+    p.add_argument("-w", "--lgwin", type=int, default=22,
+                   help="log2 of window size (10-24), 0 for auto")
+    p.add_argument("-o", "--output", help="output file (single input)")
+    p.add_argument("-S", "--suffix", default=".br",
+                   help="compressed file suffix")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-V", "--version", action="store_true")
+    p.add_argument("-Z", "--best", action="store_true",
+                   help="use best compression level (q=11)")
+    return p
+
+
+def _process(data: bytes, args) -> bytes:
+    if args.decompress or args.test:
+        return decompress(data)
+    lgwin = args.lgwin if args.lgwin else 22
+    return compress(data, quality=11 if args.best else args.quality,
+                    lgwin=lgwin)
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.version:
+        from . import __version__
+        print(f"brotli_tpu {__version__}")
+        return 0
+    prog = os.path.basename(sys.argv[0] or "")
+    if prog in ("unbrotli",):
+        args.decompress = True
+    if prog in ("brcat",):
+        args.decompress = args.stdout = True
+
+    if not args.files:
+        data = sys.stdin.buffer.read()
+        out = _process(data, args)
+        if not args.test:
+            sys.stdout.buffer.write(out)
+        return 0
+
+    rc = 0
+    for path in args.files:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            out = _process(data, args)
+            if args.test:
+                if args.verbose:
+                    print(f"{path}: OK", file=sys.stderr)
+                continue
+            if args.stdout:
+                sys.stdout.buffer.write(out)
+                continue
+            if args.output:
+                dst = args.output
+            elif args.decompress:
+                if not path.endswith(args.suffix):
+                    print(f"skipping {path}: unknown suffix",
+                          file=sys.stderr)
+                    rc = 1
+                    continue
+                dst = path[:-len(args.suffix)]
+            else:
+                dst = path + args.suffix
+            if os.path.exists(dst) and not args.force:
+                print(f"{dst} already exists (use -f to overwrite)",
+                      file=sys.stderr)
+                rc = 1
+                continue
+            with open(dst, "wb") as f:
+                f.write(out)
+            # copy permissions & times like the reference CLI
+            st = os.stat(path)
+            os.utime(dst, (st.st_atime, st.st_mtime))
+            os.chmod(dst, st.st_mode)
+            if args.verbose:
+                pct = 100.0 * len(out) / max(len(data), 1)
+                print(f"{path} -> {dst} ({pct:.1f}%)", file=sys.stderr)
+            if args.rm:
+                os.unlink(path)
+        except Exception as e:
+            print(f"{path}: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

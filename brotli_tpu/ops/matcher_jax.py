@@ -1,0 +1,148 @@
+"""TPU match-finding pipeline (JAX/XLA).
+
+Everything data-parallel runs on device with int32/uint32 arithmetic
+(TPU has no native int64): rolling hashes, stable sort by hash for
+candidate discovery, capped common-prefix lengths via uint32 word
+compares, score gating, and the greedy parse as pointer-doubling
+reachability. Only cap-hit match extension happens on host (rare,
+serial by nature).
+
+This is a redesign of the reference's serial hash-chain matcher
+(c/enc/backward_references_inc.h) as a batched array program -- not a
+translation: there is no mutable hash table; candidates come from a
+sorted (hash, pos) view, which is deterministic and fully parallel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enc.matcher import MIN_MATCH, _extend_capped
+
+HASH_MUL = np.uint32(0x1E35A7BD)
+CAP = 16  # parallel match-length cap (bytes); host extends cap-hits
+
+# pad buckets: one XLA compilation per bucket size
+_BUCKETS = [1 << b for b in range(16, 24)]
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
+                num_candidates: int = 2):
+    """Device kernel: per-position best (len, dist) + greedy selection.
+
+    data: uint8[B] (padded); npos: valid match-start count; returns
+    (selected mask bool[B], best_len int32[B], best_dist int32[B]).
+    """
+    n = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    # 4-byte words at every position
+    w4 = d32
+    w4 = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
+        jnp.roll(d32, -3) << 24
+    h = (w4 * HASH_MUL) >> jnp.uint32(14)  # 18-bit hash
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # positions beyond npos must never match: give them unique hashes
+    # outside the real range (wrap-around words at the tail included)
+    h = jnp.where(pos < npos, h, jnp.uint32(1 << 18) + pos.astype(
+        jnp.uint32))
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    h_s = h[order]
+
+    best_len = jnp.zeros(n, jnp.int32)
+    best_dist = jnp.zeros(n, jnp.int32)
+    for k in range(1, num_candidates + 1):
+        same = jnp.concatenate([jnp.zeros(k, bool),
+                                h_s[k:] == h_s[:-k]])
+        cand_s = jnp.concatenate([jnp.zeros(k, jnp.int32), order[:-k]])
+        cand = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.where(same, cand_s, -1))
+        dist = pos - cand
+        valid = (cand >= 0) & (dist <= max_distance) & (pos < npos)
+        c = jnp.where(valid, cand, 0)
+        # match length in [0, 16] via 4 uint32 word compares
+        mlen = jnp.zeros(n, jnp.int32)
+        alive = valid
+        for r in range(CAP // 4):
+            pr = jnp.minimum(pos + 4 * r, n - 1)
+            cr = jnp.minimum(c + 4 * r, n - 1)
+            x = w4[pr] ^ w4[cr]
+            tz = _tz_bytes_u32(x)
+            mlen = mlen + jnp.where(alive, tz, 0)
+            alive = alive & (x == 0)
+        mlen = jnp.minimum(mlen, npos + 3 - pos)
+        mlen = jnp.where(valid, mlen, 0)
+        better = mlen > best_len
+        best_len = jnp.where(better, mlen, best_len)
+        best_dist = jnp.where(better, dist, best_dist)
+
+    # score gate (longer minimum for far distances)
+    min_len = jnp.where(best_dist >= (1 << 18), 6,
+                        jnp.where(best_dist >= (1 << 12), 5, MIN_MATCH))
+    take = best_len >= min_len
+    skip = jnp.where(take, best_len, 1)
+
+    # greedy parse: pointer-doubling reachability from position 0
+    jump = jnp.minimum(pos + skip, n)
+    jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])
+    reached = jnp.zeros(n + 1, bool).at[0].set(True)
+    steps = int(np.ceil(np.log2(max(n, 2))))
+
+    def body(_, st):
+        reached, jump = st
+        hit = jnp.zeros(n + 1, bool).at[jump].max(reached)
+        return reached | hit, jump[jump]
+
+    reached, _ = jax.lax.fori_loop(0, steps, body, (reached, jump))
+    selected = reached[:n] & take
+    return selected, best_len, best_dist
+
+
+def _tz_bytes_u32(x: jax.Array) -> jax.Array:
+    """Trailing zero bytes of uint32 lanes (4 for x == 0)."""
+    b0 = (x & 0xFF) == 0
+    b1 = (x & 0xFFFF) == 0
+    b2 = (x & 0xFFFFFF) == 0
+    b3 = x == 0
+    return (b0.astype(jnp.int32) + b1 + b2 + b3)
+
+
+def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1):
+    """Host wrapper: pad to a bucket, run the device kernel per segment,
+    extend cap-hit matches on host. Returns (pos, len, dist) int64."""
+    n = len(data)
+    seg = _BUCKETS[-1]
+    all_m, all_l, all_d = [], [], []
+    for lo in range(0, n, seg):
+        hi = min(lo + seg, n)
+        chunk = np.asarray(data[lo:hi])
+        b = _bucket(len(chunk))
+        padded = np.zeros(b, np.uint8)
+        padded[:len(chunk)] = chunk
+        npos = max(len(chunk) - 3, 0)
+        sel, lens, dists = match_block(
+            jnp.asarray(padded), jnp.int32(npos), jnp.int32(max_distance))
+        sel = np.asarray(sel)
+        lens = np.asarray(lens)
+        dists = np.asarray(dists)
+        m = np.flatnonzero(sel).astype(np.int64)
+        m_l = lens[m].astype(np.int64)
+        m_d = dists[m].astype(np.int64)
+        m, m_l, m_d = _extend_capped(chunk, m, m_l, m_d, CAP, 1 << 24)
+        all_m.append(m + lo)
+        all_l.append(m_l)
+        all_d.append(m_d)
+    if not all_m:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return (np.concatenate(all_m), np.concatenate(all_l),
+            np.concatenate(all_d))
