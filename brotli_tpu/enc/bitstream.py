@@ -84,7 +84,7 @@ def _encode_values(values, base, extra):
 
 
 def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
-                  last_distance: int):
+                  last_distance: int, dict_flag: np.ndarray = None):
     """Resolve commands to symbols + extras, all vectorized.
 
     Returns dict of per-command arrays and the updated last distance.
@@ -100,13 +100,17 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
                                           prefix.COPY_EXTRA)
     # Last-distance chain: a command "reuses" when its distance equals
     # the decoder's ring-buffer top, i.e. the distance of the nearest
-    # earlier command with a copy part (reuses keep the value flowing
-    # even though they don't push). Vectorized forward-fill:
+    # earlier *pushing* command (LZ copy, not a dictionary reference --
+    # dict refs never enter the ring, RFC 4). Reuses keep the value
+    # flowing even though they don't push. Vectorized forward-fill:
+    if dict_flag is None:
+        dict_flag = np.zeros(n, dtype=np.int64)
+    is_dict = dict_flag.astype(bool)
     if n:
-        has_copy = ~final_insert
+        pushes = ~final_insert & ~is_dict
         idx = np.arange(n)
-        last_copy_idx = np.maximum.accumulate(np.where(has_copy, idx, -1))
-        shifted = np.concatenate([[-1], last_copy_idx[:-1]])
+        last_push_idx = np.maximum.accumulate(np.where(pushes, idx, -1))
+        shifted = np.concatenate([[-1], last_push_idx[:-1]])
         prev_real = np.where(shifted >= 0, dist[np.maximum(shifted, 0)],
                              last_distance)
     else:
@@ -147,8 +151,8 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
         cmd_syms[fix] = _combine_codes(icode[fix], ccode[fix],
                                        np.zeros(int(fix.sum()), bool))
 
-    new_last = int(dist[explicit_new][-1]) if np.any(explicit_new) else \
-        last_distance
+    pushing = explicit_new & ~is_dict if n else explicit_new
+    new_last = int(dist[pushing][-1]) if np.any(pushing) else last_distance
     return {
         "cmd_syms": cmd_syms.astype(np.int64),
         "insert_extras": (iextra, ibits),
@@ -171,68 +175,190 @@ def _combine_codes(icode, ccode, implicit):
     return np.where(implicit, implicit_start + low, start + low)
 
 
-def store_metablock_trivial(bw: BitWriter, data: np.ndarray,
-                            block_start: int, mlen: int, cmds,
-                            is_last: bool, last_distance: int) -> int:
-    """Serialize one compressed metablock with single-tree histograms.
+def _emission(lengths):  # single-symbol alphabets decode with 0 bits
+    return np.zeros_like(lengths) if np.count_nonzero(lengths) <= 1 \
+        else lengths
 
-    `cmds` is (ins, cpy, dist) arrays or a list of tuples.
+
+def write_context_map(bw: BitWriter, cmap: np.ndarray,
+                      ntrees: int) -> None:
+    """Serialize a context map (RFC 7.3): forward-MTF + zero-RLE +
+    prefix code, with the IMTF bit set."""
+    from .context_model import mtf_transform
+    write_varlen_uint8(bw, ntrees - 1)
+    if ntrees <= 1:
+        return
+    mtf = mtf_transform(cmap.astype(np.int64))
+    # zero-run lengths decide RLEMAX
+    runs = []
+    syms = []  # (symbol, extra, extra_bits) with placeholder rlemax
+    i = 0
+    n = len(mtf)
+    max_v = 0
+    while i < n:
+        if mtf[i] != 0:
+            syms.append(("v", int(mtf[i]), 0, 0))
+            i += 1
+            continue
+        j = i
+        while j < n and mtf[j] == 0:
+            j += 1
+        ln = j - i
+        while ln > 0:
+            if ln == 1:
+                syms.append(("v", 0, 0, 0))
+                ln = 0
+            else:
+                v = min(ln.bit_length() - 1, 16)
+                extra = min(ln - (1 << v), (1 << v) - 1)
+                syms.append(("r", v, extra, v))
+                ln -= (1 << v) + extra
+                max_v = max(max_v, v)
+        i = j
+    rlemax = max_v  # 0 => no RLE
+    if rlemax:
+        bw.write(1, 1)
+        bw.write(rlemax - 1, 4)
+    else:
+        bw.write(0, 1)
+    alphabet = ntrees + rlemax
+    stream = []
+    for kind, a, extra, ebits in syms:
+        if kind == "v":
+            stream.append((a + rlemax if a else 0, 0, 0))
+        else:
+            stream.append((a, extra, ebits))
+    freq = np.bincount([s for s, _, _ in stream], minlength=alphabet)
+    lens = package_merge(freq, C.HUFFMAN_MAX_CODE_LENGTH)
+    write_huffman_code(bw, lens, alphabet)
+    lens_e = _emission(lens)
+    codes = lengths_to_codes(lens_e)
+    for s, extra, ebits in stream:
+        bw.write(int(codes[s]), int(lens_e[s]))
+        if ebits:
+            bw.write(extra, ebits)
+    bw.write(1, 1)  # IMTF applied
+
+
+def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
+                    mlen: int, cmds, is_last: bool, last_distance: int,
+                    quality: int = 1, context_mode=None) -> int:
+    """Serialize one compressed metablock.
+
+    q < 5: single tree per alphabet ("StoreMetaBlockTrivial").
+    q >= 5: 2nd-order literal context modeling -- per-context histograms
+    clustered into <= 12 trees with a context map.
     Returns the updated decoder-visible last distance.
     """
-    ins, cpy, dist = _as_arrays(cmds)
-    plan, new_last = plan_commands(ins, cpy, dist, last_distance)
+    ins, cpy, dist, dflag = _as_arrays(cmds)
+    plan, new_last = plan_commands(ins, cpy, dist, last_distance, dflag)
 
     # literals: gather runs [pos, pos+ins) for each command
     starts = block_start + np.concatenate(
         [[0], np.cumsum(ins + cpy)[:-1]]).astype(np.int64)
     literals = _gather_runs(data, starts, plan["ins"])
+    lit_pos = _run_positions(starts, plan["ins"])
+
+    use_context = quality >= 5 and len(literals) >= 1024
+    if use_context:
+        from . import context_model as cm
+        mode = cm.choose_context_mode(data) if context_mode is None \
+            else context_mode
+        ctx_ids = cm.literal_context_ids(data, lit_pos, mode)
+        hists = cm.context_histograms(literals, ctx_ids,
+                                      C.NUM_LITERAL_CONTEXTS,
+                                      C.NUM_LITERAL_SYMBOLS)
+        assign, merged = cm.cluster_histograms(hists, max_trees=12)
+        ntrees = len(merged)
+        if ntrees == 1:
+            use_context = False
 
     write_metablock_header_mlen(bw, mlen, is_last)
     for _ in range(3):  # NBLTYPES L/I/D = 1
         write_varlen_uint8(bw, 0)
     bw.write(0, 2)  # NPOSTFIX = 0
     bw.write(0, 4)  # NDIRECT = 0
-    bw.write(0, 2)  # literal context mode LSB6 (irrelevant: 1 tree)
-    write_varlen_uint8(bw, 0)  # literal context map: 1 tree
-    write_varlen_uint8(bw, 0)  # distance context map: 1 tree
 
-    lit_freq = np.bincount(literals, minlength=C.NUM_LITERAL_SYMBOLS)
     cmd_freq = np.bincount(plan["cmd_syms"],
                            minlength=C.NUM_COMMAND_SYMBOLS)
     dsyms = plan["dist_syms"][plan["has_dist"]]
     dist_freq = np.bincount(dsyms, minlength=64) if len(dsyms) else \
         np.zeros(64, np.int64)
-
-    lit_len = package_merge(lit_freq, C.HUFFMAN_MAX_CODE_LENGTH)
     cmd_len = package_merge(cmd_freq, C.HUFFMAN_MAX_CODE_LENGTH)
     dist_len = package_merge(dist_freq, C.HUFFMAN_MAX_CODE_LENGTH)
-    write_huffman_code(bw, lit_len, C.NUM_LITERAL_SYMBOLS)
-    write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
-    write_huffman_code(bw, dist_len, 64)
 
-    def emission(lengths):  # single-symbol alphabets decode with 0 bits
-        return np.zeros_like(lengths) if np.count_nonzero(lengths) <= 1 \
-            else lengths
+    if not use_context:
+        bw.write(0, 2)  # literal context mode LSB6 (irrelevant: 1 tree)
+        write_varlen_uint8(bw, 0)  # literal context map: 1 tree
+        write_varlen_uint8(bw, 0)  # distance context map: 1 tree
+        lit_freq = np.bincount(literals, minlength=C.NUM_LITERAL_SYMBOLS)
+        lit_len = package_merge(lit_freq, C.HUFFMAN_MAX_CODE_LENGTH)
+        write_huffman_code(bw, lit_len, C.NUM_LITERAL_SYMBOLS)
+        write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
+        write_huffman_code(bw, dist_len, 64)
+        lit_len = _emission(lit_len)
+        lit_codes = lengths_to_codes(lit_len).astype(np.int64)
+        lit_vals = lit_codes[literals]
+        lit_bits = lit_len[literals]
+    else:
+        bw.write(mode, 2)  # context mode for the single block type
+        write_context_map(bw, assign, ntrees)  # literal context map
+        write_varlen_uint8(bw, 0)  # distance context map: 1 tree
+        lit_lens2d = np.zeros((ntrees, C.NUM_LITERAL_SYMBOLS), np.int32)
+        lit_codes2d = np.zeros_like(lit_lens2d, dtype=np.int64)
+        for t in range(ntrees):
+            true_len = package_merge(merged[t], C.HUFFMAN_MAX_CODE_LENGTH)
+            write_huffman_code(bw, true_len, C.NUM_LITERAL_SYMBOLS)
+            e = _emission(true_len)
+            lit_lens2d[t] = e
+            lit_codes2d[t] = lengths_to_codes(e).astype(np.int64)
+        write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
+        write_huffman_code(bw, dist_len, 64)
+        tree_of_lit = assign[ctx_ids]
+        lit_vals = lit_codes2d[tree_of_lit, literals]
+        lit_bits = lit_lens2d[tree_of_lit, literals].astype(np.int64)
 
-    lit_len, cmd_len, dist_len = map(emission, (lit_len, cmd_len, dist_len))
+    cmd_len_e = _emission(cmd_len)
+    dist_len_e = _emission(dist_len)
     values, nbits = _interleave_symbols(
-        plan, literals,
-        (lengths_to_codes(lit_len).astype(np.int64), lit_len),
-        (lengths_to_codes(cmd_len).astype(np.int64), cmd_len),
-        (lengths_to_codes(dist_len).astype(np.int64), dist_len))
+        plan, (lit_vals, lit_bits),
+        (lengths_to_codes(cmd_len_e).astype(np.int64), cmd_len_e),
+        (lengths_to_codes(dist_len_e).astype(np.int64), dist_len_e))
     bw.write_arrays(values, nbits)
     return new_last
 
 
+# backwards-compatible alias used by tests/tools
+def store_metablock_trivial(bw, data, block_start, mlen, cmds, is_last,
+                            last_distance):
+    return store_metablock(bw, data, block_start, mlen, cmds, is_last,
+                           last_distance, quality=1)
+
+
+def _run_positions(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Absolute position of every literal (parallel to _gather_runs)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(lengths)
+    out_start = ends - lengths
+    idx = np.arange(total, dtype=np.int64)
+    run_id = np.searchsorted(ends, idx, side="right")
+    return starts[run_id] + (idx - out_start[run_id])
+
+
 def _as_arrays(cmds):
-    if isinstance(cmds, tuple) and len(cmds) == 3 and \
-            isinstance(cmds[0], np.ndarray):
-        return cmds
+    if isinstance(cmds, tuple) and isinstance(cmds[0], np.ndarray):
+        if len(cmds) == 4:
+            return cmds
+        return (*cmds, np.zeros(len(cmds[0]), np.int64))
     if len(cmds) == 0:
         z = np.zeros(0, np.int64)
-        return z, z, z
+        return z, z, z, z
     a = np.asarray(cmds, dtype=np.int64)
-    return a[:, 0], a[:, 1], a[:, 2]
+    if a.shape[1] == 3:
+        return a[:, 0], a[:, 1], a[:, 2], np.zeros(len(a), np.int64)
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
 
 
 def _gather_runs(data: np.ndarray, starts: np.ndarray,
@@ -250,13 +376,14 @@ def _gather_runs(data: np.ndarray, starts: np.ndarray,
     return data[src]
 
 
-def _interleave_symbols(plan, literals, lit_code, cmd_code, dist_code):
+def _interleave_symbols(plan, lit_stream, cmd_code, dist_code):
     """Build the metablock body (value, nbits) stream in decode order:
     per command: cmd sym, insert extra, copy extra, literals, dist sym,
-    dist extra."""
+    dist extra. `lit_stream` = per-literal (values, nbits) arrays."""
+    lit_vals_in, lit_bits_in = lit_stream
     ins = plan["ins"]
     n = len(ins)
-    nlit = len(literals)
+    nlit = len(lit_vals_in)
     slots_per_cmd = 3 + 2  # fixed slots; literals inserted between
     total = n * slots_per_cmd + nlit
     values = np.zeros(total, dtype=np.int64)
@@ -278,14 +405,13 @@ def _interleave_symbols(plan, literals, lit_code, cmd_code, dist_code):
     nbits[rec_start + 2] = cb
     # literals at rec_start + 3 + offset_within_run
     if nlit:
-        lit_codes, lit_lens = lit_code
         ends = np.cumsum(ins)
         out_start = ends - ins
         idx = np.arange(nlit, dtype=np.int64)
         run_id = np.searchsorted(ends, idx, side="right")
         slot = rec_start[run_id] + 3 + (idx - out_start[run_id])
-        values[slot] = lit_codes[literals]
-        nbits[slot] = lit_lens[literals]
+        values[slot] = lit_vals_in
+        nbits[slot] = lit_bits_in
     # distances at record end
     dist_codes, dist_lens = dist_code
     dslot = rec_start + 3 + ins

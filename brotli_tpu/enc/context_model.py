@@ -1,0 +1,106 @@
+"""2nd-order literal context modeling + histogram clustering (q>=5).
+
+Per-context literal histograms are accumulated with LUT gathers
+(vector ops); clustering is greedy agglomerative over entropy cost --
+a batched O(k^2) reduction over at most 64 histograms, which maps to
+one small matrix op per merge on device. (Parity anchors:
+c/enc/metablock.c BrotliBuildMetaBlock, c/enc/cluster_inc.h,
+c/common/context.h.)
+"""
+
+import numpy as np
+
+from ..format import constants as C
+from ..format import context as ctx
+
+
+def choose_context_mode(data: np.ndarray) -> int:
+    """UTF8 for mostly-UTF8 data, SIGNED otherwise (parity:
+    c/enc/encode.c ChooseContextMode / utf8_util)."""
+    if len(data) == 0:
+        return ctx.CONTEXT_LSB6
+    sample = data[:1 << 16]
+    ascii_ish = np.mean((sample < 128) | (sample >= 0xC2))
+    return ctx.CONTEXT_UTF8 if ascii_ish > 0.75 else ctx.CONTEXT_SIGNED
+
+
+def literal_context_ids(data: np.ndarray, lit_pos: np.ndarray,
+                        mode: int) -> np.ndarray:
+    """Context id of each literal position (vectorized LUT gather)."""
+    lut0, lut1 = ctx.context_lut(mode)
+    p1 = np.where(lit_pos >= 1, data[np.maximum(lit_pos - 1, 0)], 0)
+    p2 = np.where(lit_pos >= 2, data[np.maximum(lit_pos - 2, 0)], 0)
+    return (lut0[p1] | lut1[p2]).astype(np.int64)
+
+
+def context_histograms(values: np.ndarray, ctx_ids: np.ndarray,
+                       num_contexts: int, alphabet: int) -> np.ndarray:
+    """hist[c, v] = count of value v in context c (one bincount)."""
+    flat = ctx_ids * alphabet + values.astype(np.int64)
+    h = np.bincount(flat, minlength=num_contexts * alphabet)
+    return h.reshape(num_contexts, alphabet)
+
+
+def _pop_cost(hist: np.ndarray) -> float:
+    """Approximate bits to store symbols + code description."""
+    total = hist.sum()
+    if total == 0:
+        return 12.0
+    nz = hist > 0
+    p = hist[nz] / total
+    bits = float(-(hist[nz] * np.log2(p)).sum())
+    # code description overhead estimate (lengths RLE)
+    return bits + 14.0 + 4.0 * int(nz.sum()) ** 0.5
+
+
+def _entropy_bits(H: np.ndarray) -> np.ndarray:
+    """Shannon bits of histogram rows (batched; 0 log 0 := 0)."""
+    T = H.sum(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lg = np.where(H > 0, np.log2(np.maximum(H, 1) /
+                                     np.maximum(T, 1)), 0.0)
+    return -(H * lg).sum(axis=-1)
+
+
+def cluster_histograms(hists: np.ndarray, max_trees: int,
+                       table_cost_bits: float = 60.0):
+    """Greedy agglomerative clustering by entropy-cost delta, with the
+    pairwise merge-gain matrix computed as one batched reduction per
+    step (maps to a single matrix op on device).
+
+    Returns (assignment int array over input histograms, merged
+    histograms in tree order).
+    """
+    k = len(hists)
+    H = hists.astype(np.float64)
+    groups = [[i] for i in range(k)]
+    while len(groups) > 1:
+        cost = _entropy_bits(H)
+        M = H[:, None, :] + H[None, :, :]
+        cost_ab = _entropy_bits(M)
+        gain = cost[:, None] + cost[None, :] - cost_ab + table_cost_bits
+        np.fill_diagonal(gain, -np.inf)
+        a, b = np.unravel_index(np.argmax(gain), gain.shape)
+        if gain[a, b] <= 0 and len(groups) <= max_trees:
+            break
+        a, b = min(a, b), max(a, b)
+        H[a] += H[b]
+        groups[a].extend(groups[b])
+        H = np.delete(H, b, axis=0)
+        del groups[b]
+    assignment = np.zeros(k, dtype=np.int64)
+    for t, g in enumerate(groups):
+        assignment[g] = t
+    return assignment, H.astype(np.int64)
+
+
+def mtf_transform(values: np.ndarray) -> np.ndarray:
+    """Forward move-to-front (inverse of the decoder's IMTF)."""
+    mtf = list(range(256))
+    out = np.empty_like(values)
+    for i, v in enumerate(values):
+        j = mtf.index(int(v))
+        out[i] = j
+        mtf.pop(j)
+        mtf.insert(0, int(v))
+    return out

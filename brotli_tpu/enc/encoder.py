@@ -33,16 +33,26 @@ import os  # noqa: E402
 def find_matches(arr, max_distance, quality):
     """Quality-dispatched match finder over the full buffer."""
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
+    ncand = 4 if quality >= 5 else 2
     if len(arr) >= _VECTOR_THRESHOLD and backend != "numpy":
         try:
             from ..ops.matcher_jax import find_matches_jax
             return find_matches_jax(arr, max_distance, quality)
         except ImportError:
             pass
-        return matcher.find_matches_vectorized(arr, max_distance)
+        return matcher.find_matches_vectorized(arr, max_distance,
+                                               num_candidates=ncand,
+                                               use_dict=quality >= 5)
     if len(arr) >= _VECTOR_THRESHOLD:
-        return matcher.find_matches_vectorized(arr, max_distance)
-    return matcher.find_matches_greedy(arr, max_distance)
+        return matcher.find_matches_vectorized(arr, max_distance,
+                                               num_candidates=ncand,
+                                               use_dict=quality >= 5)
+    m, lens, dists = matcher.find_matches_greedy(arr, max_distance)
+    flags = np.zeros(len(m), np.int64)
+    if quality >= 5 and len(arr) >= 8:
+        return matcher.add_dictionary_matches(arr, m, lens, dists, flags,
+                                              max_distance)
+    return m, lens, dists, flags
 
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
@@ -57,10 +67,9 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
         bitstream.write_last_empty(bw)
         return bw.getvalue()
 
-    m, lens, dists = find_matches(arr, C.max_backward_distance(lgwin),
-                                  quality)
-    _write_blocks(bw, arr, 0, n, m, lens, dists, lgblock, is_last=True,
-                  last_distance=-1)
+    matches = find_matches(arr, C.max_backward_distance(lgwin), quality)
+    _write_blocks(bw, arr, 0, n, matches, lgblock, is_last=True,
+                  last_distance=-1, quality=quality)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
@@ -68,18 +77,19 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     return out
 
 
-def _write_blocks(bw, arr, lo, hi, m, lens, dists, lgblock, is_last,
-                  last_distance):
+def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
+                  last_distance, quality=1):
     """Serialize region [lo, hi) as metablocks; returns last_distance."""
     mb_size = 1 << lgblock
     boundaries = list(range(lo + mb_size, hi, mb_size)) + [hi]
-    m, lens, dists = matcher.split_matches_at(m, lens, dists, boundaries)
+    m, lens, dists, flags = matcher.split_matches_at(*matches, boundaries)
     pos = lo
     for bi, b in enumerate(boundaries):
         block_last = is_last and bi == len(boundaries) - 1
-        cmds = matcher.matches_to_commands(m, lens, dists, pos, b)
-        last_distance = bitstream.store_metablock_trivial(
-            bw, arr, pos, b - pos, cmds, block_last, last_distance)
+        cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
+        last_distance = bitstream.store_metablock(
+            bw, arr, pos, b - pos, cmds, block_last, last_distance,
+            quality=quality)
         pos = b
     return last_distance
 
@@ -142,15 +152,16 @@ class StreamingEncoder:
         data = bytes(self._history) + bytes(self._buf)
         arr = np.frombuffer(data, dtype=np.uint8)
         start = len(self._history)
-        m, lens, dists = find_matches(
-            arr, C.max_backward_distance(lgwin), quality)
+        matches = find_matches(arr, C.max_backward_distance(lgwin),
+                               quality)
         # clip matches to the new region (window lookback still works)
-        m, lens, dists = matcher.split_matches_at(
-            m, lens, dists, [start, len(arr)])
+        m, lens, dists, flags = matcher.split_matches_at(
+            *matches, [start, len(arr)])
         keep = m >= start
         self._last_distance = _write_blocks(
-            self._bw, arr, start, len(arr), m[keep], lens[keep],
-            dists[keep], lgblock, is_last, self._last_distance)
+            self._bw, arr, start, len(arr),
+            (m[keep], lens[keep], dists[keep], flags[keep]),
+            lgblock, is_last, self._last_distance, quality=quality)
         self._history = bytearray(data[-(1 << lgwin):])
         self._buf.clear()
 

@@ -42,7 +42,8 @@ def _match_len(data, a: int, b: int, max_len: int) -> int:
 
 def find_matches_vectorized(data: np.ndarray, max_distance: int,
                             hash_bits: int = 18, num_candidates: int = 2,
-                            max_match: int = 1 << 24):
+                            max_match: int = 1 << 24,
+                            use_dict: bool = False):
     """Batch matcher: the NumPy reference of the TPU parse pipeline.
 
     1. rolling 4-byte hashes over every position (vector op)
@@ -54,9 +55,9 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     Returns (ins, cpy, dist) int64 arrays.
     """
     n = len(data)
+    z = np.zeros(0, np.int64)
     if n < 8:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                np.zeros(0, np.int64))
+        return z, z, z, z
     CAP = 16  # capped parallel match length; cap-hits extend serially
     npos = n - 3
     # 8-byte little-endian words at every position (vector build)
@@ -89,11 +90,35 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         best_len[:npos] = np.where(better, mlen, best_len[:npos])
         best_dist[:npos] = np.where(better, dist, best_dist[:npos])
 
+    is_dict = np.zeros(n, bool)
+    if use_dict:
+        from . import static_dict
+        cand_pos = np.flatnonzero(best_len[:npos] < 12)
+        if len(cand_pos):
+            dlen, didx = static_dict.probe(data, cand_pos)
+            ddist = static_dict.dict_distance(cand_pos, dlen, didx,
+                                              max_distance)
+            gate = np.where(ddist >= (1 << 18), 7,
+                            np.where(ddist >= (1 << 12), 6, 5))
+            good = (dlen >= gate) & \
+                (dlen > best_len[cand_pos].astype(np.int64) + 1)
+            gp = cand_pos[good]
+            best_len[gp] = dlen[good].astype(np.int32)
+            best_dist[gp] = ddist[good]
+            is_dict[gp] = True
+
     # score gate: longer minimum match for far distances (cheap stand-in
     # for the reference's score model, c/enc/hash.h:73-120)
     min_len = np.where(best_dist >= (1 << 18), 6,
                        np.where(best_dist >= (1 << 12), 5, 4))
+    min_len = np.where(is_dict, 4, min_len)  # dict already gated
     take = best_len >= np.maximum(min_len, MIN_MATCH)
+    # lazy matching, vectorized: drop a match when the next position has
+    # a strictly longer one (the reference's 1-byte-lookahead deferral,
+    # backward_references_inc.h cost_diff_lazy)
+    nxt_len = np.concatenate([best_len[1:], [0]])
+    nxt_take = np.concatenate([take[1:], [False]])
+    take &= ~(nxt_take & (nxt_len > best_len + 1))
     skip = np.where(take, best_len.astype(np.int64), 1)
 
     # pointer-doubling reachability from position 0
@@ -111,7 +136,8 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     m = sel[take[sel]]
     lens = best_len[m].astype(np.int64)
     dists = best_dist[m]
-    return _extend_capped(data, m, lens, dists, CAP, max_match)
+    flags = is_dict[m].astype(np.int64)
+    return _extend_capped(data, m, lens, dists, flags, CAP, max_match)
 
 
 def _tz_bytes(x: np.ndarray) -> np.ndarray:
@@ -129,46 +155,91 @@ def _tz_bytes(x: np.ndarray) -> np.ndarray:
     return np.where(nz, out, 8)
 
 
-def _extend_capped(data, m, lens, dists, cap, max_match):
-    """Serially extend matches that hit the parallel cap, dropping later
-    matches they swallow. Iterations ~ number of cap-hit matches."""
+def _extend_capped(data, m, lens, dists, flags, cap, max_match):
+    """Serially extend LZ matches that hit the parallel cap, dropping
+    later matches they swallow. Dictionary matches (flags != 0) are
+    exact and never extended. Iterations ~ number of cap-hit matches."""
     n = len(data)
-    if len(m) == 0 or not np.any(lens >= cap):
-        return m, lens, dists
-    out_m, out_l, out_d = [], [], []
+    caphit = (lens >= cap) & (flags == 0)
+    if len(m) == 0 or not np.any(caphit):
+        return m, lens, dists, flags
+    out = ([], [], [], [])
     i = 0
     nm = len(m)
-    hit_idx = np.flatnonzero(lens >= cap)
+    hit_idx = np.flatnonzero(caphit)
     while i < nm:
         hi = np.searchsorted(hit_idx, i)
         nxt_hit = int(hit_idx[hi]) if hi < len(hit_idx) else nm
         if nxt_hit > i:  # bulk-copy the run of uncapped matches
-            out_m.append(m[i:nxt_hit])
-            out_l.append(lens[i:nxt_hit])
-            out_d.append(dists[i:nxt_hit])
+            for o, a in zip(out, (m, lens, dists, flags)):
+                o.append(a[i:nxt_hit])
             i = nxt_hit
             continue
         p, d = int(m[i]), int(dists[i])
         ln = cap + _match_len(data, p - d + cap, p + cap,
                               min(max_match, n - p) - cap)
-        out_m.append(np.array([p]))
-        out_l.append(np.array([ln]))
-        out_d.append(np.array([d]))
+        for o, v in zip(out, (p, ln, d, 0)):
+            o.append(np.array([v]))
         # skip matches swallowed by the extension
         i = int(np.searchsorted(m, p + ln, side="left"))
-    return (np.concatenate(out_m).astype(np.int64),
-            np.concatenate(out_l).astype(np.int64),
-            np.concatenate(out_d).astype(np.int64))
+    return tuple(np.concatenate(o).astype(np.int64) for o in out)
 
 
-def matches_to_commands(m, lens, dists, lo: int, hi: int):
+def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
+                           base: int = 0):
+    """Post-pass: probe the static dictionary in the literal gaps of an
+    existing parse and insert non-overlapping word references.
+
+    `base` is the absolute stream offset of `data` (decode-time
+    max_distance depends on absolute position).
+    """
+    from . import static_dict
+    n = len(data)
+    covered = np.zeros(n + 1, np.int64)
+    np.add.at(covered, m, 1)
+    np.add.at(covered, m + lens, -1)
+    in_gap = np.cumsum(covered[:n]) == 0
+    in_gap[max(n - MIN_MATCH, 0):] = False
+    cand = np.flatnonzero(in_gap)
+    if len(cand) == 0:
+        return m, lens, dists, flags
+    dlen, didx = static_dict.probe(data, cand)
+    abs_pos = cand + base
+    ddist = static_dict.dict_distance(abs_pos, dlen, didx, max_distance)
+    gate = np.where(ddist >= (1 << 18), 7,
+                    np.where(ddist >= (1 << 12), 6, 5))
+    # word must fit before the next LZ match
+    nxt = np.searchsorted(m, cand)
+    gap_end = np.where(nxt < len(m), m[np.minimum(nxt, len(m) - 1)], n)
+    ok = (dlen >= gate) & (cand + dlen <= gap_end)
+    hits = np.flatnonzero(ok)
+    if len(hits) == 0:
+        return m, lens, dists, flags
+    # greedy non-overlapping selection among hits (sparse serial scan)
+    sel = []
+    cursor = -1
+    for i in hits:
+        p = int(cand[i])
+        if p >= cursor:
+            sel.append(i)
+            cursor = p + int(dlen[i])
+    sel = np.array(sel)
+    nm = np.concatenate([m, cand[sel]])
+    nl = np.concatenate([lens, dlen[sel]])
+    nd = np.concatenate([dists, ddist[sel]])
+    nf = np.concatenate([flags, np.ones(len(sel), np.int64)])
+    order = np.argsort(nm, kind="stable")
+    return nm[order], nl[order], nd[order], nf[order]
+
+
+def matches_to_commands(m, lens, dists, flags, lo: int, hi: int):
     """Commands for block [lo, hi) from non-overlapping sorted matches.
 
     Inserts are the gaps between consecutive matches; a trailing gap
     becomes a final insert-only command (cpy = dist = 0).
     """
     keep = (m >= lo) & (m + lens <= hi)
-    m, lens, dists = m[keep], lens[keep], dists[keep]
+    m, lens, dists, flags = m[keep], lens[keep], dists[keep], flags[keep]
     prev_end = np.concatenate([[lo], m + lens])
     ins = m - prev_end[:-1]
     final_ins = hi - int(prev_end[-1]) if len(m) else hi - lo
@@ -176,34 +247,40 @@ def matches_to_commands(m, lens, dists, lo: int, hi: int):
         ins = np.concatenate([ins, [final_ins]])
         lens = np.concatenate([lens, [0]])
         dists = np.concatenate([dists, [0]])
+        flags = np.concatenate([flags, [0]])
     return (ins.astype(np.int64), lens.astype(np.int64),
-            dists.astype(np.int64))
+            dists.astype(np.int64), flags.astype(np.int64))
 
 
-def split_matches_at(m, lens, dists, boundaries):
-    """Split matches straddling block boundaries; pieces shorter than 2
-    are dropped (their bytes fall back to literals via the gap rule)."""
+def split_matches_at(m, lens, dists, flags, boundaries):
+    """Split LZ matches straddling block boundaries; pieces shorter
+    than 2 are dropped (their bytes fall back to literals). Dictionary
+    matches cannot split (word refs are atomic) -- they are dropped."""
     for b in boundaries[:-1]:
         cross = np.flatnonzero((m < b) & (m + lens > b))
         for i in cross:
-            p, ln, d = int(m[i]), int(lens[i]), int(dists[i])
+            p, ln, d, fl = int(m[i]), int(lens[i]), int(dists[i]), \
+                int(flags[i])
             left = b - p
             right = ln - left
             pieces = []
-            if left >= 2:
-                pieces.append((p, left, d))
-            if right >= 2:
-                pieces.append((b, right, d))
+            if fl == 0:
+                if left >= 2:
+                    pieces.append((p, left, d, 0))
+                if right >= 2:
+                    pieces.append((b, right, d, 0))
             m = np.delete(m, i)
             lens = np.delete(lens, i)
             dists = np.delete(dists, i)
+            flags = np.delete(flags, i)
             if pieces:
-                pm, pl, pd = map(np.array, zip(*pieces))
+                pm, pl, pd, pf = map(np.array, zip(*pieces))
                 j = np.searchsorted(m, pm[0])
                 m = np.insert(m, j, pm)
                 lens = np.insert(lens, j, pl)
                 dists = np.insert(dists, j, pd)
-    return m, lens, dists
+                flags = np.insert(flags, j, pf)
+    return m, lens, dists, flags
 
 
 def _batch_match_len(data, pos, cand, valid, cap, chunk=32):

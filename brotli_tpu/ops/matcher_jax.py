@@ -89,22 +89,33 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     min_len = jnp.where(best_dist >= (1 << 18), 6,
                         jnp.where(best_dist >= (1 << 12), 5, MIN_MATCH))
     take = best_len >= min_len
+    # lazy matching: defer to a strictly longer match at pos+1
+    nxt_len = jnp.concatenate([best_len[1:], jnp.zeros(1, jnp.int32)])
+    nxt_take = jnp.concatenate([take[1:], jnp.zeros(1, bool)])
+    take = take & ~(nxt_take & (nxt_len > best_len + 1))
     skip = jnp.where(take, best_len, 1)
 
-    # greedy parse: pointer-doubling reachability from position 0
+    # Greedy parse as gather-only "orbit doubling": the selected chain
+    # is the orbit of position 0 under next[i] = i + skip[i]. With
+    # jump_k the 2^k-step map, orbit[t + 2^k] = jump_k[orbit[t]], so the
+    # whole orbit materializes in log2(n) doubling rounds of pure
+    # gathers -- no scatters, which are the slow op on TPU.
     jump = jnp.minimum(pos + skip, n)
     jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])
-    reached = jnp.zeros(n + 1, bool).at[0].set(True)
     steps = int(np.ceil(np.log2(max(n, 2))))
-
-    def body(_, st):
-        reached, jump = st
-        hit = jnp.zeros(n + 1, bool).at[jump].max(reached)
-        return reached | hit, jump[jump]
-
-    reached, _ = jax.lax.fori_loop(0, steps, body, (reached, jump))
-    selected = reached[:n] & take
-    return selected, best_len, best_dist
+    orbit = jnp.zeros(1, jnp.int32)
+    for _ in range(steps):
+        orbit = jnp.concatenate([orbit, jump[orbit]])
+        if orbit.shape[0] <= n:
+            jump = jump[jump]
+    # orbit is sorted ascending, padded with n after the chain ends.
+    # Compact to the selected matches on device (min match length 4 =>
+    # at most n//4 matches): non-matches sort to the sentinel tail.
+    chain_match = take[jnp.minimum(orbit, n - 1)] & (orbit < n)
+    keys = jnp.where(chain_match, orbit, jnp.int32(n))
+    morbit = jax.lax.sort(keys)[:max(n // MIN_MATCH, 1)]
+    mclip = jnp.minimum(morbit, n - 1)
+    return morbit, best_len[mclip], best_dist[mclip]
 
 
 def _tz_bytes_u32(x: jax.Array) -> jax.Array:
@@ -119,9 +130,10 @@ def _tz_bytes_u32(x: jax.Array) -> jax.Array:
 def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1):
     """Host wrapper: pad to a bucket, run the device kernel per segment,
     extend cap-hit matches on host. Returns (pos, len, dist) int64."""
+    ncand = 4 if quality >= 5 else 2
     n = len(data)
     seg = _BUCKETS[-1]
-    all_m, all_l, all_d = [], [], []
+    all_m, all_l, all_d, all_f = [], [], [], []
     for lo in range(0, n, seg):
         hi = min(lo + seg, n)
         chunk = np.asarray(data[lo:hi])
@@ -129,20 +141,28 @@ def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1):
         padded = np.zeros(b, np.uint8)
         padded[:len(chunk)] = chunk
         npos = max(len(chunk) - 3, 0)
-        sel, lens, dists = match_block(
-            jnp.asarray(padded), jnp.int32(npos), jnp.int32(max_distance))
-        sel = np.asarray(sel)
-        lens = np.asarray(lens)
-        dists = np.asarray(dists)
-        m = np.flatnonzero(sel).astype(np.int64)
-        m_l = lens[m].astype(np.int64)
-        m_d = dists[m].astype(np.int64)
-        m, m_l, m_d = _extend_capped(chunk, m, m_l, m_d, CAP, 1 << 24)
+        morbit, mlens, mdists = match_block(
+            jnp.asarray(padded), jnp.int32(npos), jnp.int32(max_distance),
+            num_candidates=ncand)
+        morbit = np.asarray(morbit).astype(np.int64)
+        valid = morbit < b
+        m = morbit[valid]
+        m_l = np.asarray(mlens).astype(np.int64)[valid]
+        m_d = np.asarray(mdists).astype(np.int64)[valid]
+        m_f = np.zeros(len(m), np.int64)
+        m, m_l, m_d, m_f = _extend_capped(chunk, m, m_l, m_d, m_f, CAP,
+                                          1 << 24)
+        # dictionary probe over weak-match gaps (host, vectorized)
+        if quality >= 5:
+            from ..enc.matcher import add_dictionary_matches
+            m, m_l, m_d, m_f = add_dictionary_matches(
+                chunk, m, m_l, m_d, m_f, max_distance, lo)
         all_m.append(m + lo)
         all_l.append(m_l)
         all_d.append(m_d)
+        all_f.append(m_f)
     if not all_m:
         z = np.zeros(0, np.int64)
-        return z, z, z
+        return z, z, z, z
     return (np.concatenate(all_m), np.concatenate(all_l),
-            np.concatenate(all_d))
+            np.concatenate(all_d), np.concatenate(all_f))
