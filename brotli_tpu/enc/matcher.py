@@ -43,7 +43,7 @@ def _match_len(data, a: int, b: int, max_len: int) -> int:
 def find_matches_vectorized(data: np.ndarray, max_distance: int,
                             hash_bits: int = 18, num_candidates: int = 2,
                             max_match: int = 1 << 24,
-                            use_dict: bool = False):
+                            use_dict: bool = False, base: int = 0):
     """Batch matcher: the NumPy reference of the TPU parse pipeline.
 
     1. rolling 4-byte hashes over every position (vector op)
@@ -96,7 +96,7 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         cand_pos = np.flatnonzero(best_len[:npos] < 12)
         if len(cand_pos):
             dlen, didx = static_dict.probe(data, cand_pos)
-            ddist = static_dict.dict_distance(cand_pos, dlen, didx,
+            ddist = static_dict.dict_distance(cand_pos + base, dlen, didx,
                                               max_distance)
             gate = np.where(ddist >= (1 << 18), 7,
                             np.where(ddist >= (1 << 12), 6, 5))

@@ -103,11 +103,20 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     jump = jnp.minimum(pos + skip, n)
     jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])
     steps = int(np.ceil(np.log2(max(n, 2))))
-    orbit = jnp.zeros(1, jnp.int32)
-    for _ in range(steps):
-        orbit = jnp.concatenate([orbit, jump[orbit]])
-        if orbit.shape[0] <= n:
-            jump = jump[jump]
+    idx = jnp.arange(n + 1, dtype=jnp.int32)
+
+    def body(k, st):
+        orbit, jump = st
+        size = jnp.int32(1) << k
+        # positions [size, 2*size) extend the chain; later positions get
+        # provisional values that later rounds overwrite correctly
+        ext = jump[orbit[jnp.maximum(idx - size, 0)]]
+        orbit = jnp.where(idx < size, orbit, ext)
+        return orbit, jump[jump]
+
+    orbit0 = jnp.zeros(n + 1, jnp.int32)
+    orbit, _ = jax.lax.fori_loop(0, steps, body, (orbit0, jump))
+    orbit = orbit[:n]
     # orbit is sorted ascending, padded with n after the chain ends.
     # Compact to the selected matches on device (min match length 4 =>
     # at most n//4 matches): non-matches sort to the sentinel tail.
@@ -127,7 +136,8 @@ def _tz_bytes_u32(x: jax.Array) -> jax.Array:
     return (b0.astype(jnp.int32) + b1 + b2 + b3)
 
 
-def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1):
+def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
+                     base: int = 0):
     """Host wrapper: pad to a bucket, run the device kernel per segment,
     extend cap-hit matches on host. Returns (pos, len, dist) int64."""
     ncand = 4 if quality >= 5 else 2
@@ -156,7 +166,7 @@ def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1):
         if quality >= 5:
             from ..enc.matcher import add_dictionary_matches
             m, m_l, m_d, m_f = add_dictionary_matches(
-                chunk, m, m_l, m_d, m_f, max_distance, lo)
+                chunk, m, m_l, m_d, m_f, max_distance, base + lo)
         all_m.append(m + lo)
         all_l.append(m_l)
         all_d.append(m_d)
