@@ -33,13 +33,29 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
 
 
 def decompress(string, dictionary=None) -> bytes:
-    """One-shot decompression."""
+    """One-shot decompression (native fast path, Python fallback)."""
+    data = bytes(string)
+    import os
+    if os.environ.get("BROTLI_TPU_DECODER", "native") == "native":
+        try:
+            from .native import decode as native_decode
+            try:
+                return native_decode(data)
+            except ValueError as e:
+                raise error(str(e)) from e
+        except (ImportError, OSError, subprocess_error()):
+            pass
     try:
-        return Decoder().decompress(bytes(string))
+        return Decoder().decompress(data)
     except FormatError as e:
         raise error(str(e)) from e
     except Exception as e:  # truncated input etc.
         raise error(f"decompression failed: {e}") from e
+
+
+def subprocess_error():
+    import subprocess
+    return subprocess.CalledProcessError
 
 
 class Compressor:

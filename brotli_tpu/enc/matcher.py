@@ -209,8 +209,11 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     gate = np.where(ddist >= (1 << 18), 7,
                     np.where(ddist >= (1 << 12), 6, 5))
     # word must fit before the next LZ match
-    nxt = np.searchsorted(m, cand)
-    gap_end = np.where(nxt < len(m), m[np.minimum(nxt, len(m) - 1)], n)
+    if len(m):
+        nxt = np.searchsorted(m, cand)
+        gap_end = np.where(nxt < len(m), m[np.minimum(nxt, len(m) - 1)], n)
+    else:
+        gap_end = np.full(len(cand), n, np.int64)
     ok = (dlen >= gate) & (cand + dlen <= gap_end)
     hits = np.flatnonzero(ok)
     if len(hits) == 0:

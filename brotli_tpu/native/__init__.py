@@ -1,0 +1,73 @@
+"""Native host runtime (C): fast whole-buffer decoder.
+
+Compiled on demand with the system compiler; falls back cleanly (callers
+catch ImportError/OSError and use the Python decoder).
+"""
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_LIB = _DIR / "_build" / "libbtpu.so"
+
+_lib = None
+
+
+def _build():
+    (_DIR / "_build").mkdir(exist_ok=True)
+    tables = _DIR / "btpu_tables.h"
+    if not tables.exists() or tables.stat().st_mtime < \
+            (_DIR / "gen_tables.py").stat().st_mtime:
+        subprocess.run(["python3", str(_DIR / "gen_tables.py")],
+                       check=True, capture_output=True)
+    src = _DIR / "btpu_dec.c"
+    if _LIB.exists() and _LIB.stat().st_mtime >= src.stat().st_mtime \
+            and _LIB.stat().st_mtime >= tables.stat().st_mtime:
+        return
+    cc = os.environ.get("CC", "cc")
+    subprocess.run(
+        [cc, "-O2", "-march=native", "-shared", "-fPIC", "-o",
+         str(_LIB), str(src)],
+        check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.btpu_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_decode.restype = ctypes.c_int
+        lib.btpu_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    return _lib
+
+
+_ERRORS = {
+    -1: "invalid stream",
+    -2: "truncated input",
+    -3: "out of memory",
+    -4: "output too large",
+    -5: "invalid dictionary reference",
+}
+
+
+def decode(data: bytes) -> bytes:
+    """Fast native decode; raises ValueError on invalid streams."""
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    out_ptr = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.btpu_decode(data, len(data), dictionary_data(),
+                         ctypes.byref(out_ptr), ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(_ERRORS.get(rc, f"decode error {rc}"))
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.btpu_free(out_ptr)

@@ -1,0 +1,740 @@
+/* brotli_tpu native decoder: from-scratch RFC 7932 whole-buffer decode.
+ *
+ * Host-side runtime component of the TPU codec (role parity with the
+ * reference's c/dec/decode.c, but an independent implementation derived
+ * from this repo's Python decoder and the RFC; no code is shared).
+ * Flat C ABI for ctypes. All tables come from btpu_tables.h, generated
+ * from the Python format layer.
+ *
+ * Build: cc -O2 -shared -fPIC -o libbtpu.so btpu_dec.c
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "btpu_tables.h"
+
+#define ERR_FORMAT -1
+#define ERR_TRUNCATED -2
+#define ERR_ALLOC -3
+#define ERR_OUTPUT_TOO_LARGE -4
+#define ERR_DICTIONARY -5
+
+#define MAX_OUTPUT ((size_t)1 << 32)
+
+/* ---------- bit reader ---------- */
+
+typedef struct {
+  const uint8_t* buf;
+  size_t len;
+  size_t bitpos; /* absolute bit position */
+} BitReader;
+
+static inline int br_avail(const BitReader* br, size_t nbits) {
+  return br->bitpos + nbits <= br->len * 8;
+}
+
+/* peek up to 32 bits; zero-padded past the end */
+static inline uint32_t br_peek(const BitReader* br, int n) {
+  size_t byte = br->bitpos >> 3;
+  int shift = (int)(br->bitpos & 7);
+  uint64_t w = 0;
+  size_t rem = br->len - byte;
+  if (rem >= 8) {
+    memcpy(&w, br->buf + byte, 8);
+  } else {
+    memcpy(&w, br->buf + byte, rem);
+  }
+  return (uint32_t)((w >> shift) & ((n >= 32) ? 0xFFFFFFFFu
+                                              : ((1u << n) - 1u)));
+}
+
+static inline int br_take(BitReader* br, int n, uint32_t* v) {
+  if (!br_avail(br, (size_t)n)) return ERR_TRUNCATED;
+  *v = br_peek(br, n);
+  br->bitpos += (size_t)n;
+  return 0;
+}
+
+/* ---------- canonical prefix-code tables ---------- */
+
+#define TBL_BITS 10
+
+typedef struct {
+  uint16_t sym[1 << TBL_BITS];
+  uint8_t len[1 << TBL_BITS]; /* 0 => long code, use slow path;
+                                 255 => degenerate 0-bit code */
+  /* slow path for code lengths > TBL_BITS */
+  uint16_t count[16];      /* codes per length */
+  uint16_t base_code[16];  /* first (msb-first) code of each length */
+  uint16_t base_idx[16];   /* index into sorted[] of first code */
+  uint16_t sorted[1128];   /* symbols ordered by (len, sym) */
+  int degenerate_sym;
+} Tree;
+
+static uint32_t rev_bits(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+/* lengths[alpha]; returns 0 ok. Kraft must be exact unless single sym. */
+static int tree_build(Tree* t, const uint8_t* lengths, int alpha) {
+  memset(t->count, 0, sizeof(t->count));
+  int used = 0, single = -1;
+  for (int s = 0; s < alpha; s++) {
+    if (lengths[s]) { t->count[lengths[s]]++; used++; single = s; }
+  }
+  if (used == 0) return ERR_FORMAT;
+  if (used == 1) {
+    memset(t->len, 255, sizeof(t->len));
+    t->degenerate_sym = single;
+    for (int i = 0; i < (1 << TBL_BITS); i++) t->sym[i] = (uint16_t)single;
+    return 0;
+  }
+  t->degenerate_sym = -1;
+  /* kraft check + canonical first codes */
+  uint32_t code = 0;
+  int64_t space = 0;
+  int idx = 0;
+  for (int l = 1; l <= 15; l++) {
+    t->base_code[l] = (uint16_t)code;
+    t->base_idx[l] = (uint16_t)idx;
+    code = (code + t->count[l]) << 1;
+    space += (int64_t)t->count[l] << (15 - l);
+    idx += t->count[l];
+  }
+  if (space != (1 << 15)) return ERR_FORMAT;
+  /* sorted symbol list */
+  int fill = 0;
+  uint16_t next_idx[16];
+  memcpy(next_idx, t->base_idx, sizeof(next_idx));
+  for (int s = 0; s < alpha; s++) {
+    int l = lengths[s];
+    if (l) t->sorted[next_idx[l]++] = (uint16_t)s;
+  }
+  (void)fill;
+  /* fast table for codes <= TBL_BITS */
+  memset(t->len, 0, sizeof(t->len));
+  uint16_t cur[16];
+  memcpy(cur, t->base_code, sizeof(cur));
+  for (int s = 0; s < alpha; s++) {
+    int l = lengths[s];
+    if (!l) continue;
+    uint32_t c = cur[l]++;
+    if (l <= TBL_BITS) {
+      uint32_t r = rev_bits(c, l);
+      for (uint32_t i = r; i < (1u << TBL_BITS); i += (1u << l)) {
+        t->sym[i] = (uint16_t)s;
+        t->len[i] = (uint8_t)l;
+      }
+    }
+  }
+  return 0;
+}
+
+static inline int tree_decode(const Tree* t, BitReader* br, uint32_t* out) {
+  uint32_t bits = br_peek(br, 15);
+  uint32_t i = bits & ((1u << TBL_BITS) - 1);
+  if (t->len[i] == 255) { *out = t->sym[0]; return 0; } /* degenerate */
+  if (t->len[i]) {
+    if (!br_avail(br, t->len[i])) return ERR_TRUNCATED;
+    br->bitpos += t->len[i];
+    *out = t->sym[i];
+    return 0;
+  }
+  /* slow path: walk lengths TBL_BITS+1..15 comparing msb-first codes */
+  uint32_t code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code << 1) | ((bits >> (l - 1)) & 1);
+    if (l > TBL_BITS || 1) {
+      uint32_t rel = code - t->base_code[l];
+      if (t->count[l] && code < (uint32_t)t->base_code[l] + t->count[l] &&
+          code >= t->base_code[l]) {
+        if (!br_avail(br, l)) return ERR_TRUNCATED;
+        br->bitpos += l;
+        *out = t->sorted[t->base_idx[l] + rel];
+        return 0;
+      }
+    }
+  }
+  return ERR_FORMAT;
+}
+
+/* ---------- varlen + block state ---------- */
+
+static int read_varlen_u8(BitReader* br, uint32_t* out) {
+  uint32_t b, n, extra;
+  int e;
+  if ((e = br_take(br, 1, &b))) return e;
+  if (!b) { *out = 0; return 0; }
+  if ((e = br_take(br, 3, &n))) return e;
+  if (n == 0) { *out = 1; return 0; }
+  if ((e = br_take(br, (int)n, &extra))) return e;
+  *out = (1u << n) + extra;
+  return 0;
+}
+
+typedef struct {
+  uint32_t num_types;
+  uint32_t type_rb[2];
+  uint64_t length;
+  Tree type_tree;
+  Tree len_tree;
+} BlockState;
+
+static int read_block_len(BlockState* bs, BitReader* br, uint64_t* out) {
+  uint32_t code, extra;
+  int e;
+  if ((e = tree_decode(&bs->len_tree, br, &code))) return e;
+  if (code >= 26) return ERR_FORMAT;
+  if ((e = br_take(br, kBlockCountExtra[code], &extra))) return e;
+  *out = (uint64_t)kBlockCountBase[code] + extra;
+  return 0;
+}
+
+static int read_huffman_code(BitReader* br, int alpha, Tree* t,
+                             uint8_t* scratch_lengths);
+
+static int block_state_init(BlockState* bs, BitReader* br,
+                            uint8_t* scratch) {
+  uint32_t v;
+  int e;
+  if ((e = read_varlen_u8(br, &v))) return e;
+  bs->num_types = v + 1;
+  bs->type_rb[0] = 1;
+  bs->type_rb[1] = 0;
+  bs->length = ~(uint64_t)0;
+  if (bs->num_types >= 2) {
+    if ((e = read_huffman_code(br, (int)bs->num_types + 2, &bs->type_tree,
+                               scratch))) return e;
+    if ((e = read_huffman_code(br, 26, &bs->len_tree, scratch))) return e;
+    if ((e = read_block_len(bs, br, &bs->length))) return e;
+  }
+  return 0;
+}
+
+static int block_switch(BlockState* bs, BitReader* br, uint32_t* out_type) {
+  uint32_t bt;
+  int e;
+  if (bs->num_types <= 1) return ERR_FORMAT;
+  if ((e = tree_decode(&bs->type_tree, br, &bt))) return e;
+  if ((e = read_block_len(bs, br, &bs->length))) return e;
+  if (bt == 0) bt = bs->type_rb[0];
+  else if (bt == 1) bt = bs->type_rb[1] + 1;
+  else bt -= 2;
+  if (bt >= bs->num_types) bt -= bs->num_types;
+  bs->type_rb[0] = bs->type_rb[1];
+  bs->type_rb[1] = bt;
+  *out_type = bt;
+  return 0;
+}
+
+/* ---------- RFC 3.5 code descriptions ---------- */
+
+static int read_huffman_code(BitReader* br, int alpha, Tree* t,
+                             uint8_t* lengths /* >= 1128 bytes */) {
+  uint32_t kind, v;
+  int e;
+  memset(lengths, 0, 1128);
+  if ((e = br_take(br, 2, &kind))) return e;
+  if (kind == 1) { /* simple */
+    uint32_t nsym;
+    if ((e = br_take(br, 2, &nsym))) return e;
+    nsym += 1;
+    int max_bits = 0;
+    while ((1 << max_bits) < alpha) max_bits++;
+    /* alphabet size -1 bit width */
+    max_bits = 0;
+    for (int x = alpha - 1; x; x >>= 1) max_bits++;
+    uint16_t syms[4];
+    for (uint32_t i = 0; i < nsym; i++) {
+      if ((e = br_take(br, max_bits, &v))) return e;
+      if ((int)v >= alpha) return ERR_FORMAT;
+      syms[i] = (uint16_t)v;
+      for (uint32_t j = 0; j < i; j++)
+        if (syms[j] == syms[i]) return ERR_FORMAT;
+    }
+    uint32_t tree_select = 0;
+    if (nsym == 4 && (e = br_take(br, 1, &tree_select))) return e;
+    static const uint8_t shapes[5][4] = {
+        {0}, {0}, {1, 1, 0, 0}, {1, 2, 2, 0}, {2, 2, 2, 2}};
+    if (nsym == 1) {
+      lengths[syms[0]] = 1;
+      return tree_build(t, lengths, alpha); /* degenerate */
+    }
+    const uint8_t* shape = shapes[nsym];
+    static const uint8_t select_shape[4] = {1, 2, 3, 3};
+    if (nsym == 4 && tree_select) shape = select_shape;
+    /* stream order is (length, value)-sorted per the decoder contract */
+    for (uint32_t i = 0; i < nsym; i++) lengths[syms[i]] = shape[i];
+    return tree_build(t, lengths, alpha);
+  }
+  /* complex: kind = number of skipped cl-code slots */
+  uint8_t cl_len[18];
+  memset(cl_len, 0, sizeof(cl_len));
+  int space = 32, num_codes = 0;
+  for (int i = (int)kind; i < 18; i++) {
+    uint32_t ix = br_peek(br, 4);
+    int l = kClcFixedLen[ix];
+    if (!br_avail(br, (size_t)l)) return ERR_TRUNCATED;
+    br->bitpos += (size_t)l;
+    uint8_t val = kClcFixedVal[ix];
+    cl_len[kClcOrder[i]] = val;
+    if (val) {
+      space -= 32 >> val;
+      num_codes++;
+      if (space <= 0) break;
+    }
+  }
+  if (!(num_codes == 1 || space == 0)) return ERR_FORMAT;
+  Tree cl_tree;
+  if ((e = tree_build(&cl_tree, cl_len, 18))) return e;
+  /* symbol lengths */
+  int symbol = 0;
+  int64_t space2 = 1 << 15;
+  uint32_t prev_len = 8, repeat = 0, repeat_len = 0;
+  while (symbol < alpha && space2 > 0) {
+    uint32_t cl;
+    if ((e = tree_decode(&cl_tree, br, &cl))) return e;
+    if (cl < 16) {
+      repeat = 0;
+      if (cl) {
+        lengths[symbol] = (uint8_t)cl;
+        prev_len = cl;
+        space2 -= (1 << 15) >> cl;
+      }
+      symbol++;
+    } else {
+      int extra_bits = (cl == 16) ? 2 : 3;
+      uint32_t new_len = (cl == 16) ? prev_len : 0;
+      if (repeat_len != new_len) { repeat = 0; repeat_len = new_len; }
+      uint32_t old = repeat;
+      if (repeat > 0) repeat = (repeat - 2) << extra_bits;
+      uint32_t extra;
+      if ((e = br_take(br, extra_bits, &extra))) return e;
+      repeat += extra + 3;
+      uint32_t delta = repeat - old;
+      if (symbol + (int)delta > alpha) return ERR_FORMAT;
+      if (repeat_len) {
+        memset(lengths + symbol, (int)repeat_len, delta);
+        space2 -= (int64_t)delta << (15 - repeat_len);
+      }
+      symbol += (int)delta;
+    }
+  }
+  if (space2 != 0) return ERR_FORMAT;
+  return tree_build(t, lengths, alpha);
+}
+
+/* ---------- context map ---------- */
+
+static int read_context_map(BitReader* br, uint32_t size, uint8_t* cmap,
+                            uint32_t* num_trees, uint8_t* scratch) {
+  uint32_t v;
+  int e;
+  if ((e = read_varlen_u8(br, &v))) return e;
+  *num_trees = v + 1;
+  memset(cmap, 0, size);
+  if (*num_trees <= 1) return 0;
+  uint32_t use_rle, rlemax = 0;
+  if ((e = br_take(br, 1, &use_rle))) return e;
+  if (use_rle) {
+    if ((e = br_take(br, 4, &v))) return e;
+    rlemax = v + 1;
+  }
+  Tree t;
+  if ((e = read_huffman_code(br, (int)(*num_trees + rlemax), &t,
+                             scratch))) return e;
+  uint32_t i = 0;
+  while (i < size) {
+    uint32_t code;
+    if ((e = tree_decode(&t, br, &code))) return e;
+    if (code == 0) {
+      cmap[i++] = 0;
+    } else if (code <= rlemax) {
+      uint32_t reps;
+      if ((e = br_take(br, (int)code, &reps))) return e;
+      reps += 1u << code;
+      if (i + reps > size) return ERR_FORMAT;
+      memset(cmap + i, 0, reps);
+      i += reps;
+    } else {
+      cmap[i++] = (uint8_t)(code - rlemax);
+    }
+  }
+  uint32_t imtf;
+  if ((e = br_take(br, 1, &imtf))) return e;
+  if (imtf) {
+    uint8_t mtf[256];
+    for (int k = 0; k < 256; k++) mtf[k] = (uint8_t)k;
+    for (uint32_t k = 0; k < size; k++) {
+      uint8_t idx = cmap[k];
+      uint8_t val = mtf[idx];
+      cmap[k] = val;
+      memmove(mtf + 1, mtf, idx);
+      mtf[0] = val;
+    }
+  }
+  return 0;
+}
+
+/* ---------- output buffer ---------- */
+
+typedef struct {
+  uint8_t* p;
+  size_t len, cap;
+} Out;
+
+static int out_reserve(Out* o, size_t extra) {
+  if (o->len + extra <= o->cap) return 0;
+  size_t ncap = o->cap ? o->cap * 2 : 1 << 16;
+  while (ncap < o->len + extra) ncap *= 2;
+  if (ncap > MAX_OUTPUT) return ERR_OUTPUT_TOO_LARGE;
+  uint8_t* np = (uint8_t*)realloc(o->p, ncap);
+  if (!np) return ERR_ALLOC;
+  o->p = np;
+  o->cap = ncap;
+  return 0;
+}
+
+/* ---------- transforms ---------- */
+
+static int uppercase_rune(uint8_t* p, int i, int len) {
+  uint8_t c = p[i];
+  if (c < 0xC0) {
+    if (c >= 'a' && c <= 'z') p[i] ^= 32;
+    return 1;
+  }
+  if (c < 0xE0) {
+    if (i + 1 < len) p[i + 1] ^= 32;
+    return 2;
+  }
+  if (i + 2 < len) p[i + 2] ^= 5;
+  return 3;
+}
+
+/* dst must have >= len + 13 bytes; returns transformed length */
+static int transform_word(uint8_t* dst, const uint8_t* word, int len,
+                          int tid) {
+  int op = kTransformOp[tid];
+  int n = 0;
+  const uint8_t* pre = kTransformPool + kTransformPrefixOff[tid];
+  int pre_len = kTransformPrefixLen[tid];
+  memcpy(dst, pre, (size_t)pre_len);
+  n = pre_len;
+  const uint8_t* w = word;
+  int wl = len;
+  if (op >= 20) { wl -= (op - 20); if (wl < 0) wl = 0; }
+  else if (op >= 10) { int k = op - 10; if (k > wl) k = wl; w += k; wl -= k; }
+  memcpy(dst + n, w, (size_t)wl);
+  if (op == 1 && wl > 0) uppercase_rune(dst + n, 0, wl);
+  else if (op == 2) {
+    int i = 0;
+    while (i < wl) i += uppercase_rune(dst + n, i, wl);
+  }
+  n += wl;
+  const uint8_t* suf = kTransformPool + kTransformSuffixOff[tid];
+  int suf_len = kTransformSuffixLen[tid];
+  memcpy(dst + n, suf, (size_t)suf_len);
+  return n + suf_len;
+}
+
+/* ---------- main decode ---------- */
+
+typedef struct {
+  Tree* lit;
+  Tree* cmd;
+  Tree* dist;
+} TreeGroups;
+
+int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
+                uint8_t** out_ptr, size_t* out_len) {
+  BitReader br = {in, in_len, 0};
+  Out out = {0, 0, 0};
+  int e = 0;
+  uint32_t v;
+  Tree* lit_trees = NULL;
+  Tree* cmd_trees = NULL;
+  Tree* dist_trees = NULL;
+  uint8_t* lit_cmap = NULL;
+  uint8_t* dist_cmap = NULL;
+  uint8_t scratch[1200];
+  int32_t dist_rb[4] = {16, 15, 11, 4};
+  int rb_idx = 0;
+
+  /* window bits */
+  int wbits;
+  if ((e = br_take(&br, 1, &v))) goto fail;
+  if (v == 0) {
+    wbits = 16;
+  } else {
+    if ((e = br_take(&br, 3, &v))) goto fail;
+    if (v != 0) {
+      wbits = 17 + (int)v;
+    } else {
+      if ((e = br_take(&br, 3, &v))) goto fail;
+      if (v == 1) { e = ERR_FORMAT; goto fail; } /* large window: later */
+      wbits = v ? 8 + (int)v : 17;
+    }
+  }
+  {
+    uint64_t max_backward = ((uint64_t)1 << wbits) - 16;
+
+    for (;;) { /* metablock loop */
+      uint32_t is_last;
+      if ((e = br_take(&br, 1, &is_last))) goto fail;
+      if (is_last) {
+        if ((e = br_take(&br, 1, &v))) goto fail;
+        if (v) break; /* ISLASTEMPTY */
+      }
+      uint32_t mnib;
+      if ((e = br_take(&br, 2, &mnib))) goto fail;
+      if (mnib == 3) { /* metadata */
+        if ((e = br_take(&br, 1, &v)) || v) { if (!e) e = ERR_FORMAT; goto fail; }
+        uint32_t skip_bytes;
+        if ((e = br_take(&br, 2, &skip_bytes))) goto fail;
+        uint64_t mlen = 0;
+        for (uint32_t i = 0; i < skip_bytes; i++) {
+          if ((e = br_take(&br, 8, &v))) goto fail;
+          if (i + 1 == skip_bytes && skip_bytes > 1 && v == 0) {
+            e = ERR_FORMAT; goto fail;
+          }
+          mlen |= (uint64_t)v << (8 * i);
+        }
+        if (skip_bytes) mlen += 1;
+        /* align + skip */
+        if (br.bitpos & 7) {
+          if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+          if (v) { e = ERR_FORMAT; goto fail; }
+        }
+        if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
+        br.bitpos += mlen * 8;
+        if (is_last) break;
+        continue;
+      }
+      uint32_t nibbles = mnib + 4;
+      uint64_t mlen = 0;
+      for (uint32_t i = 0; i < nibbles; i++) {
+        if ((e = br_take(&br, 4, &v))) goto fail;
+        if (i + 1 == nibbles && nibbles > 4 && v == 0) {
+          e = ERR_FORMAT; goto fail;
+        }
+        mlen |= (uint64_t)v << (4 * i);
+      }
+      mlen += 1;
+      uint32_t is_uncompressed = 0;
+      if (!is_last) {
+        if ((e = br_take(&br, 1, &is_uncompressed))) goto fail;
+      }
+      if (is_uncompressed) {
+        if (br.bitpos & 7) {
+          if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+          if (v) { e = ERR_FORMAT; goto fail; }
+        }
+        if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
+        if ((e = out_reserve(&out, mlen))) goto fail;
+        memcpy(out.p + out.len, br.buf + (br.bitpos >> 3), mlen);
+        out.len += mlen;
+        br.bitpos += mlen * 8;
+        continue;
+      }
+
+      /* ---- compressed metablock header ---- */
+      BlockState bs[3];
+      for (int c = 0; c < 3; c++) {
+        if ((e = block_state_init(&bs[c], &br, scratch))) goto fail;
+      }
+      uint32_t npostfix, ndirect_raw;
+      if ((e = br_take(&br, 2, &npostfix))) goto fail;
+      if ((e = br_take(&br, 4, &ndirect_raw))) goto fail;
+      uint32_t ndirect = ndirect_raw << npostfix;
+      uint8_t ctx_modes[256];
+      for (uint32_t i = 0; i < bs[0].num_types; i++) {
+        if ((e = br_take(&br, 2, &v))) goto fail;
+        ctx_modes[i] = (uint8_t)v;
+      }
+      uint32_t n_lit_trees, n_dist_trees;
+      size_t lit_cmap_size = (size_t)bs[0].num_types << 6;
+      size_t dist_cmap_size = (size_t)bs[2].num_types << 2;
+      lit_cmap = (uint8_t*)malloc(lit_cmap_size);
+      dist_cmap = (uint8_t*)malloc(dist_cmap_size);
+      if (!lit_cmap || !dist_cmap) { e = ERR_ALLOC; goto fail; }
+      if ((e = read_context_map(&br, (uint32_t)lit_cmap_size, lit_cmap,
+                                &n_lit_trees, scratch))) goto fail;
+      if ((e = read_context_map(&br, (uint32_t)dist_cmap_size, dist_cmap,
+                                &n_dist_trees, scratch))) goto fail;
+      uint32_t dist_alpha = 16 + ndirect + (24u << (npostfix + 1));
+      lit_trees = (Tree*)malloc(sizeof(Tree) * n_lit_trees);
+      cmd_trees = (Tree*)malloc(sizeof(Tree) * bs[1].num_types);
+      dist_trees = (Tree*)malloc(sizeof(Tree) * n_dist_trees);
+      if (!lit_trees || !cmd_trees || !dist_trees) { e = ERR_ALLOC; goto fail; }
+      for (uint32_t i = 0; i < n_lit_trees; i++) {
+        if ((e = read_huffman_code(&br, 256, &lit_trees[i], scratch)))
+          goto fail;
+      }
+      for (uint32_t i = 0; i < bs[1].num_types; i++) {
+        if ((e = read_huffman_code(&br, 704, &cmd_trees[i], scratch)))
+          goto fail;
+      }
+      for (uint32_t i = 0; i < n_dist_trees; i++) {
+        if ((e = read_huffman_code(&br, (int)dist_alpha, &dist_trees[i],
+                                   scratch))) goto fail;
+      }
+
+      /* ---- command loop ---- */
+      uint32_t lit_bt = 0, cmd_bt = 0, dist_bt = 0;
+      const uint8_t* lut = kContextLut[ctx_modes[0]];
+      int64_t remaining = (int64_t)mlen;
+      if ((e = out_reserve(&out, (size_t)mlen + 32))) goto fail;
+      while (remaining > 0) {
+        if (bs[1].length == 0) {
+          if ((e = block_switch(&bs[1], &br, &cmd_bt))) goto fail;
+        }
+        bs[1].length--;
+        uint32_t sym;
+        if ((e = tree_decode(&cmd_trees[cmd_bt], &br, &sym))) goto fail;
+        uint32_t insert_len = (uint32_t)kCmdInsertBase[sym];
+        if (kCmdInsertExtra[sym]) {
+          if ((e = br_take(&br, kCmdInsertExtra[sym], &v))) goto fail;
+          insert_len += v;
+        }
+        uint32_t copy_len = (uint32_t)kCmdCopyBase[sym];
+        if (kCmdCopyExtra[sym]) {
+          if ((e = br_take(&br, kCmdCopyExtra[sym], &v))) goto fail;
+          copy_len += v;
+        }
+        /* literals */
+        if (insert_len) {
+          if ((e = out_reserve(&out, insert_len))) goto fail;
+          for (uint32_t i = 0; i < insert_len; i++) {
+            if (bs[0].length == 0) {
+              if ((e = block_switch(&bs[0], &br, &lit_bt))) goto fail;
+              lut = kContextLut[ctx_modes[lit_bt]];
+            }
+            bs[0].length--;
+            uint8_t p1 = out.len >= 1 ? out.p[out.len - 1] : 0;
+            uint8_t p2 = out.len >= 2 ? out.p[out.len - 2] : 0;
+            uint32_t ctx = (uint32_t)lut[p1] | lut[256 + p2];
+            uint32_t lit;
+            if ((e = tree_decode(
+                     &lit_trees[lit_cmap[(lit_bt << 6) + ctx]], &br,
+                     &lit))) goto fail;
+            out.p[out.len++] = (uint8_t)lit;
+          }
+          remaining -= insert_len;
+          if (remaining <= 0) break;
+        }
+        /* distance */
+        uint64_t max_distance =
+            out.len < max_backward ? out.len : max_backward;
+        int64_t distance;
+        int dist_code_zero;
+        if (kCmdImplicitDist0[sym]) {
+          distance = dist_rb[(rb_idx - 1) & 3];
+          dist_code_zero = 1;
+        } else {
+          if (bs[2].length == 0) {
+            if ((e = block_switch(&bs[2], &br, &dist_bt))) goto fail;
+          }
+          bs[2].length--;
+          uint32_t dctx = kCmdDistCtx[sym];
+          uint32_t dcode;
+          if ((e = tree_decode(
+                   &dist_trees[dist_cmap[(dist_bt << 2) + dctx]], &br,
+                   &dcode))) goto fail;
+          dist_code_zero = (dcode == 0);
+          if (dcode < 16) {
+            static const int8_t ring[16] = {0, 1, 2, 3, 0, 0, 0, 0,
+                                            0, 0, 1, 1, 1, 1, 1, 1};
+            static const int8_t delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
+                                             -3, 3, -1, 1, -2, 2, -3, 3};
+            distance =
+                (int64_t)dist_rb[(rb_idx - 1 - ring[dcode]) & 3] +
+                delta[dcode];
+            if (distance <= 0) { e = ERR_FORMAT; goto fail; }
+          } else if (dcode < 16 + ndirect) {
+            distance = (int64_t)(dcode - 16 + 1);
+          } else {
+            uint32_t x = dcode - ndirect - 16;
+            uint32_t postfix = x & ((1u << npostfix) - 1);
+            uint32_t h = x >> npostfix;
+            uint32_t nbits = 1 + (h >> 1);
+            uint32_t offset = ((2 + (h & 1)) << nbits) - 4;
+            uint32_t extra;
+            if ((e = br_take(&br, (int)nbits, &extra))) goto fail;
+            distance = ((int64_t)(offset + extra) << npostfix) + postfix +
+                       ndirect + 1;
+          }
+        }
+        if ((uint64_t)distance > max_distance) {
+          /* static dictionary reference */
+          if (copy_len < 4 || copy_len > 24 || !dict) {
+            e = ERR_DICTIONARY; goto fail;
+          }
+          uint32_t nbits_d = kDictSizeBits[copy_len];
+          if (!nbits_d) { e = ERR_DICTIONARY; goto fail; }
+          uint64_t address = (uint64_t)distance - max_distance - 1;
+          uint32_t word_idx = (uint32_t)(address & ((1u << nbits_d) - 1));
+          uint32_t tid = (uint32_t)(address >> nbits_d);
+          if (tid >= 121) { e = ERR_DICTIONARY; goto fail; }
+          const uint8_t* word =
+              dict + kDictOffsets[copy_len] + (size_t)word_idx * copy_len;
+          if ((e = out_reserve(&out, copy_len + 16))) goto fail;
+          int wl;
+          if (tid == 0) {
+            memcpy(out.p + out.len, word, copy_len);
+            wl = (int)copy_len;
+          } else {
+            wl = transform_word(out.p + out.len, word, (int)copy_len,
+                                (int)tid);
+            if (wl == 0) { e = ERR_FORMAT; goto fail; }
+          }
+          out.len += (size_t)wl;
+          remaining -= wl;
+        } else {
+          if (!dist_code_zero) {
+            dist_rb[rb_idx & 3] = (int32_t)distance;
+            rb_idx++;
+          }
+          if ((e = out_reserve(&out, copy_len))) goto fail;
+          size_t src = out.len - (size_t)distance;
+          if (copy_len <= (uint64_t)distance) {
+            memcpy(out.p + out.len, out.p + src, copy_len);
+          } else {
+            for (uint32_t i = 0; i < copy_len; i++)
+              out.p[out.len + i] = out.p[src + i];
+          }
+          out.len += copy_len;
+          remaining -= copy_len;
+        }
+      }
+      if (remaining < 0) { e = ERR_FORMAT; goto fail; }
+      free(lit_trees); free(cmd_trees); free(dist_trees);
+      free(lit_cmap); free(dist_cmap);
+      lit_trees = cmd_trees = dist_trees = NULL;
+      lit_cmap = dist_cmap = NULL;
+      if (is_last) break;
+    }
+  }
+  /* byte-align padding must be zero, no trailing bytes */
+  if (br.bitpos & 7) {
+    if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+    if (v) { e = ERR_FORMAT; goto fail; }
+  }
+  if (br.bitpos != br.len * 8) { e = ERR_FORMAT; goto fail; }
+  *out_ptr = out.p;
+  *out_len = out.len;
+  return 0;
+
+fail:
+  free(out.p);
+  free(lit_trees); free(cmd_trees); free(dist_trees);
+  free(lit_cmap); free(dist_cmap);
+  return e ? e : ERR_FORMAT;
+}
+
+void btpu_free(uint8_t* p) { free(p); }
+
+int btpu_version(void) { return 10; }

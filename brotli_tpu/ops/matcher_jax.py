@@ -95,34 +95,59 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     take = take & ~(nxt_take & (nxt_len > best_len + 1))
     skip = jnp.where(take, best_len, 1)
 
-    # Greedy parse as gather-only "orbit doubling": the selected chain
-    # is the orbit of position 0 under next[i] = i + skip[i]. With
-    # jump_k the 2^k-step map, orbit[t + 2^k] = jump_k[orbit[t]], so the
-    # whole orbit materializes in log2(n) doubling rounds of pure
-    # gathers -- no scatters, which are the slow op on TPU.
-    jump = jnp.minimum(pos + skip, n)
-    jump = jnp.concatenate([jump, jnp.array([n], jnp.int32)])
-    steps = int(np.ceil(np.log2(max(n, 2))))
-    idx = jnp.arange(n + 1, dtype=jnp.int32)
+    # Greedy parse in the compacted match domain. The greedy chain only
+    # *lands* on take-positions (literal gaps are implicit), and every
+    # hop advances >= MIN_MATCH bytes, so the chain has <= n/4 hops:
+    # doubling runs over n/4-length orbit arrays instead of n -- a 4x+
+    # cut in random-gather traffic, the op TPUs are slowest at.
+    #
+    # T = sorted take-positions (sentinel n); hop(j) = first T-index
+    # whose position >= T[j] + len[T[j]], computed for all j at once by
+    # merging T with the hop targets (two stable sorts, no per-element
+    # binary search).
+    NT = n  # T has static length n; tail is sentinel
+    T = jax.lax.sort(jnp.where(take, pos, jnp.int32(n)))
+    tlen = jnp.where(T < n, best_len[jnp.minimum(T, n - 1)], 1)
+    target = jnp.minimum(T + tlen, n)
+    # rank of each target among T (searchsorted-left) via merge:
+    # key = value*2 + tag, targets (tag 0) sort before equal T (tag 1)
+    keys = jnp.concatenate([T * 2 + 1, target * 2])
+    order = jnp.argsort(keys)  # 2n sort
+    is_target = order >= n
+    # for each merged slot, how many T entries precede it
+    t_before = jnp.cumsum((~is_target).astype(jnp.int32)) - \
+        (~is_target).astype(jnp.int32)
+    # scatter ranks back to target index (one n-sized scatter)
+    hop = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_target, order - n, 0)].max(
+        jnp.where(is_target, t_before, 0))
+    hop = jnp.minimum(hop, n - 1)
+
+    # orbit doubling over T-indices, n//MIN_MATCH entries suffice
+    NO = max(n // MIN_MATCH, 2)
+    steps = int(np.ceil(np.log2(NO)))
+    oidx = jnp.arange(NO, dtype=jnp.int32)
+    # chain starts at the first take-position: T-index 0
+    sentinel = jnp.int32(n - 1)
 
     def body(k, st):
-        orbit, jump = st
+        orbit, hop_k = st
         size = jnp.int32(1) << k
-        # positions [size, 2*size) extend the chain; later positions get
-        # provisional values that later rounds overwrite correctly
-        ext = jump[orbit[jnp.maximum(idx - size, 0)]]
-        orbit = jnp.where(idx < size, orbit, ext)
-        return orbit, jump[jump]
+        ext = hop_k[orbit[jnp.maximum(oidx - size, 0)]]
+        return jnp.where(oidx < size, orbit, ext), hop_k[hop_k]
 
-    orbit0 = jnp.zeros(n + 1, jnp.int32)
-    orbit, _ = jax.lax.fori_loop(0, steps, body, (orbit0, jump))
-    orbit = orbit[:n]
-    # orbit is sorted ascending, padded with n after the chain ends.
-    # Compact to the selected matches on device (min match length 4 =>
-    # at most n//4 matches): non-matches sort to the sentinel tail.
-    chain_match = take[jnp.minimum(orbit, n - 1)] & (orbit < n)
-    keys = jnp.where(chain_match, orbit, jnp.int32(n))
-    morbit = jax.lax.sort(keys)[:max(n // MIN_MATCH, 1)]
+    orbit0 = jnp.zeros(NO, jnp.int32)
+    orbit, _ = jax.lax.fori_loop(0, steps, body, (orbit0, hop))
+    # orbit entries are T-indices; valid while T[orbit] < n and strictly
+    # increasing (the sentinel region self-loops at index n-1)
+    mpos = T[jnp.minimum(orbit, n - 1)]
+    ok = mpos < n
+    # de-duplicate the sentinel tail: keep first occurrence ordering by
+    # masking non-increasing entries
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), mpos[:-1]])
+    ok &= mpos > prev
+    morbit = jnp.where(ok, mpos, jnp.int32(n))
+    morbit = jax.lax.sort(morbit)
     mclip = jnp.minimum(morbit, n - 1)
     return morbit, best_len[mclip], best_dist[mclip]
 
