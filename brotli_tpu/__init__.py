@@ -17,6 +17,7 @@ from .api import (  # noqa: F401
     Decompressor,
     compress,
     decompress,
+    decompress_concatenated,
     error,
 )
 

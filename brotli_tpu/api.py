@@ -36,6 +36,13 @@ def decompress(string, dictionary=None) -> bytes:
     """One-shot decompression (native fast path, Python fallback)."""
     data = bytes(string)
     import os
+    if dictionary:
+        try:
+            return Decoder(dictionary=dictionary).decompress(data)
+        except FormatError as e:
+            raise error(str(e)) from e
+        except Exception as e:
+            raise error(f"decompression failed: {e}") from e
     if os.environ.get("BROTLI_TPU_DECODER", "native") == "native":
         try:
             from .native import decode as native_decode
@@ -56,6 +63,24 @@ def decompress(string, dictionary=None) -> bytes:
 def subprocess_error():
     import subprocess
     return subprocess.CalledProcessError
+
+
+def decompress_concatenated(string) -> bytes:
+    """Decode back-to-back concatenated streams (parity: the reference
+    CLI's brcat / --concatenated mode, c/tools/brotli.c -K)."""
+    from .format.bitio import BitReader
+    from .dec.decoder import Decoder
+    data = bytes(string)
+    out = []
+    offset = 0
+    while offset < len(data):
+        dec = Decoder()
+        chunk, consumed = dec.decompress_prefix(data[offset:])
+        out.append(chunk)
+        offset += consumed
+        if consumed == 0:
+            raise error("stalled decoding concatenated stream")
+    return b"".join(out)
 
 
 class Compressor:

@@ -26,6 +26,8 @@ def _build_parser():
     p.add_argument("-k", "--keep", action="store_true", default=True,
                    help="keep source files (default)")
     p.add_argument("--rm", action="store_true", help="remove source files")
+    p.add_argument("-K", "--concatenated", action="store_true",
+                   help="decompress concatenated streams (brcat)")
     p.add_argument("-q", "--quality", type=int, default=11,
                    help="compression level (0-11)")
     p.add_argument("-w", "--lgwin", type=int, default=22,
@@ -42,6 +44,9 @@ def _build_parser():
 
 def _process(data: bytes, args) -> bytes:
     if args.decompress or args.test:
+        if args.concatenated:
+            from . import decompress_concatenated
+            return decompress_concatenated(data)
         return decompress(data)
     lgwin = args.lgwin if args.lgwin else 22
     return compress(data, quality=11 if args.best else args.quality,
@@ -59,6 +64,7 @@ def main(argv=None) -> int:
         args.decompress = True
     if prog in ("brcat",):
         args.decompress = args.stdout = True
+        args.concatenated = True
 
     if not args.files:
         data = sys.stdin.buffer.read()

@@ -224,12 +224,27 @@ class _BlockState:
 
 
 class Decoder:
-    """One-shot / incremental RFC 7932 decoder."""
+    """One-shot / incremental RFC 7932 decoder.
 
-    def __init__(self, large_window: bool = False):
+    `dictionary`: optional raw LZ77 (compound) dictionary -- distances
+    just beyond the window reach into it (parity:
+    BrotliDecoderAttachDictionary + decode.c compound branch).
+    """
+
+    def __init__(self, large_window: bool = False, dictionary=None):
         self.large_window = large_window
+        self.compound = bytes(dictionary) if dictionary else b""
 
     def decompress(self, data) -> bytes:
+        out, _ = self._decompress_impl(data, allow_trailing=False)
+        return out
+
+    def decompress_prefix(self, data):
+        """Decode one stream; returns (output, bytes consumed) and
+        tolerates trailing data (concatenated streams, brcat)."""
+        return self._decompress_impl(data, allow_trailing=True)
+
+    def _decompress_impl(self, data, allow_trailing: bool):
         br = BitReader(data)
         out = bytearray()
         window_bits, is_large = _read_window_bits(br, self.large_window)
@@ -289,9 +304,9 @@ class Decoder:
         if pad != 0:
             raise FormatError("non-zero stream padding")
         # Trailing garbage check: remaining bytes must be absent.
-        if br.available() >= 8:
+        if not allow_trailing and br.available() >= 8:
             raise FormatError("trailing data after last metablock")
-        return bytes(out)
+        return bytes(out), br.bitpos // 8
 
     # -- compressed metablock ------------------------------------------------
 
@@ -378,15 +393,29 @@ class Decoder:
                     distance = int(dist_offset[dcode]) + (extra << npostfix)
 
             if distance > max_distance:
-                # static dictionary reference
                 if distance > C.MAX_ALLOWED_DISTANCE:
                     raise FormatError("distance too large")
-                word = dict_mod.decode_reference(
-                    copy_len, distance - max_distance - 1)
-                if word is None:
-                    raise FormatError("invalid dictionary reference")
-                out += word
-                remaining -= len(word)
+                address = distance - max_distance - 1
+                csize = len(self.compound)
+                if address < csize:
+                    # compound (raw attached) dictionary reference; unlike
+                    # static-dict words these DO update the distance ring
+                    # (decode.c InitializeCompoundDictionaryCopy)
+                    start = csize - (address + 1)
+                    if start + copy_len > csize:
+                        raise FormatError("compound reference overruns")
+                    if not dist_code_is_zero:
+                        dist_rb[rb_idx & 3] = distance
+                        rb_idx += 1
+                    out += self.compound[start:start + copy_len]
+                    remaining -= copy_len
+                else:
+                    word = dict_mod.decode_reference(
+                        copy_len, address - csize)
+                    if word is None:
+                        raise FormatError("invalid dictionary reference")
+                    out += word
+                    remaining -= len(word)
             else:
                 if not dist_code_is_zero:
                     dist_rb[rb_idx & 3] = distance

@@ -105,7 +105,9 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     # flowing even though they don't push. Vectorized forward-fill:
     if dict_flag is None:
         dict_flag = np.zeros(n, dtype=np.int64)
-    is_dict = dict_flag.astype(bool)
+    # flag semantics: 0 = LZ, 1 = compound-dict ref (pushes the ring,
+    # decode.c:1598), 2 = static-dict word (never touches the ring)
+    is_dict = dict_flag == 2
     if n:
         pushes = ~final_insert & ~is_dict
         idx = np.arange(n)
@@ -122,7 +124,17 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     dcode = np.zeros(n, dtype=np.int64)
     dextra = np.zeros(n, dtype=np.int64)
     dbits = np.zeros(n, dtype=np.int64)
-    explicit_new = (~final_insert) & ~is_reuse
+    # near-reuse short codes 4..9 encode last_distance +/- 1..3 with no
+    # extra bits (RFC 4). The ring-top equals the nearest copy command's
+    # distance regardless of which code that command used, so prev_real
+    # is exact here. Resolution pushes, keeping the model consistent.
+    delta = dist - prev_real
+    near = ((~final_insert) & ~is_reuse & ~is_dict &
+            (np.abs(delta) <= 3) & (delta != 0) & (prev_real > 0))
+    near_code = np.where(delta < 0, 4 + 2 * (-delta - 1),
+                         5 + 2 * (delta - 1))
+    dcode[near] = near_code[near]
+    explicit_new = (~final_insert) & ~is_reuse & ~near
     if np.any(explicit_new):
         d = dist[explicit_new].astype(np.int64) - 1  # RFC: d = dist-NDIRECT-1
         # vectorized encode_distance (npostfix=0, ndirect=0):
@@ -151,8 +163,10 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
         cmd_syms[fix] = _combine_codes(icode[fix], ccode[fix],
                                        np.zeros(int(fix.sum()), bool))
 
-    pushing = explicit_new & ~is_dict if n else explicit_new
-    new_last = int(dist[pushing][-1]) if np.any(pushing) else last_distance
+    # decoder ring-top after this block = distance of the last non-dict
+    # copy command (reuse/near codes resolve to exactly that value)
+    ring_src = (~final_insert) & ~is_dict if n else final_insert
+    new_last = int(dist[ring_src][-1]) if np.any(ring_src) else last_distance
     return {
         "cmd_syms": cmd_syms.astype(np.int64),
         "insert_extras": (iextra, ibits),
@@ -242,7 +256,8 @@ def write_context_map(bw: BitWriter, cmap: np.ndarray,
 
 def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
                     mlen: int, cmds, is_last: bool, last_distance: int,
-                    quality: int = 1, context_mode=None) -> int:
+                    quality: int = 1, context_mode=None,
+                    ctx_floor: int = 0) -> int:
     """Serialize one compressed metablock.
 
     q < 5: single tree per alphabet ("StoreMetaBlockTrivial").
@@ -264,7 +279,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         from . import context_model as cm
         mode = cm.choose_context_mode(data) if context_mode is None \
             else context_mode
-        ctx_ids = cm.literal_context_ids(data, lit_pos, mode)
+        ctx_ids = cm.literal_context_ids(data, lit_pos, mode, ctx_floor)
         hists = cm.context_histograms(literals, ctx_ids,
                                       C.NUM_LITERAL_CONTEXTS,
                                       C.NUM_LITERAL_SYMBOLS)

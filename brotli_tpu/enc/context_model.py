@@ -25,11 +25,14 @@ def choose_context_mode(data: np.ndarray) -> int:
 
 
 def literal_context_ids(data: np.ndarray, lit_pos: np.ndarray,
-                        mode: int) -> np.ndarray:
-    """Context id of each literal position (vectorized LUT gather)."""
+                        mode: int, floor: int = 0) -> np.ndarray:
+    """Context id of each literal position (vectorized LUT gather).
+
+    `floor`: stream start within `data` (decoder sees zeros before it,
+    e.g. when `data` carries a dictionary prefix)."""
     lut0, lut1 = ctx.context_lut(mode)
-    p1 = np.where(lit_pos >= 1, data[np.maximum(lit_pos - 1, 0)], 0)
-    p2 = np.where(lit_pos >= 2, data[np.maximum(lit_pos - 2, 0)], 0)
+    p1 = np.where(lit_pos >= floor + 1, data[np.maximum(lit_pos - 1, 0)], 0)
+    p2 = np.where(lit_pos >= floor + 2, data[np.maximum(lit_pos - 2, 0)], 0)
     return (lut0[p1] | lut1[p2]).astype(np.int64)
 
 

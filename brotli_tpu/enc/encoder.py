@@ -57,28 +57,55 @@ def find_matches(arr, max_distance, quality):
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
            lgblock: int = 0, mode: int = 0, dictionary=None) -> bytes:
-    """One-shot encode."""
+    """One-shot encode. `dictionary`: optional raw LZ77 (compound)
+    dictionary -- matches may reach into it via beyond-window distances
+    (parity: BrotliEncoderPrepareDictionary RAW +
+    AttachPreparedDictionary)."""
     quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock)
     bw = BitWriter()
     bitstream.write_stream_header(bw, lgwin)
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    n = len(arr)
+    raw = bytes(data)
+    n = len(raw)
     if n == 0:
         bitstream.write_last_empty(bw)
         return bw.getvalue()
+    D = len(dictionary) if dictionary else 0
+    arr = np.frombuffer((bytes(dictionary) if D else b"") + raw,
+                        dtype=np.uint8)
+    maxback = C.max_backward_distance(lgwin)
 
-    matches = find_matches(arr, C.max_backward_distance(lgwin), quality)
-    _write_blocks(bw, arr, 0, n, matches, lgblock, is_last=True,
-                  last_distance=-1, quality=quality)
+    matches = find_matches(arr, maxback, quality)
+    if D:
+        matches = _lift_dictionary_matches(matches, D, maxback)
+    _write_blocks(bw, arr, D, D + n, matches, lgblock, is_last=True,
+                  last_distance=-1, quality=quality, ctx_floor=D)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
-        return _store_uncompressed(arr, lgwin)
+        return _store_uncompressed(arr[D:], lgwin)
     return out
 
 
+def _lift_dictionary_matches(matches, D, maxback):
+    """Convert concat-space matches whose source lies in the dictionary
+    prefix into compound-dictionary references (RFC shared-brotli):
+    stream distance = min(pos, window) + (D - source_offset)."""
+    m, lens, dists, flags = matches
+    src = m - dists
+    in_dict = (src < D) & (flags == 0)
+    # source must not cross the dict/data boundary (decoder copies from
+    # the dictionary buffer only): trim, drop if too short
+    lens = np.where(in_dict, np.minimum(lens, D - src), lens)
+    p = m - D  # stream position
+    dists = np.where(in_dict,
+                     np.minimum(p, maxback) + (D - src), dists)
+    flags = np.where(in_dict, 1, flags)
+    keep = lens >= 2
+    return m[keep], lens[keep], dists[keep], flags[keep]
+
+
 def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
-                  last_distance, quality=1):
+                  last_distance, quality=1, ctx_floor=0):
     """Serialize region [lo, hi) as metablocks; returns last_distance."""
     mb_size = 1 << lgblock
     boundaries = list(range(lo + mb_size, hi, mb_size)) + [hi]
@@ -89,7 +116,7 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
         cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
         last_distance = bitstream.store_metablock(
             bw, arr, pos, b - pos, cmds, block_last, last_distance,
-            quality=quality)
+            quality=quality, ctx_floor=ctx_floor)
         pos = b
     return last_distance
 

@@ -136,7 +136,7 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     m = sel[take[sel]]
     lens = best_len[m].astype(np.int64)
     dists = best_dist[m]
-    flags = is_dict[m].astype(np.int64)
+    flags = is_dict[m].astype(np.int64) * 2  # 2 = static dict, no push
     return _extend_capped(data, m, lens, dists, flags, CAP, max_match)
 
 
@@ -230,7 +230,7 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     nm = np.concatenate([m, cand[sel]])
     nl = np.concatenate([lens, dlen[sel]])
     nd = np.concatenate([dists, ddist[sel]])
-    nf = np.concatenate([flags, np.ones(len(sel), np.int64)])
+    nf = np.concatenate([flags, np.full(len(sel), 2, np.int64)])
     order = np.argsort(nm, kind="stable")
     return nm[order], nl[order], nd[order], nf[order]
 

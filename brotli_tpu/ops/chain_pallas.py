@@ -5,10 +5,12 @@ formulations cost O(n log n) random HBM gathers -- the slowest op class
 on TPU. But the chain is *monotone increasing*, so a scalar walk only
 ever moves forward: this kernel streams `skip` through VMEM in segments
 (sequential DMA, full HBM bandwidth) and walks the chain inside VMEM
-with one scalar load per chain node (~n total work, tiny constants).
+with one scalar load per chain node.
 
-Grid iterations run in order on TPU; the current chain position carries
-across segments in SMEM scratch (accumulator pattern).
+Mosaic forbids scalar stores to VMEM, so match emissions are one-hot
+row OR-writes into a (SEG/128, 128) selection tile; literal hops
+(skip == 1) emit nothing. Grid iterations run in order on TPU; the
+chain position carries across segments in SMEM scratch.
 """
 
 import functools
@@ -19,7 +21,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEG = 1 << 17  # positions per segment (512 KiB of int32 in VMEM)
+SEG = 1 << 14  # positions per segment (64 KiB of int32 in SMEM)
+LANES = 128
 
 
 def _chain_kernel(skip_ref, sel_ref, pos_ref):
@@ -30,15 +33,24 @@ def _chain_kernel(skip_ref, sel_ref, pos_ref):
     def _():
         pos_ref[0] = 0
 
-    sel_ref[:] = jnp.zeros_like(sel_ref)
+    sel_ref[:, :] = jnp.zeros_like(sel_ref)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]
 
     def cond(pos):
         return pos < seg_start + SEG
 
     def body(pos):
         local = pos - seg_start
-        sel_ref[local] = jnp.int32(1)
-        return pos + skip_ref[local]
+        sk = skip_ref[local]
+
+        @pl.when(sk > 1)  # match node: mark it
+        def _():
+            row = local // LANES
+            lane = local % LANES
+            sel_ref[row, :] = sel_ref[row, :] | \
+                (lane_ids == lane).astype(jnp.int32)
+
+        return pos + sk
 
     pos = jax.lax.while_loop(cond, body, pos_ref[0])
     pos_ref[0] = pos
@@ -46,9 +58,11 @@ def _chain_kernel(skip_ref, sel_ref, pos_ref):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def chain_select(skip: jax.Array, n: int) -> jax.Array:
-    """selected[i] = 1 iff the greedy chain from 0 visits i.
+    """selected[i] = 1 iff the greedy chain from 0 takes the match at i
+    (i.e. visits i and skip[i] > 1).
 
-    skip: int32[n] with skip[i] >= 1 (pad so n is a multiple of SEG).
+    skip: int32[n] with skip[i] >= 1; n must be a multiple of SEG.
+    Returns int32[n//128, 128] tile mask (flatten to get per-position).
     """
     assert n % SEG == 0
     grid = n // SEG
@@ -56,21 +70,23 @@ def chain_select(skip: jax.Array, n: int) -> jax.Array:
         _chain_kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((SEG,), lambda s: (s,),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((SEG,), lambda s: (s,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((SEG // LANES, LANES), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )(skip)
-    return sel
+    return sel.reshape(n)
 
 
 def chain_select_host(skip: np.ndarray) -> np.ndarray:
-    """NumPy oracle for tests."""
+    """NumPy oracle for tests (match nodes only)."""
     n = len(skip)
     sel = np.zeros(n, np.int32)
     pos = 0
     while pos < n:
-        sel[pos] = 1
-        pos += int(skip[pos])
+        sk = int(skip[pos])
+        if sk > 1:
+            sel[pos] = 1
+        pos += sk
     return sel
