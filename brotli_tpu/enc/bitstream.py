@@ -273,24 +273,56 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         [[0], np.cumsum(ins + cpy)[:-1]]).astype(np.int64)
     literals = _gather_runs(data, starts, plan["ins"])
     lit_pos = _run_positions(starts, plan["ins"])
+    nlit = len(literals)
 
-    use_context = quality >= 5 and len(literals) >= 1024
+    # literal block splitting (q >= 9): chunk clustering over the
+    # literal stream -> block types with separate tree sets
+    split = None
+    if quality >= 9 and nlit >= 4096:
+        from . import block_split
+        split = block_split.split_symbols(literals,
+                                          C.NUM_LITERAL_SYMBOLS)
+    if split is not None:
+        run_types, block_lengths, type_of_lit = split
+        ntypes = int(run_types.max()) + 1
+    else:
+        ntypes = 1
+        type_of_lit = np.zeros(nlit, np.int64)
+
+    use_context = quality >= 5 and nlit >= 1024
+    from . import context_model as cm
     if use_context:
-        from . import context_model as cm
         mode = cm.choose_context_mode(data) if context_mode is None \
             else context_mode
         ctx_ids = cm.literal_context_ids(data, lit_pos, mode, ctx_floor)
-        hists = cm.context_histograms(literals, ctx_ids,
-                                      C.NUM_LITERAL_CONTEXTS,
-                                      C.NUM_LITERAL_SYMBOLS)
-        assign, merged = cm.cluster_histograms(hists, max_trees=12)
+    else:
+        mode = 0
+        ctx_ids = np.zeros(nlit, np.int64)
+    group = (type_of_lit << C.LITERAL_CONTEXT_BITS) | ctx_ids
+    if use_context or ntypes > 1:
+        hists = cm.context_histograms(
+            literals, group, ntypes * C.NUM_LITERAL_CONTEXTS,
+            C.NUM_LITERAL_SYMBOLS)
+        if use_context:
+            assign, merged = cm.cluster_histograms(hists, max_trees=12)
+        else:  # per-type trees, constant over contexts
+            assign = np.repeat(np.arange(ntypes, dtype=np.int64),
+                               C.NUM_LITERAL_CONTEXTS)
+            merged = np.stack([
+                hists[t * 64:(t + 1) * 64].sum(axis=0)
+                for t in range(ntypes)])
         ntrees = len(merged)
-        if ntrees == 1:
+        if ntrees == 1 and ntypes == 1:
             use_context = False
+    multi = use_context or ntypes > 1
 
     write_metablock_header_mlen(bw, mlen, is_last)
-    for _ in range(3):  # NBLTYPES L/I/D = 1
-        write_varlen_uint8(bw, 0)
+    write_varlen_uint8(bw, ntypes - 1)  # NBLTYPESL
+    if ntypes > 1:
+        sw_info = _plan_block_switches(run_types, block_lengths, ntypes)
+        _write_block_header(bw, sw_info, ntypes)
+    write_varlen_uint8(bw, 0)  # NBLTYPESI
+    write_varlen_uint8(bw, 0)  # NBLTYPESD
     bw.write(0, 2)  # NPOSTFIX = 0
     bw.write(0, 4)  # NDIRECT = 0
 
@@ -302,8 +334,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     cmd_len = package_merge(cmd_freq, C.HUFFMAN_MAX_CODE_LENGTH)
     dist_len = package_merge(dist_freq, C.HUFFMAN_MAX_CODE_LENGTH)
 
-    if not use_context:
-        bw.write(0, 2)  # literal context mode LSB6 (irrelevant: 1 tree)
+    if not multi:
+        bw.write(0, 2)  # literal context mode (irrelevant: 1 tree)
         write_varlen_uint8(bw, 0)  # literal context map: 1 tree
         write_varlen_uint8(bw, 0)  # distance context map: 1 tree
         lit_freq = np.bincount(literals, minlength=C.NUM_LITERAL_SYMBOLS)
@@ -316,7 +348,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         lit_vals = lit_codes[literals]
         lit_bits = lit_len[literals]
     else:
-        bw.write(mode, 2)  # context mode for the single block type
+        for _ in range(ntypes):
+            bw.write(mode, 2)  # context mode per literal block type
         write_context_map(bw, assign, ntrees)  # literal context map
         write_varlen_uint8(bw, 0)  # distance context map: 1 tree
         lit_lens2d = np.zeros((ntrees, C.NUM_LITERAL_SYMBOLS), np.int32)
@@ -329,18 +362,92 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             lit_codes2d[t] = lengths_to_codes(e).astype(np.int64)
         write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
         write_huffman_code(bw, dist_len, 64)
-        tree_of_lit = assign[ctx_ids]
+        tree_of_lit = assign[group]
         lit_vals = lit_codes2d[tree_of_lit, literals]
         lit_bits = lit_lens2d[tree_of_lit, literals].astype(np.int64)
+
+    if ntypes > 1:  # embed switch slots before the switching literal
+        lit_vals, lit_bits = _with_switch_slots(
+            lit_vals, lit_bits, sw_info)
+        lanes = 4
+    else:
+        lanes = 1
 
     cmd_len_e = _emission(cmd_len)
     dist_len_e = _emission(dist_len)
     values, nbits = _interleave_symbols(
-        plan, (lit_vals, lit_bits),
+        plan, (lit_vals, lit_bits), lanes,
         (lengths_to_codes(cmd_len_e).astype(np.int64), cmd_len_e),
         (lengths_to_codes(dist_len_e).astype(np.int64), dist_len_e))
     bw.write_arrays(values, nbits)
     return new_last
+
+
+def _plan_block_switches(run_types, block_lengths, ntypes):
+    """Resolve block-switch symbols: type codes ride a 2-entry ring
+    (0 = previous, 1 = current + 1, else type + 2; RFC 6)."""
+    tsyms = []
+    rb = [1, 0]
+    for t in run_types[1:]:
+        t = int(t)
+        if t == rb[0]:
+            tsyms.append(0)
+        elif t == (rb[1] + 1) % ntypes:
+            tsyms.append(1)
+        else:
+            tsyms.append(t + 2)
+        rb = [rb[1], t]
+    tsyms = np.array(tsyms, np.int64)
+    ccode, cextra, cbits = (np.array(v) for v in zip(
+        *[prefix.encode_value(int(L), prefix.BLOCK_COUNT_BASE,
+                              prefix.BLOCK_COUNT_EXTRA)
+          for L in block_lengths]))
+    # trees over type symbols (switches only) and count codes (all)
+    type_freq = np.bincount(tsyms, minlength=ntypes + 2) if len(tsyms) \
+        else np.zeros(ntypes + 2, np.int64)
+    cnt_freq = np.bincount(ccode, minlength=C.NUM_BLOCK_LEN_SYMBOLS)
+    type_len = package_merge(type_freq, C.HUFFMAN_MAX_CODE_LENGTH)
+    cnt_len = package_merge(cnt_freq, C.HUFFMAN_MAX_CODE_LENGTH)
+    return {
+        "tsyms": tsyms, "ccode": ccode, "cextra": cextra, "cbits": cbits,
+        "block_lengths": np.asarray(block_lengths, np.int64),
+        "type_len": type_len, "cnt_len": cnt_len,
+        "type_codes": lengths_to_codes(_emission(type_len)),
+        "type_bits": _emission(type_len),
+        "cnt_codes": lengths_to_codes(_emission(cnt_len)),
+        "cnt_bits": _emission(cnt_len),
+    }
+
+
+def _write_block_header(bw, sw, ntypes):
+    """Block-type tree, block-count tree, first block length (RFC 9.2)."""
+    write_huffman_code(bw, sw["type_len"], ntypes + 2)
+    write_huffman_code(bw, sw["cnt_len"], C.NUM_BLOCK_LEN_SYMBOLS)
+    c0 = int(sw["ccode"][0])
+    bw.write(int(sw["cnt_codes"][c0]), int(sw["cnt_bits"][c0]))
+    if sw["cbits"][0]:
+        bw.write(int(sw["cextra"][0]), int(sw["cbits"][0]))
+
+
+def _with_switch_slots(lit_vals, lit_bits, sw):
+    """Expand per-literal streams to 4 lanes: [switch type, switch count,
+    switch count extra, literal]. Switches fire before the first literal
+    of each block after the first."""
+    nlit = len(lit_vals)
+    v = np.zeros((nlit, 4), np.int64)
+    b = np.zeros((nlit, 4), np.int64)
+    v[:, 3] = lit_vals
+    b[:, 3] = lit_bits
+    at = np.cumsum(sw["block_lengths"])[:-1]
+    tsyms = sw["tsyms"]
+    v[at, 0] = sw["type_codes"][tsyms]
+    b[at, 0] = sw["type_bits"][tsyms]
+    cc = sw["ccode"][1:]
+    v[at, 1] = sw["cnt_codes"][cc]
+    b[at, 1] = sw["cnt_bits"][cc]
+    v[at, 2] = sw["cextra"][1:]
+    b[at, 2] = sw["cbits"][1:]
+    return v, b
 
 
 # backwards-compatible alias used by tests/tools
@@ -391,20 +498,20 @@ def _gather_runs(data: np.ndarray, starts: np.ndarray,
     return data[src]
 
 
-def _interleave_symbols(plan, lit_stream, cmd_code, dist_code):
+def _interleave_symbols(plan, lit_stream, lanes, cmd_code, dist_code):
     """Build the metablock body (value, nbits) stream in decode order:
     per command: cmd sym, insert extra, copy extra, literals, dist sym,
-    dist extra. `lit_stream` = per-literal (values, nbits) arrays."""
+    dist extra. `lit_stream` = per-literal (values, nbits), either 1D or
+    (nlit, lanes) when block-switch slots ride along each literal."""
     lit_vals_in, lit_bits_in = lit_stream
     ins = plan["ins"]
     n = len(ins)
-    nlit = len(lit_vals_in)
-    slots_per_cmd = 3 + 2  # fixed slots; literals inserted between
-    total = n * slots_per_cmd + nlit
+    nlit = lit_vals_in.shape[0]
+    total = n * 5 + nlit * lanes
     values = np.zeros(total, dtype=np.int64)
     nbits = np.zeros(total, dtype=np.int64)
-    # per-command record length = 3 + ins_k + 2
-    rec_len = 5 + ins
+    # per-command record length = 3 + ins_k * lanes + 2
+    rec_len = 5 + ins * lanes
     rec_start = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(
         np.int64)
     # fixed fields
@@ -418,18 +525,23 @@ def _interleave_symbols(plan, lit_stream, cmd_code, dist_code):
     cv, cb = plan["copy_extras"]
     values[rec_start + 2] = cv
     nbits[rec_start + 2] = cb
-    # literals at rec_start + 3 + offset_within_run
+    # literals (each `lanes` slots wide) at rec_start + 3 + k*lanes
     if nlit:
         ends = np.cumsum(ins)
         out_start = ends - ins
         idx = np.arange(nlit, dtype=np.int64)
         run_id = np.searchsorted(ends, idx, side="right")
-        slot = rec_start[run_id] + 3 + (idx - out_start[run_id])
-        values[slot] = lit_vals_in
-        nbits[slot] = lit_bits_in
+        slot0 = rec_start[run_id] + 3 + (idx - out_start[run_id]) * lanes
+        if lanes == 1:
+            values[slot0] = lit_vals_in
+            nbits[slot0] = lit_bits_in
+        else:
+            for c in range(lanes):
+                values[slot0 + c] = lit_vals_in[:, c]
+                nbits[slot0 + c] = lit_bits_in[:, c]
     # distances at record end
     dist_codes, dist_lens = dist_code
-    dslot = rec_start + 3 + ins
+    dslot = rec_start + 3 + ins * lanes
     has = plan["has_dist"]
     ds = plan["dist_syms"]
     values[dslot] = np.where(has, dist_codes[ds], 0)

@@ -75,6 +75,22 @@ def cluster_histograms(hists: np.ndarray, max_trees: int,
     histograms in tree order).
     """
     k = len(hists)
+    if k > 128:
+        # hierarchical: pre-cluster fixed-size slices to bound the
+        # pairwise tensor, then cluster the survivors jointly
+        slice_sz = 64
+        sub_assign = np.zeros(k, np.int64)
+        sub_hists = []
+        offset = 0
+        for lo in range(0, k, slice_sz):
+            a, h = cluster_histograms(hists[lo:lo + slice_sz],
+                                      max(max_trees, 16), table_cost_bits)
+            sub_assign[lo:lo + slice_sz] = a + offset
+            offset += len(h)
+            sub_hists.append(h)
+        joint_a, joint_h = cluster_histograms(
+            np.concatenate(sub_hists), max_trees, table_cost_bits)
+        return joint_a[sub_assign], joint_h
     H = hists.astype(np.float64)
     groups = [[i] for i in range(k)]
     while len(groups) > 1:

@@ -34,6 +34,11 @@ def find_matches(arr, max_distance, quality):
     """Quality-dispatched match finder over the full buffer."""
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
     ncand = 4 if quality >= 5 else 2
+    if quality >= 10 and len(arr) >= _VECTOR_THRESHOLD:
+        # iterated cost-model parse (zopfli-role, batched)
+        return matcher.find_matches_costmodel(
+            arr, max_distance, num_candidates=6,
+            use_dict=True)
     if len(arr) >= _VECTOR_THRESHOLD and backend != "numpy":
         try:
             from ..ops.matcher_jax import find_matches_jax

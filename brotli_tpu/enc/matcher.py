@@ -40,10 +40,79 @@ def _match_len(data, a: int, b: int, max_len: int) -> int:
     return n
 
 
+def distance_bit_cost(dists: np.ndarray, dist_len_table=None) -> np.ndarray:
+    """Approximate bits to encode explicit distances (symbol + extras).
+    With a first-pass distance code-length table the symbol cost is
+    exact; otherwise a flat 6-bit symbol estimate is used."""
+    d = np.maximum(dists.astype(np.int64), 1) + 3  # d = dist-1, +4
+    # integer-exact bit_length(d) - 2
+    nbits = np.zeros(len(d), np.int64)
+    tmp = d >> 2
+    while np.any(tmp):
+        nbits += tmp > 0
+        tmp >>= 1
+    if dist_len_table is None:
+        sym_bits = np.full(len(d), 6.0)
+    else:
+        half = (d - (np.int64(1) << (nbits + 1))) >> nbits
+        dcode = 16 + (((nbits - 1) << 1) | half)
+        dcode = np.clip(dcode, 0, len(dist_len_table) - 1)
+        sym_bits = np.where(dist_len_table[dcode] > 0,
+                            dist_len_table[dcode], 15).astype(np.float64)
+    return sym_bits + nbits
+
+
+def find_matches_costmodel(data: np.ndarray, max_distance: int,
+                           hash_bits: int = 18, num_candidates: int = 4,
+                           use_dict: bool = False, base: int = 0):
+    """Two-pass cost-model parse (q10/11): a first greedy pass supplies
+    literal and distance bit costs; the second pass picks candidates by
+    estimated bit savings instead of raw length (the batched stand-in
+    for the reference's zopfli DP, c/enc/backward_references_hq.c --
+    iterated cost refinement rather than shortest-path, which is
+    serial)."""
+    m, lens, dists, flags = find_matches_vectorized(
+        data, max_distance, hash_bits, num_candidates,
+        use_dict=use_dict, base=base)
+    if len(data) < (1 << 12):
+        return m, lens, dists, flags
+    # cost model from the first pass: literal bits from the pass-1
+    # literal histogram, distance symbol bits from pass-1's code lengths
+    covered = np.zeros(len(data) + 1, np.int64)
+    np.add.at(covered, m, 1)
+    np.add.at(covered, m + lens, -1)
+    is_lit = np.cumsum(covered[:-1]) == 0
+    lit_hist = np.bincount(data[is_lit], minlength=256) + 1
+    lit_bits = -np.log2(lit_hist / lit_hist.sum())
+    S = np.concatenate([[0.0], np.cumsum(lit_bits[data])])
+    from .entropy import package_merge
+    expl = flags == 0
+    if np.any(expl):
+        dcode = _dist_codes(dists[expl])
+        dist_len = package_merge(np.bincount(dcode, minlength=64), 15)
+    else:
+        dist_len = None
+    return find_matches_vectorized(
+        data, max_distance, hash_bits, num_candidates,
+        use_dict=use_dict, base=base, cost_model=(S, dist_len))
+
+
+def _dist_codes(dists: np.ndarray) -> np.ndarray:
+    d = dists.astype(np.int64) + 3
+    nbits = np.zeros(len(d), np.int64)
+    tmp = d >> 2
+    while np.any(tmp):
+        nbits += tmp > 0
+        tmp >>= 1
+    half = (d - (np.int64(1) << (nbits + 1))) >> nbits
+    return np.clip(16 + (((nbits - 1) << 1) | half), 0, 63)
+
+
 def find_matches_vectorized(data: np.ndarray, max_distance: int,
                             hash_bits: int = 18, num_candidates: int = 2,
                             max_match: int = 1 << 24,
-                            use_dict: bool = False, base: int = 0):
+                            use_dict: bool = False, base: int = 0,
+                            cost_model=None):
     """Batch matcher: the NumPy reference of the TPU parse pipeline.
 
     1. rolling 4-byte hashes over every position (vector op)
@@ -69,6 +138,10 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     h_s = h[order]
     best_len = np.zeros(n, np.int32)
     best_dist = np.zeros(n, np.int64)
+    best_score = np.full(n, -1e30) if cost_model is not None else None
+    if cost_model is not None:
+        S, dist_len_table = cost_model
+        CMD_BITS = 10.0
     pos_idx = np.arange(npos, dtype=np.int64)
     for k in range(1, num_candidates + 1):
         cand = np.full(npos, -1, np.int64)
@@ -86,7 +159,15 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         mlen = np.where(x0 == 0, 8 + _tz_bytes(x1), l0).astype(np.int32)
         mlen = np.minimum(mlen, (n - 3 - pos_idx).clip(0) + 3)
         mlen = np.where(valid, mlen, 0)
-        better = mlen > best_len[:npos]
+        if cost_model is None:
+            better = mlen > best_len[:npos]
+        else:
+            # estimated bit savings: literals replaced minus match cost
+            gain = (S[np.minimum(pos_idx + mlen, n)] - S[pos_idx] -
+                    distance_bit_cost(dist, dist_len_table) - CMD_BITS)
+            gain = np.where(valid & (mlen >= MIN_MATCH), gain, -1e30)
+            better = gain > best_score[:npos]
+            best_score[:npos] = np.where(better, gain, best_score[:npos])
         best_len[:npos] = np.where(better, mlen, best_len[:npos])
         best_dist[:npos] = np.where(better, dist, best_dist[:npos])
 
@@ -107,18 +188,25 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
             best_dist[gp] = ddist[good]
             is_dict[gp] = True
 
-    # score gate: longer minimum match for far distances (cheap stand-in
-    # for the reference's score model, c/enc/hash.h:73-120)
-    min_len = np.where(best_dist >= (1 << 18), 6,
-                       np.where(best_dist >= (1 << 12), 5, 4))
-    min_len = np.where(is_dict, 4, min_len)  # dict already gated
-    take = best_len >= np.maximum(min_len, MIN_MATCH)
-    # lazy matching, vectorized: drop a match when the next position has
-    # a strictly longer one (the reference's 1-byte-lookahead deferral,
-    # backward_references_inc.h cost_diff_lazy)
-    nxt_len = np.concatenate([best_len[1:], [0]])
-    nxt_take = np.concatenate([take[1:], [False]])
-    take &= ~(nxt_take & (nxt_len > best_len + 1))
+    if cost_model is None:
+        # score gate: longer minimum match for far distances (stand-in
+        # for the reference's score model, c/enc/hash.h:73-120)
+        min_len = np.where(best_dist >= (1 << 18), 6,
+                           np.where(best_dist >= (1 << 12), 5, 4))
+        min_len = np.where(is_dict, 4, min_len)  # dict already gated
+        take = best_len >= np.maximum(min_len, MIN_MATCH)
+        # lazy matching, vectorized: drop a match when the next position
+        # has a strictly longer one (the 1-byte-lookahead deferral,
+        # backward_references_inc.h cost_diff_lazy)
+        nxt_len = np.concatenate([best_len[1:], [0]])
+        nxt_take = np.concatenate([take[1:], [False]])
+        take &= ~(nxt_take & (nxt_len > best_len + 1))
+    else:
+        take = (best_score > 0.5) | is_dict
+        nxt_score = np.concatenate([best_score[1:], [-1e30]])
+        nxt_take = np.concatenate([take[1:], [False]])
+        lit0 = S[np.minimum(np.arange(n) + 1, n)] - S[np.arange(n)]
+        take &= ~(nxt_take & (nxt_score > best_score + lit0) & ~is_dict)
     skip = np.where(take, best_len.astype(np.int64), 1)
 
     # pointer-doubling reachability from position 0

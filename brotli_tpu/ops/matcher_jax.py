@@ -35,9 +35,10 @@ def _bucket(n: int) -> int:
     return _BUCKETS[-1]
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates",))
+@functools.partial(jax.jit,
+                   static_argnames=("num_candidates", "use_pallas"))
 def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
-                num_candidates: int = 2):
+                num_candidates: int = 2, use_pallas: bool = True):
     """Device kernel: per-position best (len, dist) + greedy selection.
 
     data: uint8[B] (padded); npos: valid match-start count; returns
@@ -95,59 +96,18 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     take = take & ~(nxt_take & (nxt_len > best_len + 1))
     skip = jnp.where(take, best_len, 1)
 
-    # Greedy parse in the compacted match domain. The greedy chain only
-    # *lands* on take-positions (literal gaps are implicit), and every
-    # hop advances >= MIN_MATCH bytes, so the chain has <= n/4 hops:
-    # doubling runs over n/4-length orbit arrays instead of n -- a 4x+
-    # cut in random-gather traffic, the op TPUs are slowest at.
-    #
-    # T = sorted take-positions (sentinel n); hop(j) = first T-index
-    # whose position >= T[j] + len[T[j]], computed for all j at once by
-    # merging T with the hop targets (two stable sorts, no per-element
-    # binary search).
-    NT = n  # T has static length n; tail is sentinel
-    T = jax.lax.sort(jnp.where(take, pos, jnp.int32(n)))
-    tlen = jnp.where(T < n, best_len[jnp.minimum(T, n - 1)], 1)
-    target = jnp.minimum(T + tlen, n)
-    # rank of each target among T (searchsorted-left) via merge:
-    # key = value*2 + tag, targets (tag 0) sort before equal T (tag 1)
-    keys = jnp.concatenate([T * 2 + 1, target * 2])
-    order = jnp.argsort(keys)  # 2n sort
-    is_target = order >= n
-    # for each merged slot, how many T entries precede it
-    t_before = jnp.cumsum((~is_target).astype(jnp.int32)) - \
-        (~is_target).astype(jnp.int32)
-    # scatter ranks back to target index (one n-sized scatter)
-    hop = jnp.zeros(n, jnp.int32).at[
-        jnp.where(is_target, order - n, 0)].max(
-        jnp.where(is_target, t_before, 0))
-    hop = jnp.minimum(hop, n - 1)
-
-    # orbit doubling over T-indices, n//MIN_MATCH entries suffice
-    NO = max(n // MIN_MATCH, 2)
-    steps = int(np.ceil(np.log2(NO)))
-    oidx = jnp.arange(NO, dtype=jnp.int32)
-    # chain starts at the first take-position: T-index 0
-    sentinel = jnp.int32(n - 1)
-
-    def body(k, st):
-        orbit, hop_k = st
-        size = jnp.int32(1) << k
-        ext = hop_k[orbit[jnp.maximum(oidx - size, 0)]]
-        return jnp.where(oidx < size, orbit, ext), hop_k[hop_k]
-
-    orbit0 = jnp.zeros(NO, jnp.int32)
-    orbit, _ = jax.lax.fori_loop(0, steps, body, (orbit0, hop))
-    # orbit entries are T-indices; valid while T[orbit] < n and strictly
-    # increasing (the sentinel region self-loops at index n-1)
-    mpos = T[jnp.minimum(orbit, n - 1)]
-    ok = mpos < n
-    # de-duplicate the sentinel tail: keep first occurrence ordering by
-    # masking non-increasing entries
-    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), mpos[:-1]])
-    ok &= mpos > prev
-    morbit = jnp.where(ok, mpos, jnp.int32(n))
-    morbit = jax.lax.sort(morbit)
+    skip = jnp.minimum(skip, jnp.int32(n))
+    if not use_pallas:  # CPU/debug path: host walks the chain
+        return skip, best_len, best_dist
+    # Greedy parse: serial chain walk in a Pallas kernel. The chain
+    # pos -> pos + skip[pos] is monotone, so `skip` streams through
+    # on-chip memory segment by segment (sequential DMA) and the scalar
+    # unit walks it with one load per chain node -- no O(n log n)
+    # random HBM gathers (see ops/chain_pallas.py).
+    from .chain_pallas import chain_select
+    selm = chain_select(skip, n)
+    keys = jnp.where(selm > 0, pos, jnp.int32(n))
+    morbit = jax.lax.sort(keys)[:max(n // MIN_MATCH, 1)]
     mclip = jnp.minimum(morbit, n - 1)
     return morbit, best_len[mclip], best_dist[mclip]
 
@@ -176,14 +136,26 @@ def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
         padded = np.zeros(b, np.uint8)
         padded[:len(chunk)] = chunk
         npos = max(len(chunk) - 3, 0)
-        morbit, mlens, mdists = match_block(
-            jnp.asarray(padded), jnp.int32(npos), jnp.int32(max_distance),
-            num_candidates=ncand)
-        morbit = np.asarray(morbit).astype(np.int64)
-        valid = morbit < b
-        m = morbit[valid]
-        m_l = np.asarray(mlens).astype(np.int64)[valid]
-        m_d = np.asarray(mdists).astype(np.int64)[valid]
+        use_pallas = jax.default_backend() != "cpu"
+        if use_pallas:
+            morbit, mlens, mdists = match_block(
+                jnp.asarray(padded), jnp.int32(npos),
+                jnp.int32(max_distance), num_candidates=ncand)
+            morbit = np.asarray(morbit).astype(np.int64)
+            valid = morbit < b
+            m = morbit[valid]
+            m_l = np.asarray(mlens).astype(np.int64)[valid]
+            m_d = np.asarray(mdists).astype(np.int64)[valid]
+        else:  # CPU backend (tests): host-side chain walk
+            from .chain_pallas import chain_select_host
+            skip, lens_all, dists_all = match_block(
+                jnp.asarray(padded), jnp.int32(npos),
+                jnp.int32(max_distance), num_candidates=ncand,
+                use_pallas=False)
+            sel = chain_select_host(np.asarray(skip))
+            m = np.flatnonzero(sel).astype(np.int64)
+            m_l = np.asarray(lens_all).astype(np.int64)[m]
+            m_d = np.asarray(dists_all).astype(np.int64)[m]
         m_f = np.zeros(len(m), np.int64)
         m, m_l, m_d, m_f = _extend_capped(chunk, m, m_l, m_d, m_f, CAP,
                                           1 << 24)
