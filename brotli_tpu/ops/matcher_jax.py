@@ -1,16 +1,20 @@
-"""TPU match-finding pipeline (JAX/XLA).
+"""TPU match-finding pipeline (JAX/XLA), sort-carry design.
 
-Everything data-parallel runs on device with int32/uint32 arithmetic
-(TPU has no native int64): rolling hashes, stable sort by hash for
-candidate discovery, capped common-prefix lengths via uint32 word
-compares, score gating, and the greedy parse as pointer-doubling
-reachability. Only cap-hit match extension happens on host (rare,
-serial by nature).
+Random HBM gathers are the slowest op class on this hardware (~80 ms
+per 8M-element gather vs ~22 ms for a full 8M sort), so the pipeline
+never gathers: everything a candidate comparison needs -- the position
+and the 16 bytes of data at it -- is *carried through* a multi-operand
+`lax.sort` keyed by (hash, pos). In sorted order the k nearest prior
+occurrences of a hash are the k previous rows, so candidate distance
+and capped match length are pure shifted-vector ops. A second
+multi-operand sort returns (len, dist) to position order, a Pallas
+kernel walks the greedy parse chain, and a third sort compacts the
+selected matches so only ~matches bytes cross the PCIe/tunnel boundary
+(packed 2 words per match).
 
 This is a redesign of the reference's serial hash-chain matcher
 (c/enc/backward_references_inc.h) as a batched array program -- not a
-translation: there is no mutable hash table; candidates come from a
-sorted (hash, pos) view, which is deterministic and fully parallel.
+translation: there is no mutable hash table and no per-byte loop.
 """
 
 import functools
@@ -26,6 +30,7 @@ CAP = 16  # parallel match-length cap (bytes); host extends cap-hits
 
 # pad buckets: one XLA compilation per bucket size
 _BUCKETS = [1 << b for b in range(16, 24)]
+SEG_BYTES = _BUCKETS[-1]
 
 
 def _bucket(n: int) -> int:
@@ -35,81 +40,9 @@ def _bucket(n: int) -> int:
     return _BUCKETS[-1]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_candidates", "use_pallas"))
-def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
-                num_candidates: int = 2, use_pallas: bool = True):
-    """Device kernel: per-position best (len, dist) + greedy selection.
-
-    data: uint8[B] (padded); npos: valid match-start count; returns
-    (selected mask bool[B], best_len int32[B], best_dist int32[B]).
-    """
-    n = data.shape[0]
-    d32 = data.astype(jnp.uint32)
-    # 4-byte words at every position
-    w4 = d32
-    w4 = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
-        jnp.roll(d32, -3) << 24
-    h = (w4 * HASH_MUL) >> jnp.uint32(14)  # 18-bit hash
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # positions beyond npos must never match: give them unique hashes
-    # outside the real range (wrap-around words at the tail included)
-    h = jnp.where(pos < npos, h, jnp.uint32(1 << 18) + pos.astype(
-        jnp.uint32))
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    h_s = h[order]
-
-    best_len = jnp.zeros(n, jnp.int32)
-    best_dist = jnp.zeros(n, jnp.int32)
-    for k in range(1, num_candidates + 1):
-        same = jnp.concatenate([jnp.zeros(k, bool),
-                                h_s[k:] == h_s[:-k]])
-        cand_s = jnp.concatenate([jnp.zeros(k, jnp.int32), order[:-k]])
-        cand = jnp.zeros(n, jnp.int32).at[order].set(
-            jnp.where(same, cand_s, -1))
-        dist = pos - cand
-        valid = (cand >= 0) & (dist <= max_distance) & (pos < npos)
-        c = jnp.where(valid, cand, 0)
-        # match length in [0, 16] via 4 uint32 word compares
-        mlen = jnp.zeros(n, jnp.int32)
-        alive = valid
-        for r in range(CAP // 4):
-            pr = jnp.minimum(pos + 4 * r, n - 1)
-            cr = jnp.minimum(c + 4 * r, n - 1)
-            x = w4[pr] ^ w4[cr]
-            tz = _tz_bytes_u32(x)
-            mlen = mlen + jnp.where(alive, tz, 0)
-            alive = alive & (x == 0)
-        mlen = jnp.minimum(mlen, npos + 3 - pos)
-        mlen = jnp.where(valid, mlen, 0)
-        better = mlen > best_len
-        best_len = jnp.where(better, mlen, best_len)
-        best_dist = jnp.where(better, dist, best_dist)
-
-    # score gate (longer minimum for far distances)
-    min_len = jnp.where(best_dist >= (1 << 18), 6,
-                        jnp.where(best_dist >= (1 << 12), 5, MIN_MATCH))
-    take = best_len >= min_len
-    # lazy matching: defer to a strictly longer match at pos+1
-    nxt_len = jnp.concatenate([best_len[1:], jnp.zeros(1, jnp.int32)])
-    nxt_take = jnp.concatenate([take[1:], jnp.zeros(1, bool)])
-    take = take & ~(nxt_take & (nxt_len > best_len + 1))
-    skip = jnp.where(take, best_len, 1)
-
-    skip = jnp.minimum(skip, jnp.int32(n))
-    if not use_pallas:  # CPU/debug path: host walks the chain
-        return skip, best_len, best_dist
-    # Greedy parse: serial chain walk in a Pallas kernel. The chain
-    # pos -> pos + skip[pos] is monotone, so `skip` streams through
-    # on-chip memory segment by segment (sequential DMA) and the scalar
-    # unit walks it with one load per chain node -- no O(n log n)
-    # random HBM gathers (see ops/chain_pallas.py).
-    from .chain_pallas import chain_select
-    selm = chain_select(skip, n)
-    keys = jnp.where(selm > 0, pos, jnp.int32(n))
-    morbit = jax.lax.sort(keys)[:max(n // MIN_MATCH, 1)]
-    mclip = jnp.minimum(morbit, n - 1)
-    return morbit, best_len[mclip], best_dist[mclip]
+def _shift_up(x, k, fill):
+    """x shifted so row i holds x[i-k]; first k rows get `fill`."""
+    return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
 
 
 def _tz_bytes_u32(x: jax.Array) -> jax.Array:
@@ -121,14 +54,133 @@ def _tz_bytes_u32(x: jax.Array) -> jax.Array:
     return (b0.astype(jnp.int32) + b1 + b2 + b3)
 
 
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
+                num_candidates: int = 2):
+    """Device kernel: greedy-selected matches, compacted.
+
+    data: uint8[B] (padded). Returns (count int32, packed uint32[2, B4])
+    where packed[0, :count] = match positions and packed[1, :count] =
+    (len << 25) | dist, both in position order. B4 = B // MIN_MATCH.
+    """
+    n = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    # 16 data bytes at every position as 4 little-endian words (rolls
+    # are contiguous shuffles, not gathers)
+    w0 = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
+        jnp.roll(d32, -3) << 24
+    w1 = jnp.roll(w0, -4)
+    w2 = jnp.roll(w0, -8)
+    w3 = jnp.roll(w0, -12)
+    h = (w0 * HASH_MUL) >> jnp.uint32(14)  # 18-bit hash
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # positions beyond npos must never match: unique out-of-range hashes
+    h = jnp.where(pos < npos, h, jnp.uint32(1 << 18) + pos.astype(
+        jnp.uint32))
+
+    # sort-carry: (hash, pos) keys, data words ride along
+    h_s, pos_u, w0s, w1s, w2s, w3s = jax.lax.sort(
+        (h, pos.astype(jnp.uint32), w0, w1, w2, w3), num_keys=2)
+    pos_s = pos_u.astype(jnp.int32)
+
+    best_len_s = jnp.zeros(n, jnp.int32)
+    best_dist_s = jnp.zeros(n, jnp.int32)
+    for k in range(1, num_candidates + 1):
+        same = h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))
+        dist = pos_s - _shift_up(pos_s, k, jnp.int32(-1))
+        valid = same & (dist <= max_distance)
+        # capped common-prefix length via carried-word compares
+        mlen = jnp.zeros(n, jnp.int32)
+        alive = valid
+        for w in (w0s, w1s, w2s, w3s):
+            x = w ^ _shift_up(w, k, jnp.uint32(0))
+            tz = _tz_bytes_u32(x)
+            mlen = mlen + jnp.where(alive, tz, 0)
+            alive = alive & (x == 0)
+        mlen = jnp.where(valid, mlen, 0)
+        better = mlen > best_len_s
+        best_len_s = jnp.where(better, mlen, best_len_s)
+        best_dist_s = jnp.where(better, dist, best_dist_s)
+
+    # matches must not run into the padded tail (w words wrap at n)
+    best_len_s = jnp.minimum(best_len_s, jnp.maximum(npos + 3 - pos_s, 0))
+
+    # back to position order, carrying (len, dist)
+    _, best_len, best_dist = jax.lax.sort(
+        (pos_u, best_len_s.astype(jnp.uint32),
+         best_dist_s.astype(jnp.uint32)), num_keys=1)
+    best_len = best_len.astype(jnp.int32)
+    best_dist = best_dist.astype(jnp.int32)
+
+    # score gate (longer minimum match for far distances; stand-in for
+    # the reference's score model, c/enc/hash.h:73-120)
+    min_len = jnp.where(best_dist >= (1 << 18), 6,
+                        jnp.where(best_dist >= (1 << 12), 5, MIN_MATCH))
+    take = best_len >= min_len
+    # lazy matching: defer to a strictly longer match at pos+1
+    nxt_len = jnp.concatenate([best_len[1:], jnp.zeros(1, jnp.int32)])
+    nxt_take = jnp.concatenate([take[1:], jnp.zeros(1, bool)])
+    take = take & ~(nxt_take & (nxt_len > best_len + 1))
+    skip = jnp.where(take, jnp.minimum(best_len, jnp.int32(n)), 1)
+
+    # greedy parse: serial chain walk in a Pallas kernel (see
+    # ops/chain_pallas.py); selm[i] = 1 iff the chain takes a match at i
+    from .chain_pallas import chain_select
+    selm = chain_select(skip, n)
+
+    # device-side compaction: selected matches to the front, packed
+    nslots = n // MIN_MATCH
+    key = jnp.where(selm > 0, pos.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    packed = (best_len.astype(jnp.uint32) << 25) | \
+        best_dist.astype(jnp.uint32)
+    pos_c, pay_c = jax.lax.sort((key, packed), num_keys=1)
+    count = jnp.sum((selm > 0).astype(jnp.int32))
+    out = jnp.stack([pos_c[:nslots], pay_c[:nslots]])
+    return count, out
+
+
+def _run_segment(padded: np.ndarray, npos: int, max_distance: int,
+                 ncand: int):
+    """Dispatch one segment (async); returns device handles."""
+    dev = jax.device_put(jnp.asarray(padded))
+    return match_block(dev, jnp.int32(npos), jnp.int32(max_distance),
+                       num_candidates=ncand)
+
+
+def _collect_segment(handles, b: int):
+    """Read back one segment's compacted matches (blocking)."""
+    count, out = handles
+    cnt = int(np.asarray(count))
+    if cnt == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # bucket the readback size to limit recompile/slice variants
+    k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
+    k = min(k, out.shape[1])
+    host = np.asarray(out[:, :k])
+    m = host[0, :cnt].astype(np.int64)
+    pay = host[1, :cnt]
+    lens = (pay >> 25).astype(np.int64)
+    dists = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
+    return m, lens, dists
+
+
 def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
                      base: int = 0):
-    """Host wrapper: pad to a bucket, run the device kernel per segment,
-    extend cap-hit matches on host. Returns (pos, len, dist) int64."""
+    """Host wrapper: pad segments to buckets, pipeline them through the
+    device (async dispatch overlaps H2D/compute/D2H across segments),
+    extend cap-hit matches on host. Returns (pos, len, dist, flag)."""
+    if jax.default_backend() == "cpu":
+        # CPU backend (tests): no Pallas; NumPy pipeline is equivalent
+        from ..enc.matcher import find_matches_vectorized
+        return find_matches_vectorized(
+            data, max_distance, num_candidates=4 if quality >= 5 else 2,
+            use_dict=quality >= 5, base=base)
     ncand = 4 if quality >= 5 else 2
     n = len(data)
-    seg = _BUCKETS[-1]
-    all_m, all_l, all_d, all_f = [], [], [], []
+    seg = SEG_BYTES
+    handles = []
     for lo in range(0, n, seg):
         hi = min(lo + seg, n)
         chunk = np.asarray(data[lo:hi])
@@ -136,26 +188,11 @@ def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
         padded = np.zeros(b, np.uint8)
         padded[:len(chunk)] = chunk
         npos = max(len(chunk) - 3, 0)
-        use_pallas = jax.default_backend() != "cpu"
-        if use_pallas:
-            morbit, mlens, mdists = match_block(
-                jnp.asarray(padded), jnp.int32(npos),
-                jnp.int32(max_distance), num_candidates=ncand)
-            morbit = np.asarray(morbit).astype(np.int64)
-            valid = morbit < b
-            m = morbit[valid]
-            m_l = np.asarray(mlens).astype(np.int64)[valid]
-            m_d = np.asarray(mdists).astype(np.int64)[valid]
-        else:  # CPU backend (tests): host-side chain walk
-            from .chain_pallas import chain_select_host
-            skip, lens_all, dists_all = match_block(
-                jnp.asarray(padded), jnp.int32(npos),
-                jnp.int32(max_distance), num_candidates=ncand,
-                use_pallas=False)
-            sel = chain_select_host(np.asarray(skip))
-            m = np.flatnonzero(sel).astype(np.int64)
-            m_l = np.asarray(lens_all).astype(np.int64)[m]
-            m_d = np.asarray(dists_all).astype(np.int64)[m]
+        handles.append((lo, chunk, b,
+                        _run_segment(padded, npos, max_distance, ncand)))
+    all_m, all_l, all_d, all_f = [], [], [], []
+    for lo, chunk, b, h in handles:
+        m, m_l, m_d = _collect_segment(h, b)
         m_f = np.zeros(len(m), np.int64)
         m, m_l, m_d, m_f = _extend_capped(chunk, m, m_l, m_d, m_f, CAP,
                                           1 << 24)
