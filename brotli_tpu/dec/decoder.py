@@ -234,6 +234,10 @@ class Decoder:
     def __init__(self, large_window: bool = False, dictionary=None):
         self.large_window = large_window
         self.compound = bytes(dictionary) if dictionary else b""
+        # optional stream-anatomy trace (dissector/diagnostics): when a
+        # list, every command appends (insert_len, copy_len, distance,
+        # dist_code, position) -- cf. research/brotlidump.py's role
+        self.trace = None
 
     def decompress(self, data) -> bytes:
         out, _ = self._decompress_impl(data, allow_trailing=False)
@@ -367,6 +371,8 @@ class Decoder:
                 out.append(lit)
             remaining -= insert_len
             if remaining <= 0:
+                if self.trace is not None:
+                    self.trace.append((insert_len, 0, 0, -2, len(out)))
                 break
 
             # --- distance
@@ -392,6 +398,10 @@ class Decoder:
                     extra = br.take(int(dist_extra[dcode]))
                     distance = int(dist_offset[dcode]) + (extra << npostfix)
 
+            if self.trace is not None:
+                self.trace.append((
+                    insert_len, copy_len, distance,
+                    -1 if implicit_dist0 else dcode, len(out)))
             if distance > max_distance:
                 if distance > C.MAX_ALLOWED_DISTANCE:
                     raise FormatError("distance too large")

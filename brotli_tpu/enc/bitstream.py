@@ -83,13 +83,44 @@ def _encode_values(values, base, extra):
     return codes, values - base[codes], extra[codes].astype(np.int64)
 
 
+def initial_ring() -> np.ndarray:
+    """Decoder ring at stream start, newest-first (RFC 7932 4)."""
+    return np.array(C.INITIAL_DISTANCE_RB[::-1], dtype=np.int64)
+
+
+def ring_after(dists, flags, ring=None) -> np.ndarray:
+    """Distance ring state after a command sequence, without
+    serializing it (used to seed parallel shard encoders: the decoder's
+    ring crosses shard seams). Static-dict words (flag 2) never push;
+    consecutive equal distances collapse to one push."""
+    if ring is None:
+        ring = initial_ring()
+    ring = np.asarray(ring, dtype=np.int64)
+    cd = np.asarray(dists, dtype=np.int64)[np.asarray(flags) != 2]
+    cd = cd[cd > 0]
+    if len(cd) == 0:
+        return ring.copy()
+    keep = np.concatenate([[cd[0] != ring[0]], cd[1:] != cd[:-1]])
+    pv = np.concatenate([ring[::-1], cd[keep]])
+    return pv[:-5:-1].copy()
+
+
 def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
-                  last_distance: int, dict_flag: np.ndarray = None):
+                  ring, dict_flag: np.ndarray = None):
     """Resolve commands to symbols + extras, all vectorized.
 
-    Returns dict of per-command arrays and the updated last distance.
+    `ring`: the decoder's 4-slot distance ring entering this block,
+    newest-first (None = stream start). Returns (plan dict, new ring).
     The final command of a metablock may be insert-only (cpy == 0,
     dist == 0); mid-stream commands always have cpy >= 2.
+
+    The ring is simulated exactly (decoder parity: dec/decoder.py
+    short-code branch; reference c/dec/decode.c dist ring): every copy
+    command whose distance differs from the ring top pushes it, code 0
+    does not push, dictionary words never touch the ring. Hence the
+    push sequence is the copy-distance sequence with consecutive
+    duplicates collapsed -- which makes all 16 short codes computable
+    with vector ops, no serial state walk.
     """
     n = len(ins)
     icode, iextra, ibits = _encode_values(ins, prefix.INSERT_BASE,
@@ -98,42 +129,54 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     ccode, cextra, cbits = _encode_values(np.where(final_insert, 2, cpy),
                                           prefix.COPY_BASE,
                                           prefix.COPY_EXTRA)
-    # Last-distance chain: a command "reuses" when its distance equals
-    # the decoder's ring-buffer top, i.e. the distance of the nearest
-    # earlier *pushing* command (LZ copy, not a dictionary reference --
-    # dict refs never enter the ring, RFC 4). Reuses keep the value
-    # flowing even though they don't push. Vectorized forward-fill:
     if dict_flag is None:
         dict_flag = np.zeros(n, dtype=np.int64)
     # flag semantics: 0 = LZ, 1 = compound-dict ref (pushes the ring,
     # decode.c:1598), 2 = static-dict word (never touches the ring)
     is_dict = dict_flag == 2
-    if n:
-        pushes = ~final_insert & ~is_dict
-        idx = np.arange(n)
-        last_push_idx = np.maximum.accumulate(np.where(pushes, idx, -1))
-        shifted = np.concatenate([[-1], last_push_idx[:-1]])
-        prev_real = np.where(shifted >= 0, dist[np.maximum(shifted, 0)],
-                             last_distance)
+    if ring is None:
+        ring = initial_ring()
+    ring = np.asarray(ring, dtype=np.int64)
+
+    # exact ring simulation over the copy commands of this block
+    slot = np.zeros((4, n), np.int64)  # ring value per command, per slot
+    copy_sel = np.flatnonzero(~final_insert & ~is_dict)
+    if len(copy_sel):
+        cd = dist[copy_sel].astype(np.int64)
+        top_before = np.concatenate([[ring[0]], cd[:-1]])
+        newpush = cd != top_before
+        pv = np.concatenate([ring[::-1], cd[newpush]])  # oldest..newest
+        cnt_before = 4 + np.cumsum(newpush) - newpush   # pushes before
+        for s in range(4):
+            slot[s, copy_sel] = pv[cnt_before - 1 - s]
+        new_ring = pv[:-5:-1].copy()  # last 4, newest-first
     else:
-        prev_real = np.zeros(0, dtype=np.int64)
-    is_reuse = (~final_insert) & (dist == prev_real)
+        new_ring = ring.copy()
+
+    is_reuse = (~final_insert) & ~is_dict & (dist == slot[0])
     implicit = is_reuse & (icode < 8) & (ccode < 16)
     explicit_reuse = is_reuse & ~implicit
 
     dcode = np.zeros(n, dtype=np.int64)
     dextra = np.zeros(n, dtype=np.int64)
     dbits = np.zeros(n, dtype=np.int64)
-    # near-reuse short codes 4..9 encode last_distance +/- 1..3 with no
-    # extra bits (RFC 4). The ring-top equals the nearest copy command's
-    # distance regardless of which code that command used, so prev_real
-    # is exact here. Resolution pushes, keeping the model consistent.
-    delta = dist - prev_real
-    near = ((~final_insert) & ~is_reuse & ~is_dict &
-            (np.abs(delta) <= 3) & (delta != 0) & (prev_real > 0))
-    near_code = np.where(delta < 0, 4 + 2 * (-delta - 1),
-                         5 + 2 * (delta - 1))
-    dcode[near] = near_code[near]
+    # short codes: 1..3 = older ring slots, 4..9 = ring-top +/-1..3,
+    # 10..15 = second slot +/-1..3 (RFC 7932 4; no extra bits)
+    short = np.full(n, -1, np.int64)
+    eligible = (~final_insert) & ~is_reuse & ~is_dict
+    d0, d1 = dist - slot[0], dist - slot[1]
+    near0 = np.where(d0 < 0, 4 + 2 * (-d0 - 1), 5 + 2 * (d0 - 1))
+    near1 = np.where(d1 < 0, 10 + 2 * (-d1 - 1), 11 + 2 * (d1 - 1))
+    for cond, code in [
+            (dist == slot[1], 1), (dist == slot[2], 2),
+            (dist == slot[3], 3),
+            ((np.abs(d0) <= 3) & (d0 != 0), near0),
+            ((np.abs(d1) <= 3) & (d1 != 0), near1)]:
+        pick = eligible & (short < 0) & cond
+        short = np.where(pick, code if np.ndim(code) else
+                         np.full(n, code, np.int64), short)
+    near = short >= 0
+    dcode[near] = short[near]
     explicit_new = (~final_insert) & ~is_reuse & ~near
     if np.any(explicit_new):
         d = dist[explicit_new].astype(np.int64) - 1  # RFC: d = dist-NDIRECT-1
@@ -163,10 +206,6 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
         cmd_syms[fix] = _combine_codes(icode[fix], ccode[fix],
                                        np.zeros(int(fix.sum()), bool))
 
-    # decoder ring-top after this block = distance of the last non-dict
-    # copy command (reuse/near codes resolve to exactly that value)
-    ring_src = (~final_insert) & ~is_dict if n else final_insert
-    new_last = int(dist[ring_src][-1]) if np.any(ring_src) else last_distance
     return {
         "cmd_syms": cmd_syms.astype(np.int64),
         "insert_extras": (iextra, ibits),
@@ -176,7 +215,7 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
         "dist_extras": (dextra, dbits),
         "has_dist": has_dist,
         "ins": np.asarray(ins, np.int64),
-    }, new_last
+    }, new_ring
 
 
 def _combine_codes(icode, ccode, implicit):
@@ -255,18 +294,26 @@ def write_context_map(bw: BitWriter, cmap: np.ndarray,
 
 
 def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
-                    mlen: int, cmds, is_last: bool, last_distance: int,
+                    mlen: int, cmds, is_last: bool, ring=None,
                     quality: int = 1, context_mode=None,
-                    ctx_floor: int = 0) -> int:
+                    ctx_floor: int = 0):
     """Serialize one compressed metablock.
 
     q < 5: single tree per alphabet ("StoreMetaBlockTrivial").
     q >= 5: 2nd-order literal context modeling -- per-context histograms
-    clustered into <= 12 trees with a context map.
-    Returns the updated decoder-visible last distance.
+    clustered into trees with a context map.
+    q >= 9: literal block splitting; q >= 10 adds command/distance block
+    splitting and a distance context map (parity: BrotliStoreMetaBlock,
+    c/enc/brotli_bit_stream.c + metablock.c q>=10 path).
+    `ring`: 4-slot decoder distance ring entering the block (newest
+    first; None = stream start). Returns the updated ring.
     """
     ins, cpy, dist, dflag = _as_arrays(cmds)
-    plan, new_last = plan_commands(ins, cpy, dist, last_distance, dflag)
+    plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag)
+    ncmd = len(ins)
+    cmd_syms = plan["cmd_syms"]
+    has = plan["has_dist"]
+    dsyms_sub = plan["dist_syms"][has]
 
     # literals: gather runs [pos, pos+ins) for each command
     starts = block_start + np.concatenate(
@@ -275,11 +322,10 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     lit_pos = _run_positions(starts, plan["ins"])
     nlit = len(literals)
 
-    # literal block splitting (q >= 9): chunk clustering over the
-    # literal stream -> block types with separate tree sets
+    # --- block splitting per category (RFC 6)
+    from . import block_split
     split = None
     if quality >= 9 and nlit >= 4096:
-        from . import block_split
         split = block_split.split_symbols(literals,
                                           C.NUM_LITERAL_SYMBOLS)
     if split is not None:
@@ -289,6 +335,27 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         ntypes = 1
         type_of_lit = np.zeros(nlit, np.int64)
 
+    cmd_split = dist_split = None
+    if quality >= 10 and ncmd >= 2048:
+        cmd_split = block_split.split_symbols(
+            cmd_syms, C.NUM_COMMAND_SYMBOLS, chunk=256, max_types=6)
+    if quality >= 10 and len(dsyms_sub) >= 2048:
+        dist_split = block_split.split_symbols(
+            dsyms_sub, 64, chunk=256, max_types=4)
+    if cmd_split is not None:
+        crun_types, cblock_lengths, type_of_cmd = cmd_split
+        ntypes_i = int(crun_types.max()) + 1
+    else:
+        ntypes_i = 1
+        type_of_cmd = np.zeros(ncmd, np.int64)
+    if dist_split is not None:
+        drun_types, dblock_lengths, type_of_dsym = dist_split
+        ntypes_d = int(drun_types.max()) + 1
+    else:
+        ntypes_d = 1
+        type_of_dsym = np.zeros(len(dsyms_sub), np.int64)
+
+    # --- literal context modeling + clustering
     use_context = quality >= 5 and nlit >= 1024
     from . import context_model as cm
     if use_context:
@@ -304,7 +371,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             literals, group, ntypes * C.NUM_LITERAL_CONTEXTS,
             C.NUM_LITERAL_SYMBOLS)
         if use_context:
-            assign, merged = cm.cluster_histograms(hists, max_trees=12)
+            assign, merged = cm.cluster_histograms(
+                hists, max_trees=48 if quality >= 10 else 12)
         else:  # per-type trees, constant over contexts
             assign = np.repeat(np.arange(ntypes, dtype=np.int64),
                                C.NUM_LITERAL_CONTEXTS)
@@ -316,42 +384,76 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             use_context = False
     multi = use_context or ntypes > 1
 
+    # --- distance context map (4 copy-length contexts per block type)
+    dctx_tab = prefix.cmd_lut()["dist_context"].astype(np.int64)
+    dctx = dctx_tab[cmd_syms[has]]
+    dgroup = (type_of_dsym << C.DISTANCE_CONTEXT_BITS) | dctx
+    use_dist_map = quality >= 10 and len(dsyms_sub) >= 512
+    if use_dist_map or ntypes_d > 1:
+        dhists = cm.context_histograms(
+            dsyms_sub, dgroup, ntypes_d * 4, 64)
+        dassign, dmerged = cm.cluster_histograms(
+            dhists, max_trees=8, table_cost_bits=30.0)
+        n_dist_trees = len(dmerged)
+        if n_dist_trees == 1 and ntypes_d == 1:
+            use_dist_map = False
+    if not (use_dist_map or ntypes_d > 1):
+        dassign = np.zeros(4, np.int64)
+        dmerged = np.bincount(dsyms_sub, minlength=64)[None, :] \
+            if len(dsyms_sub) else np.zeros((1, 64), np.int64)
+        n_dist_trees = 1
+
+    # --- header
     write_metablock_header_mlen(bw, mlen, is_last)
     write_varlen_uint8(bw, ntypes - 1)  # NBLTYPESL
     if ntypes > 1:
         sw_info = _plan_block_switches(run_types, block_lengths, ntypes)
         _write_block_header(bw, sw_info, ntypes)
-    write_varlen_uint8(bw, 0)  # NBLTYPESI
-    write_varlen_uint8(bw, 0)  # NBLTYPESD
+    write_varlen_uint8(bw, ntypes_i - 1)  # NBLTYPESI
+    if ntypes_i > 1:
+        csw_info = _plan_block_switches(crun_types, cblock_lengths,
+                                        ntypes_i)
+        _write_block_header(bw, csw_info, ntypes_i)
+    write_varlen_uint8(bw, ntypes_d - 1)  # NBLTYPESD
+    if ntypes_d > 1:
+        dsw_info = _plan_block_switches(drun_types, dblock_lengths,
+                                        ntypes_d)
+        _write_block_header(bw, dsw_info, ntypes_d)
     bw.write(0, 2)  # NPOSTFIX = 0
     bw.write(0, 4)  # NDIRECT = 0
 
-    cmd_freq = np.bincount(plan["cmd_syms"],
+    # --- command trees: one per command block type (no context map)
+    cmd_lens2d = np.zeros((ntypes_i, C.NUM_COMMAND_SYMBOLS), np.int64)
+    for t in range(ntypes_i):
+        freq = np.bincount(cmd_syms[type_of_cmd == t],
                            minlength=C.NUM_COMMAND_SYMBOLS)
-    dsyms = plan["dist_syms"][plan["has_dist"]]
-    dist_freq = np.bincount(dsyms, minlength=64) if len(dsyms) else \
-        np.zeros(64, np.int64)
-    cmd_len = package_merge(cmd_freq, C.HUFFMAN_MAX_CODE_LENGTH)
-    dist_len = package_merge(dist_freq, C.HUFFMAN_MAX_CODE_LENGTH)
+        cmd_lens2d[t] = package_merge(freq, C.HUFFMAN_MAX_CODE_LENGTH)
+    dist_lens2d = np.zeros((n_dist_trees, 64), np.int64)
+    for t in range(n_dist_trees):
+        dist_lens2d[t] = package_merge(dmerged[t],
+                                       C.HUFFMAN_MAX_CODE_LENGTH)
 
     if not multi:
         bw.write(0, 2)  # literal context mode (irrelevant: 1 tree)
         write_varlen_uint8(bw, 0)  # literal context map: 1 tree
+    else:
+        for _ in range(ntypes):
+            bw.write(mode, 2)  # context mode per literal block type
+        write_context_map(bw, assign, ntrees)  # literal context map
+    if n_dist_trees > 1:
+        write_context_map(bw, dassign, n_dist_trees)
+    else:
         write_varlen_uint8(bw, 0)  # distance context map: 1 tree
+
+    if not multi:
         lit_freq = np.bincount(literals, minlength=C.NUM_LITERAL_SYMBOLS)
         lit_len = package_merge(lit_freq, C.HUFFMAN_MAX_CODE_LENGTH)
         write_huffman_code(bw, lit_len, C.NUM_LITERAL_SYMBOLS)
-        write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
-        write_huffman_code(bw, dist_len, 64)
         lit_len = _emission(lit_len)
         lit_codes = lengths_to_codes(lit_len).astype(np.int64)
         lit_vals = lit_codes[literals]
         lit_bits = lit_len[literals]
     else:
-        for _ in range(ntypes):
-            bw.write(mode, 2)  # context mode per literal block type
-        write_context_map(bw, assign, ntrees)  # literal context map
-        write_varlen_uint8(bw, 0)  # distance context map: 1 tree
         lit_lens2d = np.zeros((ntrees, C.NUM_LITERAL_SYMBOLS), np.int32)
         lit_codes2d = np.zeros_like(lit_lens2d, dtype=np.int64)
         for t in range(ntrees):
@@ -360,11 +462,13 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             e = _emission(true_len)
             lit_lens2d[t] = e
             lit_codes2d[t] = lengths_to_codes(e).astype(np.int64)
-        write_huffman_code(bw, cmd_len, C.NUM_COMMAND_SYMBOLS)
-        write_huffman_code(bw, dist_len, 64)
         tree_of_lit = assign[group]
         lit_vals = lit_codes2d[tree_of_lit, literals]
         lit_bits = lit_lens2d[tree_of_lit, literals].astype(np.int64)
+    for t in range(ntypes_i):
+        write_huffman_code(bw, cmd_lens2d[t], C.NUM_COMMAND_SYMBOLS)
+    for t in range(n_dist_trees):
+        write_huffman_code(bw, dist_lens2d[t], 64)
 
     if ntypes > 1:  # embed switch slots before the switching literal
         lit_vals, lit_bits = _with_switch_slots(
@@ -373,14 +477,39 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     else:
         lanes = 1
 
-    cmd_len_e = _emission(cmd_len)
-    dist_len_e = _emission(dist_len)
+    # per-command symbol values under the selected trees
+    cmd_lens_e = np.stack([_emission(cmd_lens2d[t])
+                           for t in range(ntypes_i)])
+    cmd_codes_e = np.stack([lengths_to_codes(cmd_lens_e[t])
+                            for t in range(ntypes_i)]).astype(np.int64)
+    cmd_vals = cmd_codes_e[type_of_cmd, cmd_syms]
+    cmd_bits = cmd_lens_e[type_of_cmd, cmd_syms]
+    dist_lens_e = np.stack([_emission(dist_lens2d[t])
+                            for t in range(n_dist_trees)])
+    dist_codes_e = np.stack([lengths_to_codes(dist_lens_e[t])
+                             for t in range(n_dist_trees)]).astype(
+        np.int64)
+    tree_of_dsym = dassign[dgroup]
+    dist_vals = np.zeros(ncmd, np.int64)
+    dist_bits = np.zeros(ncmd, np.int64)
+    hidx = np.flatnonzero(has)
+    dist_vals[hidx] = dist_codes_e[tree_of_dsym, dsyms_sub]
+    dist_bits[hidx] = dist_lens_e[tree_of_dsym, dsyms_sub]
+
+    # block-switch slots for command / distance streams
+    cmd_sw = dist_sw = None
+    if ntypes_i > 1:
+        at = np.cumsum(csw_info["block_lengths"])[:-1]
+        cmd_sw = (at, csw_info)
+    if ntypes_d > 1:
+        at = hidx[np.cumsum(dsw_info["block_lengths"])[:-1]]
+        dist_sw = (at, dsw_info)
+
     values, nbits = _interleave_symbols(
-        plan, (lit_vals, lit_bits), lanes,
-        (lengths_to_codes(cmd_len_e).astype(np.int64), cmd_len_e),
-        (lengths_to_codes(dist_len_e).astype(np.int64), dist_len_e))
+        plan, (lit_vals, lit_bits), lanes, (cmd_vals, cmd_bits),
+        (dist_vals, dist_bits), cmd_sw, dist_sw)
     bw.write_arrays(values, nbits)
-    return new_last
+    return new_ring
 
 
 def _plan_block_switches(run_types, block_lengths, ntypes):
@@ -452,9 +581,9 @@ def _with_switch_slots(lit_vals, lit_bits, sw):
 
 # backwards-compatible alias used by tests/tools
 def store_metablock_trivial(bw, data, block_start, mlen, cmds, is_last,
-                            last_distance):
+                            ring=None):
     return store_metablock(bw, data, block_start, mlen, cmds, is_last,
-                           last_distance, quality=1)
+                           ring, quality=1)
 
 
 def _run_positions(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -498,40 +627,52 @@ def _gather_runs(data: np.ndarray, starts: np.ndarray,
     return data[src]
 
 
-def _interleave_symbols(plan, lit_stream, lanes, cmd_code, dist_code):
+def _interleave_symbols(plan, lit_stream, lanes, cmd_stream, dist_stream,
+                        cmd_sw=None, dist_sw=None):
     """Build the metablock body (value, nbits) stream in decode order:
-    per command: cmd sym, insert extra, copy extra, literals, dist sym,
-    dist extra. `lit_stream` = per-literal (values, nbits), either 1D or
-    (nlit, lanes) when block-switch slots ride along each literal."""
+    per command: [cmd block switch] cmd sym, insert extra, copy extra,
+    literals (each with optional literal-switch lanes), [dist block
+    switch] dist sym, dist extra. cmd/dist streams come per-command,
+    already tree-selected; zero-bit slots vanish in the bit writer."""
     lit_vals_in, lit_bits_in = lit_stream
     ins = plan["ins"]
     n = len(ins)
     nlit = lit_vals_in.shape[0]
-    total = n * 5 + nlit * lanes
+    total = n * 11 + nlit * lanes
     values = np.zeros(total, dtype=np.int64)
     nbits = np.zeros(total, dtype=np.int64)
-    # per-command record length = 3 + ins_k * lanes + 2
-    rec_len = 5 + ins * lanes
+    # record: 3 cmd-switch slots + 3 fixed + ins*lanes + 3 dist-switch
+    # slots + 2 dist slots
+    rec_len = 11 + ins * lanes
     rec_start = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(
         np.int64)
-    # fixed fields
-    cmd_codes, cmd_lens = cmd_code
-    s = plan["cmd_syms"]
-    values[rec_start] = cmd_codes[s]
-    nbits[rec_start] = cmd_lens[s]
+    if cmd_sw is not None:
+        at, sw = cmd_sw
+        slots = rec_start[at]
+        tsyms = sw["tsyms"]
+        values[slots] = sw["type_codes"][tsyms]
+        nbits[slots] = sw["type_bits"][tsyms]
+        cc = sw["ccode"][1:]
+        values[slots + 1] = sw["cnt_codes"][cc]
+        nbits[slots + 1] = sw["cnt_bits"][cc]
+        values[slots + 2] = sw["cextra"][1:]
+        nbits[slots + 2] = sw["cbits"][1:]
+    cmd_vals, cmd_bits = cmd_stream
+    values[rec_start + 3] = cmd_vals
+    nbits[rec_start + 3] = cmd_bits
     iv, ib = plan["insert_extras"]
-    values[rec_start + 1] = iv
-    nbits[rec_start + 1] = ib
+    values[rec_start + 4] = iv
+    nbits[rec_start + 4] = ib
     cv, cb = plan["copy_extras"]
-    values[rec_start + 2] = cv
-    nbits[rec_start + 2] = cb
-    # literals (each `lanes` slots wide) at rec_start + 3 + k*lanes
+    values[rec_start + 5] = cv
+    nbits[rec_start + 5] = cb
+    # literals (each `lanes` slots wide) at rec_start + 6 + k*lanes
     if nlit:
         ends = np.cumsum(ins)
         out_start = ends - ins
         idx = np.arange(nlit, dtype=np.int64)
         run_id = np.searchsorted(ends, idx, side="right")
-        slot0 = rec_start[run_id] + 3 + (idx - out_start[run_id]) * lanes
+        slot0 = rec_start[run_id] + 6 + (idx - out_start[run_id]) * lanes
         if lanes == 1:
             values[slot0] = lit_vals_in
             nbits[slot0] = lit_bits_in
@@ -540,13 +681,23 @@ def _interleave_symbols(plan, lit_stream, lanes, cmd_code, dist_code):
                 values[slot0 + c] = lit_vals_in[:, c]
                 nbits[slot0 + c] = lit_bits_in[:, c]
     # distances at record end
-    dist_codes, dist_lens = dist_code
-    dslot = rec_start + 3 + ins * lanes
+    dslot = rec_start + 6 + ins * lanes
+    if dist_sw is not None:
+        at, sw = dist_sw
+        slots = dslot[at]
+        tsyms = sw["tsyms"]
+        values[slots] = sw["type_codes"][tsyms]
+        nbits[slots] = sw["type_bits"][tsyms]
+        cc = sw["ccode"][1:]
+        values[slots + 1] = sw["cnt_codes"][cc]
+        nbits[slots + 1] = sw["cnt_bits"][cc]
+        values[slots + 2] = sw["cextra"][1:]
+        nbits[slots + 2] = sw["cbits"][1:]
+    dist_vals, dist_bits = dist_stream
     has = plan["has_dist"]
-    ds = plan["dist_syms"]
-    values[dslot] = np.where(has, dist_codes[ds], 0)
-    nbits[dslot] = np.where(has, dist_lens[ds], 0)
+    values[dslot + 3] = np.where(has, dist_vals, 0)
+    nbits[dslot + 3] = np.where(has, dist_bits, 0)
     dv, db = plan["dist_extras"]
-    values[dslot + 1] = np.where(has, dv, 0)
-    nbits[dslot + 1] = np.where(has, db, 0)
+    values[dslot + 4] = np.where(has, dv, 0)
+    nbits[dslot + 4] = np.where(has, db, 0)
     return values, nbits

@@ -34,11 +34,16 @@ def find_matches(arr, max_distance, quality):
     """Quality-dispatched match finder over the full buffer."""
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
     ncand = 4 if quality >= 5 else 2
-    if quality >= 10 and len(arr) >= _VECTOR_THRESHOLD:
-        # iterated cost-model parse (zopfli-role, batched)
+    if quality >= 10 and (1 << 10) <= len(arr) <= (8 << 20):
+        # blocked optimal-parse DP (zopfli role, batched across blocks)
+        from .optimal import find_matches_optimal
+        return find_matches_optimal(arr, max_distance,
+                                    nc=32 if quality >= 11 else 8)
+    if quality >= 10 and len(arr) > (8 << 20):
+        # very large inputs: iterated cost-model parse until the
+        # device DP path covers this size class
         return matcher.find_matches_costmodel(
-            arr, max_distance, num_candidates=6,
-            use_dict=True)
+            arr, max_distance, num_candidates=6, use_dict=True)
     if len(arr) >= _VECTOR_THRESHOLD and backend != "numpy":
         try:
             from ..ops.matcher_jax import find_matches_jax
@@ -83,7 +88,7 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
     _write_blocks(bw, arr, D, D + n, matches, lgblock, is_last=True,
-                  last_distance=-1, quality=quality, ctx_floor=D)
+                  ring=None, quality=quality, ctx_floor=D)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
@@ -110,8 +115,9 @@ def _lift_dictionary_matches(matches, D, maxback):
 
 
 def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
-                  last_distance, quality=1, ctx_floor=0):
-    """Serialize region [lo, hi) as metablocks; returns last_distance."""
+                  ring=None, quality=1, ctx_floor=0):
+    """Serialize region [lo, hi) as metablocks; returns the distance
+    ring state after the last block."""
     mb_size = 1 << lgblock
     boundaries = list(range(lo + mb_size, hi, mb_size)) + [hi]
     m, lens, dists, flags = matcher.split_matches_at(*matches, boundaries)
@@ -119,11 +125,11 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
     for bi, b in enumerate(boundaries):
         block_last = is_last and bi == len(boundaries) - 1
         cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
-        last_distance = bitstream.store_metablock(
-            bw, arr, pos, b - pos, cmds, block_last, last_distance,
+        ring = bitstream.store_metablock(
+            bw, arr, pos, b - pos, cmds, block_last, ring,
             quality=quality, ctx_floor=ctx_floor)
         pos = b
-    return last_distance
+    return ring
 
 
 def _store_uncompressed(arr, lgwin) -> bytes:
@@ -161,7 +167,7 @@ class StreamingEncoder:
         self._finished = False
         self._bw = BitWriter()
         self._history = bytearray()
-        self._last_distance = -1
+        self._ring = None
 
     def _ensure_header(self):
         if not self._started:
@@ -190,10 +196,10 @@ class StreamingEncoder:
         m, lens, dists, flags = matcher.split_matches_at(
             *matches, [start, len(arr)])
         keep = m >= start
-        self._last_distance = _write_blocks(
+        self._ring = _write_blocks(
             self._bw, arr, start, len(arr),
             (m[keep], lens[keep], dists[keep], flags[keep]),
-            lgblock, is_last, self._last_distance, quality=quality)
+            lgblock, is_last, self._ring, quality=quality)
         self._history = bytearray(data[-(1 << lgwin):])
         self._buf.clear()
 

@@ -1,0 +1,422 @@
+"""Optimal-parse backward references (q10/q11) as a blocked, batched DP.
+
+Role parity: c/enc/backward_references_hq.c (BrotliZopfliComputeShortestPath
++ ZopfliCostModel). The reference runs a serial shortest-path DP over one
+8M-node graph; that shape is hostile to vector hardware, so this is a
+re-design, not a translation:
+
+  * the input is cut into fixed blocks of B bytes with hard parse
+    boundaries (a match may not cross a block edge -- the loss is a few
+    bits per boundary), which makes every block an independent DP;
+  * all blocks advance in lock-step: the DP wavefront is a loop of B
+    steps, each step a handful of vector ops over the block axis, so
+    the serial depth is B instead of n;
+  * cost/length/slot are packed into one integer per node so the
+    argmin travels with the min for free.
+
+Edge sets per position: NC nearest hash candidates (ordered by
+distance, the zopfli-role exhaustive search), 4 distance-cache probes
+and full-length seed edges from the previous parse, and a
+static-dictionary word probe. Costs come from the previous parse's
+histograms (literal bits are context-modeled, RFC 7932 7.1); every
+edge is priced as it will actually emit -- ring-code savings are
+opportunistic, realized by plan_commands when they line up.
+"""
+
+import numpy as np
+
+from ..format import prefix
+from . import static_dict
+from .matcher import (HASH_MUL, MIN_MATCH, hash4, _extend_capped,
+                      _tz_bytes)
+
+CAPQ = 32          # candidate/cache edge-length cap
+B = 8192           # DP block size (hard parse boundary)
+QB = 16            # cost quantization: 1/16 bit
+CMD_BASE_Q = 2 * QB  # floor cost per command beyond modeled parts
+MAX_EDGE = 2047    # packed-length field limit (backtrack payload)
+
+
+def _w8(data: np.ndarray) -> np.ndarray:
+    n = len(data)
+    w8 = np.zeros(n, np.uint64)
+    for i in range(8):
+        w8[:n - i] |= data[i:].astype(np.uint64) << np.uint64(8 * i)
+    return w8
+
+
+def _capped_len(w8, pos, cand, valid, cap=CAPQ):
+    """Common-prefix length (<= cap) of data[pos:] vs data[cand:]."""
+    n = len(w8)
+    mlen = np.zeros(len(pos), np.int32)
+    alive = valid.copy()
+    c = np.where(valid, cand, 0)
+    for r in range(0, cap, 8):
+        p_r = np.minimum(pos + r, n - 1)
+        c_r = np.minimum(c + r, n - 1)
+        x = w8[p_r] ^ w8[c_r]
+        tz = _tz_bytes(x)
+        mlen += np.where(alive, tz, 0)
+        alive &= x == 0
+    return np.minimum(mlen, cap)
+
+
+def candidates_topk(data: np.ndarray, max_distance: int, nc: int):
+    """Per-position nearest `nc` same-hash prior occurrences.
+
+    Returns (cand_len int32[nc, n], cand_dist int64[nc, n]); slot k is
+    the (k+1)-nearest, so distances grow with k and any prefix length
+    is realizable at the smallest listed distance that covers it.
+    """
+    n = len(data)
+    cand_len = np.zeros((nc, n), np.int32)
+    cand_dist = np.zeros((nc, n), np.int64)
+    if n < 8:
+        return cand_len, cand_dist
+    npos = n - 3
+    h = hash4(data, 18)
+    order = np.argsort(h, kind="stable").astype(np.int64)
+    h_s = h[order]
+    w8 = _w8(data)
+    pos_idx = np.arange(npos, dtype=np.int64)
+    for k in range(1, nc + 1):
+        cand = np.full(npos, -1, np.int64)
+        same = h_s[k:] == h_s[:-k]
+        cand[order[k:]] = np.where(same, order[:-k], -1)
+        dist = pos_idx - cand
+        valid = (cand >= 0) & (dist <= max_distance)
+        mlen = _capped_len(w8, pos_idx, cand, valid)
+        mlen = np.minimum(mlen, (n - pos_idx).astype(np.int32))
+        cand_len[k - 1, :npos] = np.where(valid, mlen, 0)
+        cand_dist[k - 1, :npos] = np.where(valid, dist, 0)
+    return cand_len, cand_dist
+
+
+def cache_probes(data: np.ndarray, cache_dist: np.ndarray):
+    """Match lengths at the previous parse's ring distances.
+
+    cache_dist: int64[4, n] per-position candidate distances (0 = none).
+    Returns int32[4, n] capped lengths."""
+    n = len(data)
+    w8 = _w8(data)
+    pos = np.arange(n, dtype=np.int64)
+    out = np.zeros((4, n), np.int32)
+    for s in range(4):
+        d = cache_dist[s]
+        valid = (d > 0) & (d <= pos)
+        mlen = _capped_len(w8, pos, pos - d, valid)
+        out[s] = np.minimum(np.where(valid, mlen, 0),
+                            (n - pos).astype(np.int32))
+    return out
+
+
+def _ring_history(m, dists, flags, n):
+    """Per-position last-4 pushed distances of a given parse.
+
+    Mirrors the decoder ring: dictionary words never push; consecutive
+    equal distances collapse (a reuse emits dist code 0, no push)."""
+    cache = np.zeros((4, n), np.int64)
+    push = flags != 2
+    pm, pd = m[push], dists[push]
+    if len(pm) == 0:
+        return cache
+    keep = np.concatenate([[True], pd[1:] != pd[:-1]])
+    pm, pd = pm[keep], pd[keep]
+    # ring visible at position p: pushes with match pos strictly < p
+    # (a match's own distance enters the ring only after its command)
+    idx = np.searchsorted(pm, np.arange(n), side="left") - 1
+    for s in range(4):
+        j = idx - s
+        cache[s] = np.where(j >= 0, pd[np.maximum(j, 0)], 0)
+    return cache
+
+
+def _dist_sym_extra(dists: np.ndarray):
+    """(dist code >= 16, extra bits) for explicit distances
+    (npostfix = ndirect = 0)."""
+    d = dists.astype(np.int64) - 1
+    nbits = np.zeros(len(d), np.int64)
+    tmp = (d + 4) >> 2
+    while np.any(tmp):
+        nbits += tmp > 0
+        tmp >>= 1
+    half = ((d + 4 - (np.int64(1) << (nbits + 1))) >> nbits) & 1
+    return 16 + (((nbits - 1) << 1) | half), nbits
+
+
+class CostModel:
+    """Quantized bit costs from a previous parse (ZopfliCostModel role)."""
+
+    def __init__(self, data, m, lens, dists, flags, context_mode=None):
+        n = len(data)
+        covered = np.zeros(n + 1, np.int64)
+        np.add.at(covered, np.minimum(m, n), 1)
+        np.add.at(covered, np.minimum(m + lens, n), -1)
+        is_lit = np.cumsum(covered[:n]) == 0
+        # literal bits, 2nd-order context modeled (UTF8 mode)
+        from ..format import context as ctx
+        lut = ctx.context_lut(2 if context_mode is None else context_mode)
+        p1 = np.concatenate([[0], data[:-1]]).astype(np.int64)
+        p2 = np.concatenate([[0, 0], data[:-2]]).astype(np.int64)
+        cid = (lut[0][p1] | lut[1][p2]).astype(np.int64)
+        hist = np.zeros((64, 256), np.int64)
+        np.add.at(hist, (cid[is_lit], data[is_lit].astype(np.int64)), 1)
+        hist += 1
+        bits = -np.log2(hist / hist.sum(axis=1, keepdims=True))
+        self.litq = np.minimum(
+            (bits[cid, data.astype(np.int64)] * QB), 24 * QB
+        ).astype(np.int64)
+        self.litq_cum = np.concatenate(
+            [[0], np.cumsum(self.litq)]).astype(np.int64)
+
+        # copy-code cost: marginal copy-code bits plus the *measured*
+        # insert-side share of the joint command symbol (joint entropy
+        # minus copy-marginal entropy over this parse's actual commands)
+        from . import bitstream
+        ccode, _, cbits = bitstream._encode_values(
+            np.maximum(lens, 2), prefix.COPY_BASE, prefix.COPY_EXTRA)
+        cc_hist = np.bincount(ccode, minlength=24).astype(np.float64) + 0.2
+        cc_p = cc_hist / cc_hist.sum()
+        ins_share = 3.0
+        if len(m) > 16:
+            prev_end = np.concatenate([[0], (m + lens)[:-1]])
+            ins_lens = np.maximum(m - prev_end, 0)
+            icode, _, _ = bitstream._encode_values(
+                ins_lens, prefix.INSERT_BASE, prefix.INSERT_EXTRA)
+            syms = bitstream._combine_codes(
+                icode, ccode, np.zeros(len(m), bool))
+            jh = np.bincount(syms, minlength=704).astype(np.float64)
+            jp = jh / jh.sum()
+            joint_avg = float(-(jp[jh > 0] * np.log2(jp[jh > 0])).sum())
+            copy_avg = float(-(cc_p * np.log2(cc_p)).sum())
+            ins_share = max(joint_avg - copy_avg, 0.5)
+        self.cc_bits = -np.log2(cc_p) + ins_share
+        self.copyq = self.copy_cost_q(np.arange(CAPQ + 1))
+        self.copyq[:2] = 1 << 30
+
+        # explicit-distance symbol cost from this parse's histogram
+        expl = (flags == 0) | (flags == 1)
+        if np.any(expl):
+            dsym, _ = _dist_sym_extra(np.maximum(dists[expl], 1))
+            dh = np.bincount(dsym, minlength=16 + 48).astype(np.float64)
+        else:
+            dh = np.zeros(64, np.float64)
+        dh += 0.2
+        self.dist_sym_bits = -np.log2(dh / dh.sum())
+        # short-code cost (ring hits): mildly optimistic constant per
+        # slot; slot 0 = reuse (code 0) is the cheapest
+        self.shortq = (np.array([4.0, 6.0, 6.5, 7.0]) * QB).astype(
+            np.int64)
+
+    def dist_cost_q(self, dists: np.ndarray) -> np.ndarray:
+        dsym, nbits = _dist_sym_extra(np.maximum(dists, 1))
+        return ((self.dist_sym_bits[np.minimum(dsym, 63)] + nbits) *
+                QB).astype(np.int64)
+
+    def copy_cost_q(self, lens: np.ndarray) -> np.ndarray:
+        """Command-symbol + copy-extra bit cost for copy lengths."""
+        lcode = np.searchsorted(prefix.COPY_BASE,
+                                np.maximum(lens, 2), side="right") - 1
+        return ((self.cc_bits[lcode] + prefix.COPY_EXTRA[lcode]) *
+                QB).astype(np.int64)
+
+
+def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic):
+    """Lock-step DP over ceil(n/B) independent blocks.
+
+    edge_len: int32[nslots, n], edge_cost_q: int64[nslots, n] (cost of
+    taking the full edge; truncation re-costs by copy length delta are
+    ignored -- the copy table is monotone enough), edge_atomic:
+    bool[nslots] (edge may not be truncated at a block boundary).
+    Returns packed int64[nb, B+1] backtrack array: (len << 7) | slot.
+    """
+    nslots = edge_len.shape[0]
+    assert nslots <= 128 and MAX_EDGE < (1 << 11)
+    nb = (n + B - 1) // B
+    npad = nb * B
+    litp = np.full(npad, 1 << 20, np.int64)
+    litp[:n] = litq[:n]
+    litp = litp.reshape(nb, B)
+    elen = np.zeros((nslots, npad), np.int32)
+    elen[:, :n] = edge_len[:, :n]
+    ecost = np.full((nslots, npad), 1 << 40, np.int64)
+    ecost[:, :n] = edge_cost_q[:, :n]
+    INF = np.int64(1) << 62
+    # node value: (cost << 18) | (len << 7) | slot ; literal step has
+    # len 0 (slot unused)
+    val = np.full((nb, B + 1), INF, np.int64)
+    val[:, 0] = 0
+    bidx = np.arange(nb, dtype=np.int64)
+    for i in range(B):
+        cur = val[:, i]
+        cost = cur >> 18
+        reachable = cur < INF
+        # literal edge
+        lv = ((cost + litp[:, i]) << 18)
+        val[:, i + 1] = np.minimum(val[:, i + 1],
+                                   np.where(reachable, lv, INF))
+        gpos = bidx * B + i
+        for s in range(nslots):
+            l = elen[s, gpos].astype(np.int64)
+            lim = B - i
+            if edge_atomic[s]:
+                l = np.where(l > lim, 0, l)
+            else:
+                l = np.minimum(l, lim)
+            ok = reachable & (l >= 2)
+            if not ok.any():
+                continue
+            tgt = i + np.where(ok, l, 1)
+            v = np.where(ok,
+                         ((cost + ecost[s, gpos]) << 18) | (l << 7) | s,
+                         INF)
+            old = val[bidx, tgt]
+            val[bidx, tgt] = np.minimum(old, v)
+    return val
+
+
+def _backtrack(val, n):
+    """Walk each block's best path backward; returns global (pos, len,
+    slot) arrays of the chosen match edges, position-sorted."""
+    nb = val.shape[0]
+    pos = np.full(nb, B, np.int64)
+    # final (ragged) block: end at its true length
+    last_end = n - (nb - 1) * B
+    pos[-1] = last_end
+    out_pos, out_len, out_slot = [], [], []
+    bidx = np.arange(nb)
+    active = pos > 0
+    while active.any():
+        v = val[bidx, np.maximum(pos, 0)]
+        ln = (v >> 7) & 0x7FF
+        slot = v & 0x7F
+        is_match = active & (ln >= 2)
+        step = np.where(active, np.where(is_match, ln, 1), 0)
+        src = pos - step
+        if is_match.any():
+            out_pos.append((bidx[is_match] * B + src[is_match]))
+            out_len.append(ln[is_match])
+            out_slot.append(slot[is_match])
+        pos = src
+        active = pos > 0
+    if not out_pos:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    p = np.concatenate(out_pos)
+    order = np.argsort(p, kind="stable")
+    return (p[order], np.concatenate(out_len)[order],
+            np.concatenate(out_slot)[order])
+
+
+def _coalesce(m, lens, dists, flags):
+    """Merge adjacent same-distance LZ copies (chunked long matches)
+    back into single commands."""
+    if len(m) < 2:
+        return m, lens, dists, flags
+    join = (m[1:] == m[:-1] + lens[:-1]) & (dists[1:] == dists[:-1]) & \
+        (flags[1:] == 0) & (flags[:-1] == 0)
+    # group id per run of joined matches
+    grp = np.concatenate([[0], np.cumsum(~join)])
+    ngrp = int(grp[-1]) + 1
+    first = np.zeros(ngrp, np.int64)
+    first[grp[::-1]] = np.arange(len(m))[::-1]  # first member per group
+    nl = np.zeros(ngrp, np.int64)
+    np.add.at(nl, grp, lens)
+    return m[first], nl, dists[first], flags[first]
+
+
+def find_matches_optimal(data: np.ndarray, max_distance: int,
+                         base: int = 0, iterations: int = 1,
+                         nc: int = 32, seed=None):
+    """q10/q11 parse: blocked DP over `nc` candidates. Returns (m,
+    lens, dists, flags) like the other matchers."""
+    n = len(data)
+    z = np.zeros(0, np.int64)
+    if n < 16:
+        return z, z, z, z
+    from .matcher import find_matches_vectorized
+    if seed is None:
+        seed = find_matches_vectorized(data, max_distance,
+                                       num_candidates=4, use_dict=True,
+                                       base=base)
+    m, lens, dists, flags = seed
+    SLOT_CACHE, SLOT_DICT, SLOT_SEED = nc, nc + 4, nc + 5
+    nslots = nc + 6
+
+    cand_len, cand_dist = candidates_topk(data, max_distance, nc)
+    # static-dictionary probe at every position (vectorized)
+    pos_all = np.arange(max(n - MIN_MATCH, 0), dtype=np.int64)
+    dlen, didx = static_dict.probe(data, pos_all)
+    ddist = static_dict.dict_distance(pos_all + base, dlen, didx,
+                                      max_distance)
+    dict_len = np.zeros(n, np.int32)
+    dict_dist = np.zeros(n, np.int64)
+    dict_len[:len(pos_all)] = np.where(dlen >= 4, dlen, 0).astype(
+        np.int32)
+    dict_dist[:len(pos_all)] = ddist
+
+    seed_len = np.zeros(n, np.int32)
+    seed_dist = np.zeros(n, np.int64)
+    for it in range(iterations):
+        cm = CostModel(data, m, lens, dists, flags)
+        cache_dist = _ring_history(m, dists, flags, n)
+        cache_len = cache_probes(data, cache_dist)
+
+        edge_len = np.zeros((nslots, n), np.int32)
+        edge_cost = np.full((nslots, n), 1 << 40, np.int64)
+        for k in range(nc):
+            el = np.minimum(cand_len[k], CAPQ)
+            edge_len[k] = el
+            dc = cm.dist_cost_q(cand_dist[k])
+            edge_cost[k] = (cm.copyq[np.minimum(el, CAPQ)] + dc +
+                            CMD_BASE_Q)
+        for s in range(4):
+            el = np.minimum(cache_len[s], CAPQ)
+            edge_len[SLOT_CACHE + s] = el
+            # priced as explicit distances: the DP's own parse decides
+            # the real ring, so short-code savings are opportunistic
+            # (realized by plan_commands when they do line up)
+            edge_cost[SLOT_CACHE + s] = (
+                cm.copyq[np.minimum(el, CAPQ)] +
+                cm.dist_cost_q(np.maximum(cache_dist[s], 1)) + CMD_BASE_Q)
+        dl = np.minimum(dict_len, CAPQ)  # dict words are 4..24 bytes
+        edge_len[SLOT_DICT] = np.where(dict_len <= CAPQ, dict_len, 0)
+        edge_cost[SLOT_DICT] = (cm.copyq[dl] +
+                                cm.dist_cost_q(np.maximum(dict_dist, 1)) +
+                                CMD_BASE_Q)
+        # previous parses' LZ matches at full length (up to the packing
+        # limit): the honest way long matches enter the DP -- candidate
+        # and cache edges are length-capped. Accumulated across
+        # iterations so a later parse never loses an earlier option.
+        lz = flags != 2
+        keep_new = np.minimum(lens[lz], MAX_EDGE) > seed_len[m[lz]]
+        upd = m[lz][keep_new]
+        seed_len[upd] = np.minimum(lens[lz][keep_new],
+                                   MAX_EDGE).astype(np.int32)
+        seed_dist[upd] = dists[lz][keep_new]
+        edge_len[SLOT_SEED] = seed_len
+        edge_cost[SLOT_SEED] = (
+            cm.copy_cost_q(np.maximum(seed_len, 2)) +
+            cm.dist_cost_q(np.maximum(seed_dist, 1)) + CMD_BASE_Q)
+        atomic = np.zeros(nslots, bool)
+        atomic[SLOT_DICT] = True
+
+        val = _blocked_dp(n, cm.litq, edge_len, edge_cost, atomic)
+        p, ln, slot = _backtrack(val, n)
+
+        # resolve slot -> distance/flag
+        d = np.zeros(len(p), np.int64)
+        f = np.zeros(len(p), np.int64)
+        for k in range(nc):
+            sel = slot == k
+            d[sel] = cand_dist[k, p[sel]]
+        for s in range(4):
+            sel = slot == SLOT_CACHE + s
+            d[sel] = cache_dist[s, p[sel]]
+        sel = slot == SLOT_DICT
+        d[sel] = dict_dist[p[sel]]
+        f[sel] = 2
+        sel = slot == SLOT_SEED
+        d[sel] = seed_dist[p[sel]]
+        m, lens, dists, flags = _coalesce(p, ln, d, f)
+    return m, lens, dists, flags

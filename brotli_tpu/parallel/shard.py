@@ -45,31 +45,49 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
     shard_matches = _find_matches_sharded(arr, bounds, max_distance,
                                           quality, use_device)
 
+    # split matches at metablock boundaries first: splitting can drop
+    # tiny straddlers, and the ring derivation below must see exactly
+    # the commands that will be serialized
+    mb = 1 << min(22, C.MAX_INPUT_BLOCK_BITS)
+    shard_bounds = []
+    for si in range(n_shards):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        boundaries = list(range(lo + mb, hi, mb)) + [hi]
+        m, lens, dists, flags = shard_matches[si]
+        shard_matches[si] = matcher.split_matches_at(
+            m + lo, lens, dists, flags, boundaries)
+        shard_bounds.append(boundaries)
+
+    # the decoder's distance ring crosses shard seams: derive each
+    # shard's entry ring from the previous shard's matches (exact,
+    # no serialization needed)
+    entry_rings = [None]
+    for si in range(n_shards - 1):
+        _, _, sdists, sflags = shard_matches[si]
+        entry_rings.append(bitstream.ring_after(sdists, sflags,
+                                                entry_rings[-1]))
+
     # Stage 2: host serialization per shard (threads: NumPy releases the
     # GIL in the hot ops), each shard byte-aligned.
     def serialize(si):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
-        # matches come shard-local; lift to absolute positions so the
+        # matches were lifted to absolute positions above so the
         # decoder-visible context bytes (p1/p2 across the shard seam)
         # and literal gathers stay exact
         m, lens, dists, flags = shard_matches[si]
-        m = m + lo
         bw = BitWriter()
         if si == 0:
             bitstream.write_stream_header(bw, lgwin)
         is_last = si == n_shards - 1
-        mb = 1 << min(22, C.MAX_INPUT_BLOCK_BITS)
-        boundaries = list(range(lo + mb, hi, mb)) + [hi]
-        m, lens, dists, flags = matcher.split_matches_at(
-            m, lens, dists, flags, boundaries)
+        boundaries = shard_bounds[si]
         pos = lo
-        last_distance = -1
+        ring = entry_rings[si]
         for bi, b in enumerate(boundaries):
             cmds = matcher.matches_to_commands(m, lens, dists, flags,
                                                pos, b)
-            last_distance = bitstream.store_metablock(
+            ring = bitstream.store_metablock(
                 bw, arr, pos, b - pos, cmds,
-                is_last and bi == len(boundaries) - 1, last_distance,
+                is_last and bi == len(boundaries) - 1, ring,
                 quality=quality)
             pos = b
         if not is_last:
