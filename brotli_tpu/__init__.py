@@ -9,6 +9,14 @@ Public API mirrors the reference Python binding (python/brotli.py):
 ``compress``, ``decompress``, ``Compressor``, ``Decompressor``, ``error``.
 """
 
+import os as _os
+
+# persistent XLA compilation cache: the device kernels (matcher, DP)
+# compile once per pad-bucket; cache them across processes
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+
 from .api import (  # noqa: F401
     MODE_GENERIC,
     MODE_TEXT,

@@ -34,6 +34,17 @@ def find_matches(arr, max_distance, quality):
     """Quality-dispatched match finder over the full buffer."""
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
     ncand = 4 if quality >= 5 else 2
+    if quality >= 10 and len(arr) >= (1 << 18) and backend != "numpy":
+        try:
+            import jax
+            if jax.default_backend() != "cpu":
+                # device DP (zopfli role): candidates + wavefront DP +
+                # backtrack all on chip (ops/optimal_jax.py)
+                from ..ops.optimal_jax import find_matches_optimal_jax
+                return find_matches_optimal_jax(arr, max_distance,
+                                                quality)
+        except ImportError:
+            pass
     if quality >= 10 and (1 << 10) <= len(arr) <= (8 << 20):
         # blocked optimal-parse DP (zopfli role, batched across blocks)
         from .optimal import find_matches_optimal

@@ -79,6 +79,24 @@ def chain_select(skip: jax.Array, n: int) -> jax.Array:
     return sel.reshape(n)
 
 
+def chain_select_xla(skip: jax.Array, n: int) -> jax.Array:
+    """Pure-XLA chain walk (lax.while_loop) for backends without
+    Mosaic (CPU tests, dry runs). Same contract as chain_select."""
+    sel = jnp.zeros(n, jnp.int32)
+
+    def cond(state):
+        return state[0] < n
+
+    def body(state):
+        pos, sel = state
+        sk = skip[pos]
+        sel = sel.at[pos].set(jnp.where(sk > 1, 1, 0))
+        return pos + jnp.maximum(sk, 1), sel
+
+    _, sel = jax.lax.while_loop(cond, body, (jnp.int32(0), sel))
+    return sel
+
+
 def chain_select_host(skip: np.ndarray) -> np.ndarray:
     """NumPy oracle for tests (match nodes only)."""
     n = len(skip)

@@ -29,7 +29,10 @@ HASH_MUL = np.uint32(0x1E35A7BD)
 CAP = 16  # parallel match-length cap (bytes); host extends cap-hits
 
 # pad buckets: one XLA compilation per bucket size
-_BUCKETS = [1 << b for b in range(16, 24)]
+# two bucket shapes only: every distinct padded shape compiles its
+# own kernels, and sort compiles are minutes-expensive on this
+# backend (remote compile service)
+_BUCKETS = [1 << 20, 1 << 23]
 SEG_BYTES = _BUCKETS[-1]
 
 
@@ -72,23 +75,27 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     w1 = jnp.roll(w0, -4)
     w2 = jnp.roll(w0, -8)
     w3 = jnp.roll(w0, -12)
-    h = (w0 * HASH_MUL) >> jnp.uint32(14)  # 18-bit hash
+    h = (w0 * HASH_MUL) >> jnp.uint32(15)  # 17-bit hash
     pos = jnp.arange(n, dtype=jnp.int32)
-    # positions beyond npos must never match: unique out-of-range hashes
-    h = jnp.where(pos < npos, h, jnp.uint32(1 << 18) + pos.astype(
-        jnp.uint32))
-
-    # sort-carry: (hash, pos) keys, data words ride along
-    h_s, pos_u, w0s, w1s, w2s, w3s = jax.lax.sort(
-        (h, pos.astype(jnp.uint32), w0, w1, w2, w3), num_keys=2)
+    # single packed sort key (hash | coarse pos): 2-key variadic sorts
+    # compile ~20x slower on this backend; in-bucket disorder within a
+    # 512-position block only shuffles candidate order (dist > 0 is
+    # re-checked). Padding rows get unique high-bit keys: never equal.
+    key = jnp.where(pos < npos,
+                    (h << 14) | (pos.astype(jnp.uint32) >> 9),
+                    jnp.uint32(1 << 31) | pos.astype(jnp.uint32))
+    key_s, pos_u, w0s, w1s, w2s, w3s = jax.lax.sort(
+        (key, pos.astype(jnp.uint32), w0, w1, w2, w3), num_keys=1)
+    h_s = key_s >> 14
     pos_s = pos_u.astype(jnp.int32)
 
     best_len_s = jnp.zeros(n, jnp.int32)
     best_dist_s = jnp.zeros(n, jnp.int32)
     for k in range(1, num_candidates + 1):
-        same = h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))
+        same = (h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))) & \
+            (key_s < (jnp.uint32(1) << 31))
         dist = pos_s - _shift_up(pos_s, k, jnp.int32(-1))
-        valid = same & (dist <= max_distance)
+        valid = same & (dist > 0) & (dist <= max_distance)
         # capped common-prefix length via carried-word compares
         mlen = jnp.zeros(n, jnp.int32)
         alive = valid
@@ -125,8 +132,12 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
 
     # greedy parse: serial chain walk in a Pallas kernel (see
     # ops/chain_pallas.py); selm[i] = 1 iff the chain takes a match at i
-    from .chain_pallas import chain_select
-    selm = chain_select(skip, n)
+    if jax.default_backend() == "cpu":  # tests/dry runs: no Mosaic
+        from .chain_pallas import chain_select_xla
+        selm = chain_select_xla(skip, n)
+    else:
+        from .chain_pallas import chain_select
+        selm = chain_select(skip, n)
 
     # device-side compaction: selected matches to the front, packed
     nslots = n // MIN_MATCH

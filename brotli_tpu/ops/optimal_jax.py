@@ -1,0 +1,409 @@
+"""Device optimal-parse DP (q10/q11) -- the zopfli role on TPU.
+
+The host DP in enc/optimal.py is the semantics reference; this is the
+same blocked wavefront mapped to XLA primitives so the whole parse
+stays on device:
+
+  * candidates come from one multi-operand sort (sort-carry, like
+    ops/matcher_jax.py) -- positions plus 32 bytes of data ride the
+    sort, so the k nearest prior same-hash occurrences and their capped
+    match lengths are shifted-vector compares, no gathers;
+  * the DP is a lax.scan over in-block position i with the block axis
+    as the vector dimension. All edges are <= W-1 long, so relaxation
+    targets live in a rolling (nb, W) cost window carried through the
+    scan; per-slot updates are one-hot masks over W -- pure VPU work,
+    zero scatter/gather in the loop;
+  * long matches enter as *continuation* edges: every position inside a
+    previous-parse match gets an edge (min(W-1, end-i), dist). Chunks
+    re-coalesce into single long commands after backtracking (the
+    emitter's ring code 0 makes mid-chain chunks nearly free anyway);
+  * backtracking walks each block in a second scan (one small gather
+    per step), then selected matches compact through a final sort so
+    only ~8 bytes per match cross the host boundary.
+
+Cost model tables (context-modeled literal bits, copy/distance symbol
+bits) are built on host from the greedy seed parse -- they are a few KB.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HASH_MUL = np.uint32(0x1E35A7BD)
+CAPD = 16         # candidate match-length cap (4 carried words)
+W = 64            # DP window: max edge length W-1
+B = 4096          # DP block size (hard parse boundary)
+NCD = 16          # device candidate slots
+QB = 16           # cost quantization (1/16 bit), matches host DP
+SEG = 1 << 23     # segment size (one jit per bucket)
+
+# two bucket shapes only: every distinct padded shape compiles its
+# own kernels, and sort compiles are minutes-expensive on this
+# backend (remote compile service)
+_BUCKETS = [1 << 20, 1 << 23]
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+def _shift_up(x, k, fill):
+    return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+
+def _tz_bytes_u32(x):
+    b0 = (x & 0xFF) == 0
+    b1 = (x & 0xFFFF) == 0
+    b2 = (x & 0xFFFFFF) == 0
+    b3 = x == 0
+    return (b0.astype(jnp.int32) + b1 + b2 + b3)
+
+
+def _dist_cost_q(dist, dist_sym_bits_q):
+    """Quantized explicit-distance cost: symbol bits + extra bits
+    (npostfix = ndirect = 0; matches enc/optimal._dist_sym_extra)."""
+    d = jnp.maximum(dist, 1) - 1
+    v = (d + 4) >> 2
+    nbits = 32 - jax.lax.clz(v | 1)  # bit_length(v)
+    half = ((d + 4 - (jnp.int32(2) << nbits)) >> nbits) & 1
+    sym = jnp.clip(16 + ((nbits - 1) << 1 | half), 0, 63)
+    return dist_sym_bits_q[sym] + nbits * QB
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
+                  dist_sym_bits_q, seed_pos, seed_len, seed_dist,
+                  num_candidates: int = NCD):
+    """Candidates (sort-carry) + continuation edges + literal costs,
+    emitted in blocked (B, nslots, nb) layout for the DP scan."""
+    n = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    nw = CAPD // 4
+    w = [None] * nw
+    w[0] = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
+        jnp.roll(d32, -3) << 24
+    for r in range(1, nw):
+        w[r] = jnp.roll(w[0], -4 * r)
+    # single packed sort key: 17-bit hash | coarse position. Variadic
+    # 2-key sorts compile ~20x slower on this backend, and coarse
+    # in-bucket ordering only shuffles which k a neighbor lands at
+    # (validity is re-checked with dist > 0).
+    h = (w[0] * HASH_MUL) >> jnp.uint32(15)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(pos < npos,
+                    (h << 14) | (pos.astype(jnp.uint32) >> 9),
+                    jnp.uint32(1 << 31) | pos.astype(jnp.uint32))
+    key_s, pos_u, *w_s = jax.lax.sort(
+        (key, pos.astype(jnp.uint32)) + tuple(w), num_keys=1)
+    h_s = key_s >> 14  # padding rows keep the high bit -> never equal
+    pos_s = pos_u.astype(jnp.int32)
+
+    # per-candidate (len, dist) packed u32, in sorted order
+    packed_s = []
+    for k in range(1, num_candidates + 1):
+        same = (h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))) & \
+            (key_s < (jnp.uint32(1) << 31))
+        dist = pos_s - _shift_up(pos_s, k, jnp.int32(-1))
+        valid = same & (dist > 0) & (dist <= max_distance)
+        mlen = jnp.zeros(n, jnp.int32)
+        alive = valid
+        for r in range(nw):
+            x = w_s[r] ^ _shift_up(w_s[r], k, jnp.uint32(0))
+            tz = _tz_bytes_u32(x)
+            mlen = mlen + jnp.where(alive, tz, 0)
+            alive = alive & (x == 0)
+        mlen = jnp.minimum(mlen, jnp.maximum(npos + 3 - pos_s, 0))
+        mlen = jnp.where(valid & (mlen >= 2), mlen, 0)
+        packed_s.append(mlen.astype(jnp.uint32) << 25 |
+                        jnp.where(mlen > 0, dist, 0).astype(jnp.uint32))
+    # back to position order: pos_u is unique, so splitting into two
+    # lower-arity sorts (compile cost grows superlinearly with operand
+    # count on this backend) yields the same permutation
+    half_k = len(packed_s) // 2
+    back1 = jax.lax.sort((pos_u,) + tuple(packed_s[:half_k]),
+                         num_keys=1)
+    back2 = jax.lax.sort((pos_u,) + tuple(packed_s[half_k:]),
+                         num_keys=1)
+    cand_packed = list(back1[1:]) + list(back2[1:])
+
+    # continuation edges from seed matches: scatter (end, dist) at each
+    # match start, then forward-fill over the interior. Seed matches
+    # come from a parse, so they never overlap -- a "latest non-zero"
+    # fill (associative) recovers the covering match at every position.
+    ends = jnp.zeros(n, jnp.int32)
+    sdist = jnp.zeros(n, jnp.int32)
+    sp = jnp.clip(seed_pos, 0, n - 1)
+    ends = ends.at[sp].max(jnp.where(seed_len > 0,
+                                     seed_pos + seed_len, 0))
+    sdist = sdist.at[sp].max(jnp.where(seed_len > 0, seed_dist, 0))
+    last_nz = lambda a, b: jnp.where(b > 0, b, a)
+    end_fill = jax.lax.associative_scan(last_nz, ends)
+    dist_fill = jax.lax.associative_scan(last_nz, sdist)
+    cont_len = jnp.clip(end_fill - pos, 0, W - 1)
+    cont_dist = jnp.where(cont_len >= 2, dist_fill, 0)
+
+    # literal cost per position: host prepares litbits_q as a
+    # [p1, byte] (256 x 256) table -- the p1-driven part of the context
+    # model with p2 marginalized out (the full 2nd-order model still
+    # shapes the emitted stream; this is only DP guidance)
+    p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
+    litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
+
+    # per-slot edge (len, costq), flat (nslots, n); one transpose to
+    # the scan's (B, nslots, nb) layout at the end (layout passes choke
+    # on many small per-slot transposes)
+    nb = n // B
+    slots_len = []
+    slots_cost = []
+    for k in range(num_candidates):
+        le = (cand_packed[k] >> 25).astype(jnp.int32)
+        le = jnp.minimum(le, W - 1)
+        di = (cand_packed[k] & jnp.uint32((1 << 25) - 1)).astype(
+            jnp.int32)
+        cost = copyq[le] + _dist_cost_q(di, dist_sym_bits_q)
+        slots_len.append(le)
+        slots_cost.append(jnp.where(le >= 2, cost, 1 << 28))
+    # continuation slot, priced as a full command: if chunks of a long
+    # match end up adjacent they coalesce after backtracking, so the
+    # real cost is at most the modeled cost (never a broken promise)
+    ccost = copyq[cont_len] + _dist_cost_q(cont_dist, dist_sym_bits_q)
+    slots_len.append(jnp.where(cont_dist > 0, cont_len, 0))
+    slots_cost.append(jnp.where((cont_len >= 2) & (cont_dist > 0),
+                                ccost, 1 << 28))
+
+    nslots = num_candidates + 1
+    ls_flat = jnp.stack(slots_len)          # (nslots, n)
+    cs_flat = jnp.stack(slots_cost)
+    # clip edges that would cross the block boundary; kill sub-2 stubs
+    i_in_b = (pos % B)[None, :]
+    ls_flat = jnp.minimum(ls_flat, B - i_in_b)
+    cs_flat = jnp.where(ls_flat >= 2, cs_flat, 1 << 28)
+    ls_all = ls_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
+    cs_all = cs_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
+    litq_b = litq.reshape(nb, B).T
+    return (ls_all.astype(jnp.int32), cs_all.astype(jnp.int32),
+            litq_b, cand_packed, cont_dist)
+
+
+@jax.jit
+def _scan_kernel(ls_all, cs_all, litq_b):
+    """The DP wavefront: lax.scan over in-block position, blocks as
+    the vector axis, relaxation into a rolling (nb, W) window."""
+    nb = litq_b.shape[1]
+    INF = jnp.int32(1 << 30)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+
+    def step(carry, xs):
+        F, P = carry  # (nb, W) cost, payload
+        lq, ls, cs = xs  # (nb,), (nslots, nb), (nslots, nb)
+        cost_i = F[:, 0]
+        pay_i = P[:, 0]
+        # literal relax into +1
+        lv = cost_i + lq
+        upd = lv < F[:, 1]
+        F = F.at[:, 1].set(jnp.where(upd, lv, F[:, 1]))
+        P = P.at[:, 1].set(jnp.where(upd, 0, P[:, 1]))
+        # all slots at once: scatter each edge into its target column
+        # via a one-hot mask, then reduce over the slot axis (the
+        # winning slot index rides along as argmin)
+        v = cost_i[None, :] + cs                      # (nslots, nb)
+        M = jnp.where(iota_w[None, None, :] == ls[:, :, None],
+                      v[:, :, None], INF)             # (nslots, nb, W)
+        minv = M.min(axis=0)
+        s_win = M.argmin(axis=0).astype(jnp.int32)
+        better = minv < F
+        F = jnp.where(better, minv, F)
+        P = jnp.where(better, (iota_w[None, :] << 7) | (s_win + 1), P)
+        # shift the window
+        F = jnp.concatenate([F[:, 1:], jnp.full((F.shape[0], 1), INF)],
+                            axis=1)
+        P = jnp.concatenate([P[:, 1:], jnp.zeros((P.shape[0], 1),
+                                                 jnp.int32)], axis=1)
+        return (F, P), pay_i
+
+    F0 = jnp.full((nb, W), INF, jnp.int32).at[:, 0].set(0)
+    P0 = jnp.zeros((nb, W), jnp.int32)
+    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0),
+                                      (litq_b, ls_all, cs_all))
+    # pays[i] = final payload of position i (every edge into i comes
+    # from j < i); the block end B needs the post-scan window head
+    return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def _finish_kernel(paymat, cand_packed, cont_dist, npos,
+                   num_candidates: int = NCD):
+    """Backtrack every block, resolve distances, compact matches."""
+    nb = paymat.shape[0]
+    n = nb * B
+    nslots = num_candidates + 1
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+
+    def bstep(posv, _):
+        v = paymat[bidx, posv]
+        ln = v >> 7
+        stepb = jnp.where(posv > 0, jnp.maximum(ln, 1), 0)
+        src = posv - stepb
+        is_match = (ln >= 2) & (posv > 0)
+        return src, (jnp.where(is_match, src, -1), v)
+
+    pos0 = jnp.full((nb,), B, jnp.int32)
+    _, (srcs, vs) = jax.lax.scan(bstep, pos0, None, length=B)
+    # srcs: (B, nb) local match starts (-1 = none); recover global pos
+    gsrc = jnp.where(srcs >= 0, srcs + (bidx[None, :] * B),
+                     -1).reshape(-1)
+    vflat = vs.reshape(-1)
+    ln_all = (vflat >> 7)
+    slot_all = vflat & 0x7F
+
+    # distance per selected match: candidate slots from cand_packed,
+    # continuation slot from cont_dist
+    gclip = jnp.clip(gsrc, 0, n - 1)
+    dsel = jnp.zeros_like(gclip)
+    for k in range(num_candidates):
+        dk = (cand_packed[k] & jnp.uint32((1 << 25) - 1)).astype(
+            jnp.int32)
+        dsel = jnp.where(slot_all == k + 1, dk[gclip], dsel)
+    dsel = jnp.where(slot_all == nslots, cont_dist[gclip], dsel)
+
+    valid = (gsrc >= 0) & (gsrc < npos)
+    key = jnp.where(valid, gsrc.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    payload = (jnp.minimum(ln_all, (1 << 7) - 1).astype(jnp.uint32) <<
+               25) | jnp.minimum(dsel, (1 << 25) - 1).astype(jnp.uint32)
+    pos_c, pay_c = jax.lax.sort((key, payload), num_keys=1)
+    count = jnp.sum(valid.astype(jnp.int32))
+    half = n // 2
+    return count, jnp.stack([pos_c[:half], pay_c[:half]])
+
+
+def dp_parse_block(data, npos, max_distance, litbits_q, copyq, contq,
+                   dist_sym_bits_q, seed_pos, seed_len, seed_dist,
+                   num_candidates: int = NCD):
+    """One segment's optimal parse, entirely on device (three jits;
+    intermediates never leave the chip). See module docstring."""
+    del contq  # reserved for ring-aware pricing
+    ls_all, cs_all, litq_b, cand_packed, cont_dist = _edges_kernel(
+        data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
+        seed_pos, seed_len, seed_dist, num_candidates=num_candidates)
+    paymat = _scan_kernel(ls_all, cs_all, litq_b)
+    return _finish_kernel(paymat, tuple(cand_packed), cont_dist, npos,
+                          num_candidates=num_candidates)
+
+
+def _cost_tables(data: np.ndarray, seed):
+    """Host-side cost tables from the seed parse (a few KB)."""
+    from ..enc.optimal import CostModel, QB as QBH, CMD_BASE_Q
+    from ..format import context as ctx
+    m, lens, dists, flags = seed
+    cm = CostModel(data, m, lens, dists, flags)
+
+    # [p1, byte] literal table: the 2nd-order context model with p2
+    # fixed at the corpus' most common byte (DP guidance only)
+    n = len(data)
+    covered = np.zeros(n + 1, np.int64)
+    np.add.at(covered, np.minimum(m, n), 1)
+    np.add.at(covered, np.minimum(m + lens, n), -1)
+    is_lit = np.cumsum(covered[:n]) == 0
+    lut = ctx.context_lut(2)
+    p1 = np.concatenate([[0], data[:-1]]).astype(np.int64)
+    cid = (lut[0][p1] | lut[1][np.concatenate([[0, 0],
+                                               data[:-2]]).astype(
+        np.int64)]).astype(np.int64)
+    hist = np.zeros((64, 256), np.int64)
+    np.add.at(hist, (cid[is_lit], data[is_lit].astype(np.int64)), 1)
+    hist += 1
+    bits = -np.log2(hist / hist.sum(axis=1, keepdims=True))
+    # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1 takes
+    # only a handful of values -- weight each by P(lut1[p2] | p1) over
+    # adjacent byte pairs in the data
+    l1v = lut[1][data[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
+    p1v = data[1:].astype(np.int64)
+    vals = np.unique(lut[1])
+    wt = np.zeros((256, len(vals)), np.float64)
+    for j, v in enumerate(vals):
+        np.add.at(wt[:, j], p1v[l1v == v], 1)
+    wt /= np.maximum(wt.sum(axis=1, keepdims=True), 1)
+    tab = np.zeros((256, 256), np.float64)
+    l0 = lut[0][np.arange(256)].astype(np.int64)
+    for j, v in enumerate(vals):
+        tab += wt[:, j:j + 1] * bits[l0 | v]
+    litbits_q = np.minimum(tab * QBH, 24 * QBH).astype(np.int32)
+
+    lens_all = np.arange(W)
+    copyq = (cm.copy_cost_q(np.maximum(lens_all, 2)) +
+             CMD_BASE_Q).astype(np.int32)
+    copyq[:2] = 1 << 28
+    # continuation chunks: likely coalesced or ring-code-0 -> cheap
+    contq = np.full(W, int(6.0 * QBH), np.int32)
+    contq[:2] = 1 << 28
+    dist_sym_bits_q = (cm.dist_sym_bits * QBH).astype(np.int32)
+    return litbits_q, copyq, contq, dist_sym_bits_q
+
+
+def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
+                             quality: int = 11, base: int = 0):
+    """Device q10/q11 parse: greedy device seed -> host cost tables ->
+    device DP per segment -> coalesce + dictionary post-pass."""
+    from .matcher_jax import find_matches_jax
+    from ..enc.optimal import _coalesce
+    from ..enc.matcher import add_dictionary_matches
+
+    n = len(data)
+    arr = np.asarray(data)
+    seed = find_matches_jax(arr, max_distance, quality=5, base=base)
+    tables = _cost_tables(arr, seed)
+    dev_tables = [jnp.asarray(t) for t in tables]
+
+    sm, sl, sd, sf = seed
+    all_m, all_l, all_d = [], [], []
+    for lo in range(0, n, SEG):
+        hi = min(lo + SEG, n)
+        chunk = arr[lo:hi]
+        b = _bucket(len(chunk))
+        padded = np.zeros(b, np.uint8)
+        padded[:len(chunk)] = chunk
+        npos = max(len(chunk) - 3, 0)
+        # segment-local seed matches (LZ only), padded to a pow2 slot
+        # count to bound recompiles
+        in_seg = (sm >= lo) & (sm < hi) & (sf != 2)
+        spos = (sm[in_seg] - lo).astype(np.int32)
+        slen = np.minimum(sl[in_seg], hi - sm[in_seg]).astype(np.int32)
+        sdist = sd[in_seg].astype(np.int32)
+        cap = 1 << max(int(np.ceil(np.log2(max(len(spos), 1) + 1))), 10)
+        pad = cap - len(spos)
+        spos = np.pad(spos, (0, pad))
+        slen = np.pad(slen, (0, pad))
+        sdist = np.pad(sdist, (0, pad))
+        count, out = dp_parse_block(
+            jnp.asarray(padded), jnp.int32(npos),
+            jnp.int32(max_distance), *dev_tables,
+            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist))
+        cnt = int(np.asarray(count))
+        if cnt == 0:
+            continue
+        k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
+        k = min(k, out.shape[1])
+        host = np.asarray(out[:, :k])
+        mm = host[0, :cnt].astype(np.int64)
+        pay = host[1, :cnt]
+        ml = (pay >> 25).astype(np.int64)
+        md = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
+        all_m.append(mm + lo)
+        all_l.append(ml)
+        all_d.append(md)
+    if not all_m:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    m = np.concatenate(all_m)
+    lens = np.concatenate(all_l)
+    dists = np.concatenate(all_d)
+    flags = np.zeros(len(m), np.int64)
+    m, lens, dists, flags = _coalesce(m, lens, dists, flags)
+    return add_dictionary_matches(arr, m, lens, dists, flags,
+                                  max_distance, base)
