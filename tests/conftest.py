@@ -3,8 +3,10 @@ import pathlib
 import subprocess
 
 # Virtual 8-device CPU mesh for sharding tests; must be set before any
-# jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# jax import anywhere in the test session. Hard override: the machine
+# environment exports JAX_PLATFORMS=axon (the TPU tunnel), and running
+# tests through the tunnel means minutes-long remote kernel compiles.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
