@@ -22,23 +22,29 @@ class error(Exception):
 
 
 def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
-             lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None) -> bytes:
-    """One-shot compression."""
+             lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None,
+             large_window=False) -> bytes:
+    """One-shot compression. `large_window` allows lgwin up to 30
+    (non-RFC extension; the receiver must opt in too)."""
     from .enc.encoder import encode
     try:
         return encode(bytes(string), quality=quality, lgwin=lgwin,
-                      lgblock=lgblock, mode=mode, dictionary=dictionary)
+                      lgblock=lgblock, mode=mode, dictionary=dictionary,
+                      large_window=large_window)
     except ValueError as e:
         raise error(str(e)) from e
 
 
-def decompress(string, dictionary=None) -> bytes:
-    """One-shot decompression (native fast path, Python fallback)."""
+def decompress(string, dictionary=None, large_window=False) -> bytes:
+    """One-shot decompression (native fast path, Python fallback).
+    `large_window`: opt in to decoding beyond-RFC window streams
+    (parity: BROTLI_DECODER_PARAM_LARGE_WINDOW)."""
     data = bytes(string)
     import os
-    if dictionary:
+    if dictionary or large_window:
         try:
-            return Decoder(dictionary=dictionary).decompress(data)
+            return Decoder(dictionary=dictionary,
+                           large_window=large_window).decompress(data)
         except FormatError as e:
             raise error(str(e)) from e
         except Exception as e:

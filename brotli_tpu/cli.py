@@ -39,18 +39,34 @@ def _build_parser():
     p.add_argument("-V", "--version", action="store_true")
     p.add_argument("-Z", "--best", action="store_true",
                    help="use best compression level (q=11)")
+    p.add_argument("-D", "--dictionary", metavar="FILE",
+                   help="raw LZ77 dictionary file (both directions)")
+    p.add_argument("--large_window", type=int, default=0, metavar="N",
+                   help="enable large window (lgwin up to 30)")
+    p.add_argument("-n", "--no-copy-stat", action="store_true",
+                   help="do not copy source file times/permissions")
+    p.add_argument("-j", dest="rm", action="store_true",
+                   help="remove source files (alias of --rm)")
     return p
 
 
 def _process(data: bytes, args) -> bytes:
+    raw_dict = None
+    if args.dictionary:
+        with open(args.dictionary, "rb") as f:
+            raw_dict = f.read()
     if args.decompress or args.test:
         if args.concatenated:
             from . import decompress_concatenated
             return decompress_concatenated(data)
-        return decompress(data)
+        return decompress(data, dictionary=raw_dict,
+                          large_window=bool(args.large_window))
     lgwin = args.lgwin if args.lgwin else 22
+    if args.large_window:
+        lgwin = max(lgwin, min(args.large_window, 30))
     return compress(data, quality=11 if args.best else args.quality,
-                    lgwin=lgwin)
+                    lgwin=lgwin, dictionary=raw_dict,
+                    large_window=bool(args.large_window))
 
 
 def main(argv=None) -> int:
@@ -104,10 +120,11 @@ def main(argv=None) -> int:
                 continue
             with open(dst, "wb") as f:
                 f.write(out)
-            # copy permissions & times like the reference CLI
-            st = os.stat(path)
-            os.utime(dst, (st.st_atime, st.st_mtime))
-            os.chmod(dst, st.st_mode)
+            if not args.no_copy_stat:
+                # copy permissions & times like the reference CLI
+                st = os.stat(path)
+                os.utime(dst, (st.st_atime, st.st_mtime))
+                os.chmod(dst, st.st_mode)
             if args.verbose:
                 pct = 100.0 * len(out) / max(len(data), 1)
                 print(f"{path} -> {dst} ({pct:.1f}%)", file=sys.stderr)

@@ -34,6 +34,14 @@ def write_stream_header(bw: BitWriter, window_bits: int) -> None:
         bw.write(1, 1)
         bw.write(0, 3)
         bw.write(window_bits - 8, 3)
+    elif 25 <= window_bits <= 30:
+        # large-window brotli (non-RFC extension; decoder opt-in:
+        # c/include/brotli/decode.h BROTLI_DECODER_PARAM_LARGE_WINDOW)
+        bw.write(1, 1)
+        bw.write(0, 3)
+        bw.write(1, 3)
+        bw.write(0, 1)
+        bw.write(window_bits, 6)
     else:
         raise ValueError(f"invalid window bits {window_bits}")
 
@@ -296,7 +304,7 @@ def write_context_map(bw: BitWriter, cmap: np.ndarray,
 def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
                     mlen: int, cmds, is_last: bool, ring=None,
                     quality: int = 1, context_mode=None,
-                    ctx_floor: int = 0):
+                    ctx_floor: int = 0, large: bool = False):
     """Serialize one compressed metablock.
 
     q < 5: single tree per alphabet ("StoreMetaBlockTrivial").
@@ -311,6 +319,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     ins, cpy, dist, dflag = _as_arrays(cmds)
     plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag)
     ncmd = len(ins)
+    dist_alpha = C.distance_alphabet_size(
+        0, 0, C.LARGE_MAX_DISTANCE_BITS if large else C.MAX_DISTANCE_BITS)
     cmd_syms = plan["cmd_syms"]
     has = plan["has_dist"]
     dsyms_sub = plan["dist_syms"][has]
@@ -341,7 +351,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             cmd_syms, C.NUM_COMMAND_SYMBOLS, chunk=256, max_types=6)
     if quality >= 10 and len(dsyms_sub) >= 2048:
         dist_split = block_split.split_symbols(
-            dsyms_sub, 64, chunk=256, max_types=4)
+            dsyms_sub, dist_alpha, chunk=256, max_types=4)
     if cmd_split is not None:
         crun_types, cblock_lengths, type_of_cmd = cmd_split
         ntypes_i = int(crun_types.max()) + 1
@@ -391,7 +401,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     use_dist_map = quality >= 10 and len(dsyms_sub) >= 512
     if use_dist_map or ntypes_d > 1:
         dhists = cm.context_histograms(
-            dsyms_sub, dgroup, ntypes_d * 4, 64)
+            dsyms_sub, dgroup, ntypes_d * 4, dist_alpha)
         dassign, dmerged = cm.cluster_histograms(
             dhists, max_trees=8, table_cost_bits=30.0)
         n_dist_trees = len(dmerged)
@@ -399,8 +409,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             use_dist_map = False
     if not (use_dist_map or ntypes_d > 1):
         dassign = np.zeros(4, np.int64)
-        dmerged = np.bincount(dsyms_sub, minlength=64)[None, :] \
-            if len(dsyms_sub) else np.zeros((1, 64), np.int64)
+        dmerged = np.bincount(dsyms_sub, minlength=dist_alpha)[None, :] \
+            if len(dsyms_sub) else np.zeros((1, dist_alpha), np.int64)
         n_dist_trees = 1
 
     # --- header
@@ -428,7 +438,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         freq = np.bincount(cmd_syms[type_of_cmd == t],
                            minlength=C.NUM_COMMAND_SYMBOLS)
         cmd_lens2d[t] = package_merge(freq, C.HUFFMAN_MAX_CODE_LENGTH)
-    dist_lens2d = np.zeros((n_dist_trees, 64), np.int64)
+    dist_lens2d = np.zeros((n_dist_trees, dist_alpha), np.int64)
     for t in range(n_dist_trees):
         dist_lens2d[t] = package_merge(dmerged[t],
                                        C.HUFFMAN_MAX_CODE_LENGTH)
@@ -468,7 +478,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     for t in range(ntypes_i):
         write_huffman_code(bw, cmd_lens2d[t], C.NUM_COMMAND_SYMBOLS)
     for t in range(n_dist_trees):
-        write_huffman_code(bw, dist_lens2d[t], 64)
+        write_huffman_code(bw, dist_lens2d[t], dist_alpha)
 
     if ntypes > 1:  # embed switch slots before the switching literal
         lit_vals, lit_bits = _with_switch_slots(

@@ -17,9 +17,10 @@ _DEFAULT_MB_BITS = 22  # metablock size (lgblock); <= 24
 _VECTOR_THRESHOLD = 1 << 16  # below this the serial matcher is faster
 
 
-def _sanitize_params(quality, lgwin, lgblock):
+def _sanitize_params(quality, lgwin, lgblock, large_window=False):
     quality = max(0, min(11, int(quality)))
-    lgwin = max(C.MIN_WINDOW_BITS, min(C.MAX_WINDOW_BITS, int(lgwin)))
+    cap = C.LARGE_MAX_WINDOW_BITS if large_window else C.MAX_WINDOW_BITS
+    lgwin = max(C.MIN_WINDOW_BITS, min(cap, int(lgwin)))
     if lgblock == 0:
         lgblock = min(_DEFAULT_MB_BITS, max(16, lgwin))
     lgblock = max(C.MIN_INPUT_BLOCK_BITS,
@@ -30,9 +31,15 @@ def _sanitize_params(quality, lgwin, lgblock):
 import os  # noqa: E402
 
 
-def find_matches(arr, max_distance, quality):
+def find_matches(arr, max_distance, quality, large=False):
     """Quality-dispatched match finder over the full buffer."""
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
+    if large:
+        # device paths pack distances in 24/25 bits; beyond-RFC windows
+        # take the int64 host pipeline
+        return matcher.find_matches_vectorized(
+            arr, max_distance, num_candidates=4,
+            use_dict=quality >= 5)
     ncand = 4 if quality >= 5 else 2
     if quality >= 10 and len(arr) >= (1 << 18) and backend != "numpy":
         try:
@@ -77,12 +84,15 @@ def find_matches(arr, max_distance, quality):
 
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
-           lgblock: int = 0, mode: int = 0, dictionary=None) -> bytes:
+           lgblock: int = 0, mode: int = 0, dictionary=None,
+           large_window: bool = False) -> bytes:
     """One-shot encode. `dictionary`: optional raw LZ77 (compound)
     dictionary -- matches may reach into it via beyond-window distances
     (parity: BrotliEncoderPrepareDictionary RAW +
-    AttachPreparedDictionary)."""
-    quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock)
+    AttachPreparedDictionary). `large_window`: allow lgwin up to 30
+    (non-RFC extension, BROTLI_PARAM_LARGE_WINDOW)."""
+    quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock,
+                                               large_window)
     bw = BitWriter()
     bitstream.write_stream_header(bw, lgwin)
     raw = bytes(data)
@@ -95,11 +105,12 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
                         dtype=np.uint8)
     maxback = C.max_backward_distance(lgwin)
 
-    matches = find_matches(arr, maxback, quality)
+    large = lgwin > C.MAX_WINDOW_BITS
+    matches = find_matches(arr, maxback, quality, large=large)
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
     _write_blocks(bw, arr, D, D + n, matches, lgblock, is_last=True,
-                  ring=None, quality=quality, ctx_floor=D)
+                  ring=None, quality=quality, ctx_floor=D, large=large)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
@@ -126,7 +137,7 @@ def _lift_dictionary_matches(matches, D, maxback):
 
 
 def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
-                  ring=None, quality=1, ctx_floor=0):
+                  ring=None, quality=1, ctx_floor=0, large=False):
     """Serialize region [lo, hi) as metablocks; returns the distance
     ring state after the last block."""
     mb_size = 1 << lgblock
@@ -138,7 +149,7 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
         cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
         ring = bitstream.store_metablock(
             bw, arr, pos, b - pos, cmds, block_last, ring,
-            quality=quality, ctx_floor=ctx_floor)
+            quality=quality, ctx_floor=ctx_floor, large=large)
         pos = b
     return ring
 

@@ -144,8 +144,8 @@ def distance_lut(npostfix: int, ndirect: int,
     separately). Direct codes map to distances 1..ndirect.
     """
     size = C.distance_alphabet_size(npostfix, ndirect, maxnbits)
-    extra = np.zeros(size, np.int32)
-    offset = np.zeros(size, np.int32)
+    extra = np.zeros(size, np.int64)
+    offset = np.zeros(size, np.int64)  # large-window offsets pass 2^31
     i = C.NUM_DISTANCE_SHORT_CODES
     for j in range(ndirect):
         offset[i] = j + 1
@@ -156,7 +156,10 @@ def distance_lut(npostfix: int, ndirect: int,
         base = ndirect + ((((2 + half) << bits) - 4) << npostfix) + 1
         for j in range(postfix):
             extra[i] = bits
-            offset[i] = base + j
+            # top large-window codes describe distances past 2^62 --
+            # far beyond MAX_ALLOWED_DISTANCE; clamp (they only need to
+            # be "too large" so the decoder rejects them)
+            offset[i] = min(base + j, 1 << 56)
             i += 1
         bits += half
         half ^= 1

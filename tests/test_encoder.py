@@ -5,6 +5,7 @@ import os
 
 import pytest
 
+import numpy as np
 import brotli_tpu
 from tests.conftest import ref_decompress
 
@@ -97,3 +98,24 @@ def test_decompressor_output_buffer_limit(testdata):
     while not d.is_finished():
         rest.append(d.process(b"", output_buffer_limit=65536))
     assert b"".join(rest) == raw
+
+
+def test_large_window_roundtrip(ref_cli, testdata):
+    """lgwin > 24 streams: far matches use the extended distance
+    alphabet; the reference CLI must accept them with --large_window
+    (parity: BROTLI_PARAM_LARGE_WINDOW / decode.h large-window opt-in).
+    """
+    import subprocess
+    import brotli_tpu
+
+    block = (testdata / "lcet10.txt").read_bytes()[:1 << 18]
+    filler = bytes(np.random.default_rng(7).integers(
+        0, 255, (17 << 20)).astype(np.uint8))
+    data = block + filler + block  # twin blocks ~17 MB apart
+    c = brotli_tpu.compress(data, quality=5, lgwin=25, large_window=True)
+    assert brotli_tpu.decompress(c, large_window=True) == data
+    r = subprocess.run([ref_cli, "-d", "-c", "--large_window=30"],
+                       input=c, capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    # the twin block must compress via a far reference
+    assert len(c) < len(block) + len(filler) + len(block) // 2
