@@ -109,6 +109,11 @@ class Compressor:
     def flush(self) -> bytes:
         return self._enc.flush()
 
+    def emit_metadata(self, payload) -> bytes:
+        """Emit buffered input, then a metadata block (parity:
+        BROTLI_OPERATION_EMIT_METADATA)."""
+        return self._enc.emit_metadata(bytes(payload))
+
     def finish(self) -> bytes:
         return self._enc.finish()
 

@@ -47,6 +47,9 @@ def _build_parser():
                    help="do not copy source file times/permissions")
     p.add_argument("-j", dest="rm", action="store_true",
                    help="remove source files (alias of --rm)")
+    p.add_argument("--comment", metavar="STR",
+                   help="compress: embed STR as a metadata block; "
+                        "decompress: verify the stream carries STR")
     return p
 
 
@@ -56,6 +59,8 @@ def _process(data: bytes, args) -> bytes:
         with open(args.dictionary, "rb") as f:
             raw_dict = f.read()
     if args.decompress or args.test:
+        if args.comment:
+            _verify_comment(data, args.comment)
         if args.concatenated:
             from . import decompress_concatenated
             return decompress_concatenated(data)
@@ -64,9 +69,26 @@ def _process(data: bytes, args) -> bytes:
     lgwin = args.lgwin if args.lgwin else 22
     if args.large_window:
         lgwin = max(lgwin, min(args.large_window, 30))
+    if args.comment:
+        from . import Compressor
+        c = Compressor(quality=11 if args.best else args.quality,
+                       lgwin=lgwin)
+        out = c.emit_metadata(args.comment.encode())
+        c.process(data)
+        return out + c.finish()
     return compress(data, quality=11 if args.best else args.quality,
                     lgwin=lgwin, dictionary=raw_dict,
                     large_window=bool(args.large_window))
+
+
+def _verify_comment(data: bytes, comment: str) -> None:
+    from .dec.decoder import Decoder
+    seen = []
+    d = Decoder()
+    d.metadata_callback = seen.append
+    d.decompress_prefix(data)
+    if comment.encode() not in seen:
+        raise ValueError("comment mismatch")
 
 
 def main(argv=None) -> int:

@@ -238,6 +238,10 @@ class Decoder:
         # list, every command appends (insert_len, copy_len, distance,
         # dist_code, position) -- cf. research/brotlidump.py's role
         self.trace = None
+        # metadata hook (parity: BrotliDecoderSetMetadataCallbacks,
+        # c/include/brotli/decode.h:398): called with each metadata
+        # block's content bytes
+        self.metadata_callback = None
 
     def decompress(self, data) -> bytes:
         out, _ = self._decompress_impl(data, allow_trailing=False)
@@ -280,7 +284,9 @@ class Decoder:
                 if skip_bytes:
                     mlen += 1
                 br.align_to_byte()
-                br.read_bytes(mlen)  # metadata content (exposed later)
+                meta = br.read_bytes(mlen)
+                if self.metadata_callback is not None:
+                    self.metadata_callback(bytes(meta))
                 if is_last:
                     break
                 continue

@@ -79,6 +79,29 @@ def write_uncompressed_metablock(bw: BitWriter, data: bytes) -> None:
     bw.write_arrays(arr.astype(np.int64), np.full(len(arr), 8, np.int64))
 
 
+def write_metadata_block(bw: BitWriter, payload: bytes) -> None:
+    """Emit a metadata block (RFC 9.2 MNIBBLES=0 path; parity:
+    BROTLI_OPERATION_EMIT_METADATA, c/enc/encode.c ProcessMetadata).
+    Content is opaque to decompression and byte-aligned."""
+    n = len(payload)
+    if n > (1 << 24):
+        raise ValueError("metadata too large")
+    bw.write(0, 1)   # ISLAST
+    bw.write(3, 2)   # MNIBBLES code -> metadata block
+    bw.write(0, 1)   # reserved
+    if n == 0:
+        bw.write(0, 2)   # MSKIPBYTES = 0
+    else:
+        nbytes = ((n - 1).bit_length() + 7) // 8 or 1
+        bw.write(nbytes, 2)
+        v = n - 1
+        for i in range(nbytes):
+            bw.write((v >> (8 * i)) & 0xFF, 8)
+    bw.align_to_byte()
+    for b in payload:
+        bw.write(b, 8)
+
+
 def write_last_empty(bw: BitWriter) -> None:
     bw.write(1, 1)  # ISLAST
     bw.write(1, 1)  # ISLASTEMPTY

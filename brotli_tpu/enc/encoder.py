@@ -225,6 +225,18 @@ class StreamingEncoder:
         self._history = bytearray(data[-(1 << lgwin):])
         self._buf.clear()
 
+    def emit_metadata(self, payload: bytes) -> bytes:
+        """Flush buffered input, then write one metadata block
+        (byte-aligned, opaque to decompression)."""
+        if self._finished:
+            raise ValueError("encoder already finished")
+        self._ensure_header()
+        self._emit_buffered(is_last=False)
+        bitstream.write_metadata_block(self._bw, payload)
+        out = self._bw.getvalue()
+        self._bw = BitWriter()
+        return out
+
     def flush(self) -> bytes:
         if self._finished:
             return b""

@@ -119,3 +119,25 @@ def test_large_window_roundtrip(ref_cli, testdata):
     assert r.returncode == 0 and r.stdout == data
     # the twin block must compress via a far reference
     assert len(c) < len(block) + len(filler) + len(block) // 2
+
+
+def test_metadata_blocks(ref_cli):
+    """Metadata blocks: opaque to decompression, delivered via the
+    decoder callback (parity: EMIT_METADATA / SetMetadataCallbacks)."""
+    import brotli_tpu
+    from brotli_tpu.dec.decoder import Decoder
+
+    payload = b"comment: hello \x00\xff world"
+    c = brotli_tpu.Compressor(quality=5)
+    blob = c.emit_metadata(payload)
+    blob += c.process(b"body " * 4096)
+    blob += c.emit_metadata(b"")  # empty metadata block mid-stream
+    blob += c.finish()
+
+    seen = []
+    d = Decoder()
+    d.metadata_callback = seen.append
+    assert d.decompress(blob) == b"body " * 4096
+    assert seen == [payload, b""]
+    rc, out = ref_decompress(ref_cli, blob)
+    assert rc == 0 and out == b"body " * 4096
