@@ -9,6 +9,10 @@ BitWriter.getvalue (uint64 variant).
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.jaxcfg import ensure_cache
+
+ensure_cache()
 import numpy as np
 
 

@@ -21,6 +21,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.jaxcfg import ensure_cache
+
+ensure_cache()
 import numpy as np
 
 from ..enc.matcher import MIN_MATCH, _extend_capped

@@ -29,6 +29,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.jaxcfg import ensure_cache
+
+ensure_cache()
 import numpy as np
 
 HASH_MUL = np.uint32(0x1E35A7BD)
@@ -37,12 +41,15 @@ W = 64            # DP window: max edge length W-1
 B = 4096          # DP block size (hard parse boundary)
 NCD = 16          # device candidate slots
 QB = 16           # cost quantization (1/16 bit), matches host DP
-SEG = 1 << 23     # segment size (one jit per bucket)
+SEG = 1 << 20     # DP segment size: one pad-bucket shape keeps the
+                  # (expensive) kernel compile count at one; long-range
+                  # matches still flow in as seed/continuation edges
+                  # found by the 8MB-segment greedy matcher
 
-# two bucket shapes only: every distinct padded shape compiles its
-# own kernels, and sort compiles are minutes-expensive on this
-# backend (remote compile service)
-_BUCKETS = [1 << 20, 1 << 23]
+# one bucket shape: every distinct padded shape compiles its own
+# kernels, and sort compiles are minutes-expensive on this backend
+# (remote compile service)
+_BUCKETS = [1 << 20]
 
 
 def _bucket(n: int) -> int:

@@ -1,0 +1,30 @@
+"""JAX runtime configuration: persistent compilation + autotune cache.
+
+The env var alone is not picked up by this JAX build; the config knob
+must be set explicitly after import. Kernel (re)compiles go through a
+remote compile service that prices each variadic sort at minutes, so
+cache persistence matters a lot here.
+"""
+
+import os
+import pathlib
+
+_DONE = False
+
+
+def ensure_cache():
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    import jax
+
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:
+        pass

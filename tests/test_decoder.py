@@ -43,3 +43,11 @@ def test_trailing_garbage_rejected(testdata):
     comp = (testdata / "quickfox.compressed").read_bytes()
     with pytest.raises(brotli_tpu.error):
         brotli_tpu.decompress(comp + b"tail")
+
+
+def test_fuzz_differential(testdata):
+    """Chunk-mutation fuzz: Python and native decoders must agree on
+    accept/reject and output (role parity: c/fuzz/decode_fuzzer.c)."""
+    from brotli_tpu.tools.fuzz import run
+    stats = run(iters=200, seed=1234, corpus=testdata)
+    assert stats["accept"] + stats["reject"] == 200
