@@ -60,3 +60,28 @@ def test_sharded_encode(testdata, ref_cli):
     rc, out = ref_decompress(ref_cli, comp)
     assert rc == 0 and out == data
     assert brotli_tpu.decompress(comp) == data
+
+
+def test_dictgen_tool(ref_cli, testdata):
+    """Dictionary generator (research/dictionary_generator.cc role):
+    the generated raw dictionary must help on in-domain data and the
+    stream must decode through the reference CLI with -D."""
+    import subprocess
+    import tempfile
+    import brotli_tpu
+    from brotli_tpu.tools.dictgen import generate
+
+    data = (testdata / "alice29.txt").read_bytes()
+    train, target = data[:len(data) // 2], data[len(data) // 2:]
+    d = generate(train, 32768)
+    assert 0 < len(d) <= 32768
+    plain = brotli_tpu.compress(target, quality=5)
+    withd = brotli_tpu.compress(target, quality=5, dictionary=d)
+    assert len(withd) < len(plain)
+    assert brotli_tpu.decompress(withd, dictionary=d) == target
+    with tempfile.NamedTemporaryFile(suffix=".dict") as f:
+        f.write(d)
+        f.flush()
+        r = subprocess.run([ref_cli, "-d", "-c", "-D", f.name],
+                           input=withd, capture_output=True)
+    assert r.returncode == 0 and r.stdout == target
