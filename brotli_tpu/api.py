@@ -127,25 +127,17 @@ class Decompressor:
     """
 
     def __init__(self, dictionary=None):
-        self._buf = bytearray()
+        from .dec.decoder import IncrementalDecoder
+        self._inc = IncrementalDecoder(dictionary=dictionary)
         self._pending = bytearray()
-        self._finished = False
 
     def process(self, string=b"", output_buffer_limit=None) -> bytes:
         if string and not self.can_accept_more_data():
             raise error("cannot accept more data: drain pending output")
-        self._buf += bytes(string)
-        # Incremental host decode: retry full decode until enough input.
-        # (Round 1: whole-buffer retry; resumable state machine to follow.)
-        if not self._finished:
-            try:
-                out = Decoder().decompress(bytes(self._buf))
-                self._pending += out
-                self._finished = True
-            except FormatError as e:
-                raise error(str(e)) from e
-            except Exception:
-                pass  # needs more input
+        try:
+            self._pending += self._inc.feed(bytes(string))
+        except FormatError as e:
+            raise error(str(e)) from e
         if output_buffer_limit is None:
             out = bytes(self._pending)
             self._pending.clear()
@@ -155,7 +147,7 @@ class Decompressor:
         return out
 
     def is_finished(self) -> bool:
-        return self._finished and not self._pending
+        return self._inc.finished and not self._pending
 
     def can_accept_more_data(self) -> bool:
-        return not self._finished and not self._pending
+        return not self._inc.finished and not self._pending

@@ -255,61 +255,10 @@ class Decoder:
     def _decompress_impl(self, data, allow_trailing: bool):
         br = BitReader(data)
         out = bytearray()
-        window_bits, is_large = _read_window_bits(br, self.large_window)
-        if not is_large and not (10 <= window_bits <= 24):
-            raise FormatError(f"bad window bits {window_bits}")
-        if is_large and not (C.LARGE_MIN_WINDOW_BITS <= window_bits
-                             <= C.LARGE_MAX_WINDOW_BITS):
-            raise FormatError(f"bad large window bits {window_bits}")
-        max_backward = (1 << window_bits) - C.WINDOW_GAP
-        dist_rb = list(C.INITIAL_DISTANCE_RB)
-        rb_idx = 0
-
-        while True:
-            is_last = br.take(1)
-            if is_last:
-                if br.take(1):  # ISLASTEMPTY
-                    break
-            mnibbles = br.take(2) + 4
-            if mnibbles == 7:  # metadata block
-                if br.take(1):
-                    raise FormatError("reserved bit set")
-                skip_bytes = br.take(2)
-                mlen = 0
-                for i in range(skip_bytes):
-                    b = br.take(8)
-                    if i + 1 == skip_bytes and skip_bytes > 1 and b == 0:
-                        raise FormatError("exuberant metadata nibble")
-                    mlen |= b << (i * 8)
-                if skip_bytes:
-                    mlen += 1
-                br.align_to_byte()
-                meta = br.read_bytes(mlen)
-                if self.metadata_callback is not None:
-                    self.metadata_callback(bytes(meta))
-                if is_last:
-                    break
-                continue
-            mlen = 0
-            for i in range(mnibbles):
-                nib = br.take(4)
-                if i + 1 == mnibbles and mnibbles > 4 and nib == 0:
-                    raise FormatError("exuberant nibble")
-                mlen |= nib << (i * 4)
-            mlen += 1
-            is_uncompressed = 0 if is_last else br.take(1)
-            if is_uncompressed:
-                pad = br.align_to_byte()
-                if pad != 0:
-                    raise FormatError("non-zero padding")
-                out += br.read_bytes(mlen)
-                continue
-
-            rb_idx = self._metablock(br, out, mlen, max_backward, dist_rb,
-                                     rb_idx, is_large)
-            if is_last:
-                break
-
+        state = self._read_stream_header(br)
+        done = False
+        while not done:
+            done = self._one_metablock(br, out, state)
         pad = br.align_to_byte()
         if pad != 0:
             raise FormatError("non-zero stream padding")
@@ -317,6 +266,65 @@ class Decoder:
         if not allow_trailing and br.available() >= 8:
             raise FormatError("trailing data after last metablock")
         return bytes(out), br.bitpos // 8
+
+    def _read_stream_header(self, br) -> dict:
+        window_bits, is_large = _read_window_bits(br, self.large_window)
+        if not is_large and not (10 <= window_bits <= 24):
+            raise FormatError(f"bad window bits {window_bits}")
+        if is_large and not (C.LARGE_MIN_WINDOW_BITS <= window_bits
+                             <= C.LARGE_MAX_WINDOW_BITS):
+            raise FormatError(f"bad large window bits {window_bits}")
+        return {
+            "max_backward": (1 << window_bits) - C.WINDOW_GAP,
+            "is_large": is_large,
+            "dist_rb": list(C.INITIAL_DISTANCE_RB),
+            "rb_idx": 0,
+        }
+
+    def _one_metablock(self, br, out, state) -> bool:
+        """Decode one metablock; returns True when the stream ended.
+        Raises NeedMoreInput on truncation (resumable: re-enter with
+        the same `state` and a reader positioned at the same bit)."""
+        is_last = br.take(1)
+        if is_last:
+            if br.take(1):  # ISLASTEMPTY
+                return True
+        mnibbles = br.take(2) + 4
+        if mnibbles == 7:  # metadata block
+            if br.take(1):
+                raise FormatError("reserved bit set")
+            skip_bytes = br.take(2)
+            mlen = 0
+            for i in range(skip_bytes):
+                b = br.take(8)
+                if i + 1 == skip_bytes and skip_bytes > 1 and b == 0:
+                    raise FormatError("exuberant metadata nibble")
+                mlen |= b << (i * 8)
+            if skip_bytes:
+                mlen += 1
+            br.align_to_byte()
+            meta = br.read_bytes(mlen)
+            if self.metadata_callback is not None:
+                self.metadata_callback(bytes(meta))
+            return bool(is_last)
+        mlen = 0
+        for i in range(mnibbles):
+            nib = br.take(4)
+            if i + 1 == mnibbles and mnibbles > 4 and nib == 0:
+                raise FormatError("exuberant nibble")
+            mlen |= nib << (i * 4)
+        mlen += 1
+        is_uncompressed = 0 if is_last else br.take(1)
+        if is_uncompressed:
+            pad = br.align_to_byte()
+            if pad != 0:
+                raise FormatError("non-zero padding")
+            out += br.read_bytes(mlen)
+            return False
+        state["rb_idx"] = self._metablock(
+            br, out, mlen, state["max_backward"], state["dist_rb"],
+            state["rb_idx"], state["is_large"])
+        return bool(is_last)
 
     # -- compressed metablock ------------------------------------------------
 
@@ -447,6 +455,60 @@ class Decoder:
         if remaining < 0:
             raise FormatError("metablock length overrun")
         return rb_idx
+
+
+class IncrementalDecoder:
+    """Push-style resumable decoder (role parity: the reference's
+    suspend-anywhere streaming decoder, c/dec/decode.c
+    BrotliDecoderDecompressStream -- re-designed at metablock
+    granularity: state snapshots at metablock boundaries instead of a
+    27-state bit-level machine; NEEDS_MORE_INPUT == NeedMoreInput)."""
+
+    def __init__(self, large_window: bool = False, dictionary=None):
+        self._dec = Decoder(large_window=large_window,
+                            dictionary=dictionary)
+        self._buf = bytearray()
+        self._bitpos = 0        # after last complete metablock
+        self._state = None
+        self._out = bytearray()
+        self._emitted = 0
+        self.finished = False
+
+    def feed(self, chunk: bytes) -> bytes:
+        """Absorb input, return newly decoded output (possibly b'')."""
+        if self.finished:
+            if chunk:
+                raise FormatError("data after stream end")
+            return b""
+        self._buf += chunk
+        br = BitReader(bytes(self._buf))
+        br.bitpos = self._bitpos
+        if self._state is None:
+            try:
+                self._state = self._dec._read_stream_header(br)
+                self._bitpos = br.bitpos
+            except NeedMoreInput:
+                return b""
+        while not self.finished:
+            snap_len = len(self._out)
+            snap_rb = list(self._state["dist_rb"])
+            snap_idx = self._state["rb_idx"]
+            snap_bit = br.bitpos
+            try:
+                done = self._dec._one_metablock(br, self._out,
+                                                self._state)
+            except NeedMoreInput:
+                del self._out[snap_len:]
+                self._state["dist_rb"] = snap_rb
+                self._state["rb_idx"] = snap_idx
+                br.bitpos = snap_bit
+                break
+            self._bitpos = br.bitpos
+            if done:
+                self.finished = True
+        new = bytes(self._out[self._emitted:])
+        self._emitted = len(self._out)
+        return new
 
 
 def decompress(data, large_window: bool = False) -> bytes:

@@ -51,3 +51,28 @@ def test_fuzz_differential(testdata):
     from brotli_tpu.tools.fuzz import run
     stats = run(iters=200, seed=1234, corpus=testdata)
     assert stats["accept"] + stats["reject"] == 200
+
+
+def test_incremental_decoder_chunked():
+    """Byte-at-a-time and odd-chunk feeding must produce identical
+    output (resumable streaming; NEEDS_MORE_INPUT parity)."""
+    import brotli_tpu
+    from brotli_tpu.dec.decoder import IncrementalDecoder
+
+    data = (b"incremental " * 3000) + bytes(range(256)) * 20
+    blob = brotli_tpu.compress(data, quality=5, lgblock=16)
+    for step in (1, 7, 113, 4096):
+        inc = IncrementalDecoder()
+        got = bytearray()
+        for i in range(0, len(blob), step):
+            got += inc.feed(blob[i:i + step])
+        assert inc.finished and bytes(got) == data, step
+    # Decompressor with output_buffer_limit drains progressively
+    d = brotli_tpu.Decompressor()
+    out = bytearray(d.process(blob, output_buffer_limit=1000))
+    assert len(out) <= 1000
+    while not d.is_finished():
+        chunk = d.process(b"", output_buffer_limit=1000)
+        out += chunk
+        assert len(chunk) <= 1000
+    assert bytes(out) == data
