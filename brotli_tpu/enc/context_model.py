@@ -93,24 +93,40 @@ def cluster_histograms(hists: np.ndarray, max_trees: int,
         return joint_a[sub_assign], joint_h
     H = hists.astype(np.float64)
     groups = [[i] for i in range(k)]
-    while len(groups) > 1:
-        cost = _entropy_bits(H)
-        M = H[:, None, :] + H[None, :, :]
-        cost_ab = _entropy_bits(M)
-        gain = cost[:, None] + cost[None, :] - cost_ab + table_cost_bits
-        np.fill_diagonal(gain, -np.inf)
-        a, b = np.unravel_index(np.argmax(gain), gain.shape)
-        if gain[a, b] <= 0 and len(groups) <= max_trees:
+    alive = np.ones(k, bool)
+    cost = _entropy_bits(H)
+    # pairwise merge costs once; incremental row/col updates per merge
+    pair = _entropy_bits(H[:, None, :] + H[None, :, :])
+    gain = cost[:, None] + cost[None, :] - pair + table_cost_bits
+    np.fill_diagonal(gain, -np.inf)
+    n_alive = k
+    while n_alive > 1:
+        idx = np.argmax(gain)
+        a, b = np.unravel_index(idx, gain.shape)
+        if gain[a, b] <= 0 and n_alive <= max_trees:
             break
         a, b = min(a, b), max(a, b)
         H[a] += H[b]
         groups[a].extend(groups[b])
-        H = np.delete(H, b, axis=0)
-        del groups[b]
+        groups[b] = None
+        alive[b] = False
+        gain[b, :] = -np.inf
+        gain[:, b] = -np.inf
+        n_alive -= 1
+        cost[a] = _entropy_bits(H[a][None])[0]
+        live = np.flatnonzero(alive)
+        pr = _entropy_bits(H[a][None, :] + H[live])
+        g = cost[a] + cost[live] - pr + table_cost_bits
+        gain[a, live] = g
+        gain[live, a] = g
+        gain[a, a] = -np.inf
+    out_groups = [g for g in groups if g]
     assignment = np.zeros(k, dtype=np.int64)
-    for t, g in enumerate(groups):
+    merged = []
+    for t, g in enumerate(out_groups):
         assignment[g] = t
-    return assignment, H.astype(np.int64)
+        merged.append(H[g[0]])
+    return assignment, np.asarray(merged).astype(np.int64)
 
 
 def mtf_transform(values: np.ndarray) -> np.ndarray:

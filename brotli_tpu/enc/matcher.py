@@ -274,19 +274,21 @@ def _extend_capped(data, m, lens, dists, flags, cap, max_match):
 
 
 def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
-                           base: int = 0):
+                           base: int = 0, active_from: int = 0):
     """Post-pass: probe the static dictionary in the literal gaps of an
     existing parse and insert non-overlapping word references.
 
     `base` is the absolute stream offset of `data` (decode-time
-    max_distance depends on absolute position).
+    max_distance depends on absolute position). `active_from`: skip
+    positions before it (window-history prefix of a segment buffer).
     """
     from . import static_dict
     n = len(data)
-    covered = np.zeros(n + 1, np.int64)
+    covered = np.zeros(n + 1, np.int32)
     np.add.at(covered, m, 1)
     np.add.at(covered, m + lens, -1)
-    in_gap = np.cumsum(covered[:n]) == 0
+    in_gap = np.cumsum(covered[:n], dtype=np.int32) == 0
+    in_gap[:active_from] = False
     in_gap[max(n - MIN_MATCH, 0):] = False
     cand = np.flatnonzero(in_gap)
     if len(cand) == 0:
@@ -306,15 +308,14 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     hits = np.flatnonzero(ok)
     if len(hits) == 0:
         return m, lens, dists, flags
-    # greedy non-overlapping selection among hits (sparse serial scan)
-    sel = []
-    cursor = -1
-    for i in hits:
-        p = int(cand[i])
-        if p >= cursor:
-            sel.append(i)
-            cursor = p + int(dlen[i])
-    sel = np.array(sel)
+    # non-overlapping selection, vectorized: accept a hit iff it does
+    # not overlap ANY earlier hit (slightly conservative vs the exact
+    # greedy scan, but O(1) vector ops instead of a Python loop)
+    hp = cand[hits]
+    he = hp + dlen[hits]
+    prev_end = np.maximum.accumulate(
+        np.concatenate([[-1], he[:-1]]))
+    sel = hits[hp >= prev_end]
     nm = np.concatenate([m, cand[sel]])
     nl = np.concatenate([lens, dlen[sel]])
     nd = np.concatenate([dists, ddist[sel]])

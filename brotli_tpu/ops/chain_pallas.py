@@ -25,13 +25,13 @@ SEG = 1 << 14  # positions per segment (64 KiB of int32 in SMEM)
 LANES = 128
 
 
-def _chain_kernel(skip_ref, sel_ref, pos_ref):
+def _chain_kernel(start_ref, skip_ref, sel_ref, pos_ref):
     s = pl.program_id(0)
     seg_start = s * SEG
 
     @pl.when(s == 0)
     def _():
-        pos_ref[0] = 0
+        pos_ref[0] = start_ref[0]
 
     sel_ref[:, :] = jnp.zeros_like(sel_ref)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]
@@ -57,29 +57,31 @@ def _chain_kernel(skip_ref, sel_ref, pos_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def chain_select(skip: jax.Array, n: int) -> jax.Array:
-    """selected[i] = 1 iff the greedy chain from 0 takes the match at i
-    (i.e. visits i and skip[i] > 1).
+def chain_select(skip: jax.Array, n: int, start=0) -> jax.Array:
+    """selected[i] = 1 iff the greedy chain from `start` takes the
+    match at i (i.e. visits i and skip[i] > 1).
 
     skip: int32[n] with skip[i] >= 1; n must be a multiple of SEG.
     Returns int32[n//128, 128] tile mask (flatten to get per-position).
     """
     assert n % SEG == 0
     grid = n // SEG
+    start_arr = jnp.asarray(start, jnp.int32).reshape(1)
     sel = pl.pallas_call(
         _chain_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((SEG,), lambda s: (s,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((SEG,), lambda s: (s,),
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((SEG // LANES, LANES), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(skip)
+    )(start_arr, skip)
     return sel.reshape(n)
 
 
-def chain_select_xla(skip: jax.Array, n: int) -> jax.Array:
+def chain_select_xla(skip: jax.Array, n: int, start=0) -> jax.Array:
     """Pure-XLA chain walk (lax.while_loop) for backends without
     Mosaic (CPU tests, dry runs). Same contract as chain_select."""
     sel = jnp.zeros(n, jnp.int32)
@@ -93,7 +95,8 @@ def chain_select_xla(skip: jax.Array, n: int) -> jax.Array:
         sel = sel.at[pos].set(jnp.where(sk > 1, 1, 0))
         return pos + jnp.maximum(sk, 1), sel
 
-    _, sel = jax.lax.while_loop(cond, body, (jnp.int32(0), sel))
+    _, sel = jax.lax.while_loop(cond, body,
+                                (jnp.asarray(start, jnp.int32), sel))
     return sel
 
 

@@ -63,12 +63,15 @@ def _tz_bytes_u32(x: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("num_candidates",))
 def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
-                num_candidates: int = 2):
+                num_candidates: int = 2, start=0):
     """Device kernel: greedy-selected matches, compacted.
 
-    data: uint8[B] (padded). Returns (count int32, packed uint32[2, B4])
-    where packed[0, :count] = match positions and packed[1, :count] =
-    (len << 25) | dist, both in position order. B4 = B // MIN_MATCH.
+    data: uint8[B] (padded). `start`: first match-eligible position --
+    positions before it are history (window context from the previous
+    segment: candidates may point into it, matches never start in it).
+    Returns (count int32, packed uint32[2, B4]) where packed[0, :count]
+    = match positions and packed[1, :count] = (len << 25) | dist, both
+    in position order. B4 = B // MIN_MATCH.
     """
     n = data.shape[0]
     d32 = data.astype(jnp.uint32)
@@ -138,10 +141,10 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     # ops/chain_pallas.py); selm[i] = 1 iff the chain takes a match at i
     if jax.default_backend() == "cpu":  # tests/dry runs: no Mosaic
         from .chain_pallas import chain_select_xla
-        selm = chain_select_xla(skip, n)
+        selm = chain_select_xla(skip, n, start)
     else:
         from .chain_pallas import chain_select
-        selm = chain_select(skip, n)
+        selm = chain_select(skip, n, start)
 
     # device-side compaction: selected matches to the front, packed
     nslots = n // MIN_MATCH
@@ -156,11 +159,11 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
 
 
 def _run_segment(padded: np.ndarray, npos: int, max_distance: int,
-                 ncand: int):
+                 ncand: int, start: int = 0):
     """Dispatch one segment (async); returns device handles."""
     dev = jax.device_put(jnp.asarray(padded))
     return match_block(dev, jnp.int32(npos), jnp.int32(max_distance),
-                       num_candidates=ncand)
+                       num_candidates=ncand, start=jnp.int32(start))
 
 
 def _collect_segment(handles, b: int):
@@ -182,44 +185,52 @@ def _collect_segment(handles, b: int):
 
 
 def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
-                     base: int = 0):
+                     base: int = 0, use_dict=None):
     """Host wrapper: pad segments to buckets, pipeline them through the
     device (async dispatch overlaps H2D/compute/D2H across segments),
     extend cap-hit matches on host. Returns (pos, len, dist, flag)."""
+    if use_dict is None:
+        use_dict = quality >= 5
     if jax.default_backend() == "cpu":
         # CPU backend (tests): no Pallas; NumPy pipeline is equivalent
         from ..enc.matcher import find_matches_vectorized
         return find_matches_vectorized(
             data, max_distance, num_candidates=4 if quality >= 5 else 2,
-            use_dict=quality >= 5, base=base)
+            use_dict=use_dict, base=base)
     ncand = 4 if quality >= 5 else 2
     n = len(data)
-    seg = SEG_BYTES
+    # segments advance by half a buffer; the other half carries window
+    # history so matches can reach across segment seams
+    adv = SEG_BYTES // 2 if n > SEG_BYTES else SEG_BYTES
     handles = []
-    for lo in range(0, n, seg):
-        hi = min(lo + seg, n)
-        chunk = np.asarray(data[lo:hi])
-        b = _bucket(len(chunk))
+    for lo in range(0, n, adv):
+        hi = min(lo + adv, n)
+        ctx_lo = max(0, lo - (SEG_BYTES - adv))
+        buf = np.asarray(data[ctx_lo:hi])
+        b = _bucket(len(buf))
         padded = np.zeros(b, np.uint8)
-        padded[:len(chunk)] = chunk
-        npos = max(len(chunk) - 3, 0)
-        handles.append((lo, chunk, b,
-                        _run_segment(padded, npos, max_distance, ncand)))
+        padded[:len(buf)] = buf
+        npos = max(len(buf) - 3, 0)
+        handles.append((lo, ctx_lo, buf, b,
+                        _run_segment(padded, npos, max_distance, ncand,
+                                     start=lo - ctx_lo)))
     all_m, all_l, all_d, all_f = [], [], [], []
-    for lo, chunk, b, h in handles:
+    for lo, ctx_lo, buf, b, h in handles:
         m, m_l, m_d = _collect_segment(h, b)
         m_f = np.zeros(len(m), np.int64)
-        m, m_l, m_d, m_f = _extend_capped(chunk, m, m_l, m_d, m_f, CAP,
+        m, m_l, m_d, m_f = _extend_capped(buf, m, m_l, m_d, m_f, CAP,
                                           1 << 24)
         # dictionary probe over weak-match gaps (host, vectorized)
-        if quality >= 5:
+        if use_dict:
             from ..enc.matcher import add_dictionary_matches
             m, m_l, m_d, m_f = add_dictionary_matches(
-                chunk, m, m_l, m_d, m_f, max_distance, base + lo)
-        all_m.append(m + lo)
-        all_l.append(m_l)
-        all_d.append(m_d)
-        all_f.append(m_f)
+                buf, m, m_l, m_d, m_f, max_distance, base + ctx_lo,
+                active_from=lo - ctx_lo)
+        keep = m >= (lo - ctx_lo)
+        all_m.append(m[keep] + ctx_lo)
+        all_l.append(m_l[keep])
+        all_d.append(m_d[keep])
+        all_f.append(m_f[keep])
     if not all_m:
         z = np.zeros(0, np.int64)
         return z, z, z, z

@@ -304,33 +304,71 @@ def dp_parse_block(data, npos, max_distance, litbits_q, copyq, contq,
 
 
 def _cost_tables(data: np.ndarray, seed):
-    """Host-side cost tables from the seed parse (a few KB)."""
-    from ..enc.optimal import CostModel, QB as QBH, CMD_BASE_Q
+    """Host-side cost tables from the seed parse (a few KB; avoids
+    CostModel's per-position arrays -- the device computes those)."""
+    from ..enc.optimal import (QB as QBH, CMD_BASE_Q, _dist_sym_extra)
     from ..format import context as ctx
+    from ..format import prefix
+    from ..enc import bitstream
     m, lens, dists, flags = seed
-    cm = CostModel(data, m, lens, dists, flags)
 
-    # [p1, byte] literal table: the 2nd-order context model with p2
-    # fixed at the corpus' most common byte (DP guidance only)
     n = len(data)
-    covered = np.zeros(n + 1, np.int64)
+    covered = np.zeros(n + 1, np.int32)
     np.add.at(covered, np.minimum(m, n), 1)
     np.add.at(covered, np.minimum(m + lens, n), -1)
-    is_lit = np.cumsum(covered[:n]) == 0
+    is_lit = np.cumsum(covered[:n], dtype=np.int32) == 0
     lut = ctx.context_lut(2)
-    p1 = np.concatenate([[0], data[:-1]]).astype(np.int64)
-    cid = (lut[0][p1] | lut[1][np.concatenate([[0, 0],
-                                               data[:-2]]).astype(
-        np.int64)]).astype(np.int64)
-    hist = np.zeros((64, 256), np.int64)
-    np.add.at(hist, (cid[is_lit], data[is_lit].astype(np.int64)), 1)
-    hist += 1
+    lp = np.flatnonzero(is_lit)
+    p1l = data[np.maximum(lp - 1, 0)].astype(np.int64)
+    p2l = data[np.maximum(lp - 2, 0)].astype(np.int64)
+    cidl = (lut[0][p1l] | lut[1][p2l]).astype(np.int64)
+    hist = np.bincount(cidl * 256 + data[lp].astype(np.int64),
+                       minlength=64 * 256).reshape(64, 256) + 1
     bits = -np.log2(hist / hist.sum(axis=1, keepdims=True))
+
+    # copy-code + distance symbol costs (mirrors CostModel's tables)
+    class _CM:
+        pass
+    cm = _CM()
+    ccode, _, _ = bitstream._encode_values(
+        np.maximum(lens, 2), prefix.COPY_BASE, prefix.COPY_EXTRA)
+    cc_hist = np.bincount(ccode, minlength=24).astype(np.float64) + 0.2
+    cc_p = cc_hist / cc_hist.sum()
+    ins_share = 3.0
+    if len(m) > 16:
+        prev_end = np.concatenate([[0], (m + lens)[:-1]])
+        ins_lens = np.maximum(m - prev_end, 0)
+        icode, _, _ = bitstream._encode_values(
+            ins_lens, prefix.INSERT_BASE, prefix.INSERT_EXTRA)
+        syms = bitstream._combine_codes(icode, ccode,
+                                        np.zeros(len(m), bool))
+        jh = np.bincount(syms, minlength=704).astype(np.float64)
+        jp = jh / jh.sum()
+        joint_avg = float(-(jp[jh > 0] * np.log2(jp[jh > 0])).sum())
+        copy_avg = float(-(cc_p * np.log2(cc_p)).sum())
+        ins_share = max(joint_avg - copy_avg, 0.5)
+    cc_bits = -np.log2(cc_p) + ins_share
+
+    def copy_cost_q(ls):
+        lc = np.searchsorted(prefix.COPY_BASE, np.maximum(ls, 2),
+                             side="right") - 1
+        return ((cc_bits[lc] + prefix.COPY_EXTRA[lc]) * QBH).astype(
+            np.int64)
+    cm.copy_cost_q = copy_cost_q
+    expl = (flags == 0) | (flags == 1)
+    if np.any(expl):
+        dsym, _ = _dist_sym_extra(np.maximum(dists[expl], 1))
+        dh = np.bincount(dsym, minlength=64).astype(np.float64)
+    else:
+        dh = np.zeros(64, np.float64)
+    dh += 0.2
+    cm.dist_sym_bits = -np.log2(dh / dh.sum())
     # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1 takes
     # only a handful of values -- weight each by P(lut1[p2] | p1) over
-    # adjacent byte pairs in the data
-    l1v = lut[1][data[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
-    p1v = data[1:].astype(np.int64)
+    # adjacent byte pairs (sampled: the mix is stable)
+    samp = data[:1 << 22]
+    l1v = lut[1][samp[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
+    p1v = samp[1:].astype(np.int64)
     vals = np.unique(lut[1])
     wt = np.zeros((256, len(vals)), np.float64)
     for j, v in enumerate(vals):
@@ -363,12 +401,15 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
 
     n = len(data)
     arr = np.asarray(data)
-    seed = find_matches_jax(arr, max_distance, quality=5, base=base)
+    # seed: greedy device parse, no dictionary probing (the post-pass
+    # below probes the final parse's gaps once)
+    seed = find_matches_jax(arr, max_distance, quality=5, base=base,
+                            use_dict=False)
     tables = _cost_tables(arr, seed)
     dev_tables = [jnp.asarray(t) for t in tables]
 
     sm, sl, sd, sf = seed
-    all_m, all_l, all_d = [], [], []
+    handles = []
     for lo in range(0, n, SEG):
         hi = min(lo + SEG, n)
         chunk = arr[lo:hi]
@@ -376,21 +417,33 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         padded = np.zeros(b, np.uint8)
         padded[:len(chunk)] = chunk
         npos = max(len(chunk) - 3, 0)
-        # segment-local seed matches (LZ only), padded to a pow2 slot
-        # count to bound recompiles
-        in_seg = (sm >= lo) & (sm < hi) & (sf != 2)
-        spos = (sm[in_seg] - lo).astype(np.int32)
-        slen = np.minimum(sl[in_seg], hi - sm[in_seg]).astype(np.int32)
+        # seed matches intersected with the segment (a suffix of an LZ
+        # match is a match at the same distance, so a giant match
+        # spanning several segments seeds each of them); fixed pad size
+        # keeps one compiled shape
+        start = np.maximum(sm, lo)
+        end = np.minimum(sm + sl, hi)
+        in_seg = (end - start >= 2) & (sf != 2)
+        spos = (start[in_seg] - lo).astype(np.int32)
+        slen = (end - start)[in_seg].astype(np.int32)
         sdist = sd[in_seg].astype(np.int32)
-        cap = 1 << max(int(np.ceil(np.log2(max(len(spos), 1) + 1))), 10)
+        cap = SEG // 8
+        if len(spos) > cap:  # keep the longest seeds
+            keep = np.argsort(slen)[::-1][:cap]
+            keep.sort()
+            spos, slen, sdist = spos[keep], slen[keep], sdist[keep]
         pad = cap - len(spos)
         spos = np.pad(spos, (0, pad))
         slen = np.pad(slen, (0, pad))
         sdist = np.pad(sdist, (0, pad))
-        count, out = dp_parse_block(
+        # async dispatch: H2D/compute/D2H pipeline across segments
+        handles.append((lo, dp_parse_block(
             jnp.asarray(padded), jnp.int32(npos),
             jnp.int32(max_distance), *dev_tables,
-            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist))
+            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist))))
+
+    all_m, all_l, all_d = [], [], []
+    for lo, (count, out) in handles:
         cnt = int(np.asarray(count))
         if cnt == 0:
             continue
