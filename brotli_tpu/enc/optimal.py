@@ -33,7 +33,7 @@ from .matcher import (HASH_MUL, MIN_MATCH, hash4, _extend_capped,
 CAPQ = 32          # candidate/cache edge-length cap
 B = 8192           # DP block size (hard parse boundary)
 QB = 16            # cost quantization: 1/16 bit
-CMD_BASE_Q = 2 * QB  # floor cost per command beyond modeled parts
+CMD_BASE_Q = 1 * QB  # floor cost per command beyond modeled parts
 MAX_EDGE = 2047    # packed-length field limit (backtrack payload)
 
 

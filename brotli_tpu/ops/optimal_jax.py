@@ -36,10 +36,10 @@ ensure_cache()
 import numpy as np
 
 HASH_MUL = np.uint32(0x1E35A7BD)
-CAPD = 16         # candidate match-length cap (4 carried words)
+CAPD = 32         # candidate match-length cap (8 carried words)
 W = 64            # DP window: max edge length W-1
 B = 4096          # DP block size (hard parse boundary)
-NCD = 16          # device candidate slots
+NCD = 32          # device candidate slots
 QB = 16           # cost quantization (1/16 bit), matches host DP
 SEG = 1 << 20     # DP segment size: one pad-bucket shape keeps the
                   # (expensive) kernel compile count at one; long-range
@@ -128,15 +128,14 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
         mlen = jnp.where(valid & (mlen >= 2), mlen, 0)
         packed_s.append(mlen.astype(jnp.uint32) << 25 |
                         jnp.where(mlen > 0, dist, 0).astype(jnp.uint32))
-    # back to position order: pos_u is unique, so splitting into two
+    # back to position order: pos_u is unique, so splitting into
     # lower-arity sorts (compile cost grows superlinearly with operand
     # count on this backend) yields the same permutation
-    half_k = len(packed_s) // 2
-    back1 = jax.lax.sort((pos_u,) + tuple(packed_s[:half_k]),
-                         num_keys=1)
-    back2 = jax.lax.sort((pos_u,) + tuple(packed_s[half_k:]),
-                         num_keys=1)
-    cand_packed = list(back1[1:]) + list(back2[1:])
+    cand_packed = []
+    for j in range(0, len(packed_s), 8):
+        back = jax.lax.sort((pos_u,) + tuple(packed_s[j:j + 8]),
+                            num_keys=1)
+        cand_packed.extend(back[1:])
 
     # continuation edges from seed matches: scatter (end, dist) at each
     # match start, then forward-fill over the interior. Seed matches
@@ -378,7 +377,9 @@ def _cost_tables(data: np.ndarray, seed):
     l0 = lut[0][np.arange(256)].astype(np.int64)
     for j, v in enumerate(vals):
         tab += wt[:, j:j + 1] * bits[l0 | v]
-    litbits_q = np.minimum(tab * QBH, 24 * QBH).astype(np.int32)
+    # mild literal surcharge: real emission pays tree quantization and
+    # clustering losses the ideal entropy table does not see
+    litbits_q = np.minimum(tab * 1.1 * QBH, 24 * QBH).astype(np.int32)
 
     lens_all = np.arange(W)
     copyq = (cm.copy_cost_q(np.maximum(lens_all, 2)) +
