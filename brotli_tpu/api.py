@@ -25,8 +25,14 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
              lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None,
              large_window=False) -> bytes:
     """One-shot compression. `large_window` allows lgwin up to 30
-    (non-RFC extension; the receiver must opt in too)."""
+    (non-RFC extension; the receiver must opt in too). `dictionary`
+    may be raw LZ77 bytes or a serialized shared dictionary (its raw
+    prefix is used; custom word matching is a planned extension)."""
     from .enc.encoder import encode
+    if dictionary and bytes(dictionary[:2]) == b"\x91\x00":
+        from .format import shared_dictionary as shd
+        sd = shd.parse(bytes(dictionary))
+        dictionary = b"".join(sd.prefixes) or None
     try:
         return encode(bytes(string), quality=quality, lgwin=lgwin,
                       lgblock=lgblock, mode=mode, dictionary=dictionary,
@@ -38,12 +44,19 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
 def decompress(string, dictionary=None, large_window=False) -> bytes:
     """One-shot decompression (native fast path, Python fallback).
     `large_window`: opt in to decoding beyond-RFC window streams
-    (parity: BROTLI_DECODER_PARAM_LARGE_WINDOW)."""
+    (parity: BROTLI_DECODER_PARAM_LARGE_WINDOW). `dictionary` may be
+    raw LZ77 bytes or a serialized shared dictionary (magic 0x91 00;
+    parity: BrotliDecoderAttachDictionary RAW / SERIALIZED)."""
     data = bytes(string)
     import os
     if dictionary or large_window:
+        shared = None
+        if dictionary and bytes(dictionary[:2]) == b"\x91\x00":
+            from .format import shared_dictionary as shd
+            shared = shd.parse(bytes(dictionary))
+            dictionary = None
         try:
-            return Decoder(dictionary=dictionary,
+            return Decoder(dictionary=dictionary, shared=shared,
                            large_window=large_window).decompress(data)
         except FormatError as e:
             raise error(str(e)) from e

@@ -231,9 +231,16 @@ class Decoder:
     BrotliDecoderAttachDictionary + decode.c compound branch).
     """
 
-    def __init__(self, large_window: bool = False, dictionary=None):
+    def __init__(self, large_window: bool = False, dictionary=None,
+                 shared=None):
         self.large_window = large_window
         self.compound = bytes(dictionary) if dictionary else b""
+        # serialized shared dictionary (format/shared_dictionary.py):
+        # raw prefixes become compound data, custom word/transform
+        # lists replace the static dictionary per literal context
+        self.shared = shared
+        if shared is not None:
+            self.compound = b"".join(shared.prefixes) + self.compound
         # optional stream-anatomy trace (dissector/diagnostics): when a
         # list, every command appends (insert_len, copy_len, distance,
         # dist_code, position) -- cf. research/brotlidump.py's role
@@ -434,8 +441,15 @@ class Decoder:
                     out += self.compound[start:start + copy_len]
                     remaining -= copy_len
                 else:
-                    word = dict_mod.decode_reference(
-                        copy_len, address - csize)
+                    if self.shared is not None:
+                        from ..format import shared_dictionary as shd
+                        word = shd.decode_reference(
+                            self.shared, copy_len, address - csize,
+                            out[-1] if out else 0,
+                            out[-2] if len(out) >= 2 else 0, lit_lut)
+                    else:
+                        word = dict_mod.decode_reference(
+                            copy_len, address - csize)
                     if word is None:
                         raise FormatError("invalid dictionary reference")
                     out += word

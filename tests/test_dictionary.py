@@ -85,3 +85,60 @@ def test_dictgen_tool(ref_cli, testdata):
         r = subprocess.run([ref_cli, "-d", "-c", "-D", f.name],
                            input=withd, capture_output=True)
     assert r.returncode == 0 and r.stdout == target
+
+
+def test_shared_dictionary_serialized(ref_cli, testdata):
+    """Serialized shared-dictionary container: parse/serialize
+    roundtrip, raw-prefix attach parity with the reference CLI -D, and
+    custom word lists + transforms (incl. SHIFT) in decode."""
+    import brotli_tpu
+    from brotli_tpu.format import shared_dictionary as shd
+
+    # --- container with a raw prefix only
+    raw = (testdata / "alice29.txt").read_bytes()[:4096]
+    blob = shd.serialize(prefixes=[raw])
+    sd = shd.parse(blob)
+    assert sd.prefixes == [raw] and not sd.word_lists
+    target = (testdata / "alice29.txt").read_bytes()[4096:65536]
+    c = brotli_tpu.compress(target, quality=5, dictionary=blob)
+    assert brotli_tpu.decompress(c, dictionary=blob) == target
+    # the same stream decodes with the raw dictionary alone
+    assert brotli_tpu.decompress(c, dictionary=raw) == target
+    import subprocess
+    import tempfile
+    with tempfile.NamedTemporaryFile() as f:
+        f.write(raw)
+        f.flush()
+        r = subprocess.run([ref_cli, "-d", "-c", "-D", f.name],
+                           input=c, capture_output=True)
+    assert r.returncode == 0 and r.stdout == target
+
+    # --- custom word list + transforms (incl. shift) in decode
+    words8 = [b"brotlitp", b"tpuchips", b"sharding", b"wavefrnt"]
+    data_words = b"".join(words8)
+    wl = shd.WordList([0] * 8 + [2] + [0] * 16,  # 4 words of length 8
+                      [0] * 8 + [0] + [len(data_words)] * 16, data_words)
+    # the empty stringlet is the pool terminator and carries the
+    # last id (2 here)
+    tl = shd.TransformList(
+        [b"pre-", b"!", b""],
+        [(2, shd.T_IDENTITY, 2), (0, shd.T_UPPERCASE_ALL, 1),
+         (2, shd.T_SHIFT_FIRST, 2), (2, 2, 2)],  # 2 = OMIT_LAST_2
+        [0, 0, 1, 0])
+    blob2 = shd.serialize(word_lists=[wl], transform_lists=[tl],
+                          dictionaries=[(0, 0)])
+    sd2 = shd.parse(blob2)
+    assert sd2.word_lists[0].word(8, 1) == b"tpuchips"
+    # expansion semantics per transform
+    lut = None
+    from brotli_tpu.format import context as ctx
+    lut = ctx.context_lut(0)
+    nbits = 2
+    def ref(copy_len, tr, wi):
+        return shd.decode_reference(sd2, copy_len, (tr << nbits) | wi,
+                                    0, 0, lut)
+    assert ref(8, 0, 0) == b"brotlitp"
+    assert ref(8, 1, 1) == b"pre-TPUCHIPS!"
+    assert ref(8, 2, 2) == b"tharding"  # 's' shifted +1
+    assert ref(8, 3, 3) == b"wavefr"
+    assert ref(8, 9, 0) is None  # transform id out of range
