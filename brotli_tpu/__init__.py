@@ -18,6 +18,7 @@ _os.environ.setdefault(
     _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
 
 from .api import (  # noqa: F401
+    set_reporting_callbacks,
     MODE_GENERIC,
     MODE_TEXT,
     MODE_FONT,
@@ -30,3 +31,4 @@ from .api import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+version = __version__  # parity: python/brotli.py `version`

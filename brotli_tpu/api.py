@@ -21,6 +21,21 @@ class error(Exception):
     """Raised on invalid input or parameters (parity: brotli.error)."""
 
 
+# reporting seam (parity: BrotliEncoderOnStart/OnFinish +
+# BrotliDecoderOnFinish behind BROTLI_REPORTING, CHANGELOG 1.1.0):
+# process-wide hooks observing every (de)compression call
+_on_start = None
+_on_finish = None
+
+
+def set_reporting_callbacks(on_start=None, on_finish=None):
+    """Install metrics hooks: on_start(op: str, in_len: int) and
+    on_finish(op: str, in_len: int, out_len: int)."""
+    global _on_start, _on_finish
+    _on_start = on_start
+    _on_finish = on_finish
+
+
 def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
              lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None,
              large_window=False) -> bytes:
@@ -33,12 +48,17 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
         from .format import shared_dictionary as shd
         sd = shd.parse(bytes(dictionary))
         dictionary = b"".join(sd.prefixes) or None
+    if _on_start is not None:
+        _on_start("compress", len(string))
     try:
-        return encode(bytes(string), quality=quality, lgwin=lgwin,
-                      lgblock=lgblock, mode=mode, dictionary=dictionary,
-                      large_window=large_window)
+        out = encode(bytes(string), quality=quality, lgwin=lgwin,
+                     lgblock=lgblock, mode=mode, dictionary=dictionary,
+                     large_window=large_window)
     except ValueError as e:
         raise error(str(e)) from e
+    if _on_finish is not None:
+        _on_finish("compress", len(string), len(out))
+    return out
 
 
 def decompress(string, dictionary=None, large_window=False) -> bytes:

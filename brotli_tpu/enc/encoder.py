@@ -109,8 +109,12 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     matches = find_matches(arr, maxback, quality, large=large)
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
+    # mode hint (parity: BrotliEncoderMode + ChooseContextMode): TEXT
+    # forces the UTF8 context model, FONT the signed-byte model
+    ctx_mode = {1: 2, 2: 3}.get(mode)
     _write_blocks(bw, arr, D, D + n, matches, lgblock, is_last=True,
-                  ring=None, quality=quality, ctx_floor=D, large=large)
+                  ring=None, quality=quality, ctx_floor=D, large=large,
+                  context_mode=ctx_mode)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
@@ -137,7 +141,8 @@ def _lift_dictionary_matches(matches, D, maxback):
 
 
 def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
-                  ring=None, quality=1, ctx_floor=0, large=False):
+                  ring=None, quality=1, ctx_floor=0, large=False,
+                  context_mode=None):
     """Serialize region [lo, hi) as metablocks; returns the distance
     ring state after the last block."""
     mb_size = 1 << lgblock
@@ -149,7 +154,8 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
         cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
         ring = bitstream.store_metablock(
             bw, arr, pos, b - pos, cmds, block_last, ring,
-            quality=quality, ctx_floor=ctx_floor, large=large)
+            quality=quality, ctx_floor=ctx_floor, large=large,
+            context_mode=context_mode)
         pos = b
     return ring
 
