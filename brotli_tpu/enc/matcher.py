@@ -28,15 +28,18 @@ def _match_len(data, a: int, b: int, max_len: int) -> int:
     """Common-prefix length of data[a:] vs data[b:], capped."""
     n = min(max_len, len(data) - b)
     ln = 0
-    # compare in 64-byte strides, numpy-vectorized
+    step = 64
+    # geometric strides: long matches (megabytes on repetitive data)
+    # cost O(log) numpy calls instead of O(len/64)
     while ln < n:
-        step = min(64, n - ln)
+        step = min(step, n - ln)
         da = data[a + ln:a + ln + step]
         db = data[b + ln:b + ln + step]
         neq = np.flatnonzero(da != db)
         if len(neq):
             return ln + int(neq[0])
         ln += step
+        step = min(step * 4, 1 << 20)
     return n
 
 
