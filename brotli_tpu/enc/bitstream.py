@@ -369,10 +369,10 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         type_of_lit = np.zeros(nlit, np.int64)
 
     cmd_split = dist_split = None
-    if quality >= 10 and ncmd >= 2048:
+    if quality >= 9 and ncmd >= 2048:
         cmd_split = block_split.split_symbols(
             cmd_syms, C.NUM_COMMAND_SYMBOLS, chunk=256, max_types=6)
-    if quality >= 10 and len(dsyms_sub) >= 2048:
+    if quality >= 9 and len(dsyms_sub) >= 2048:
         dist_split = block_split.split_symbols(
             dsyms_sub, dist_alpha, chunk=256, max_types=4)
     if cmd_split is not None:
@@ -421,7 +421,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     dctx_tab = prefix.cmd_lut()["dist_context"].astype(np.int64)
     dctx = dctx_tab[cmd_syms[has]]
     dgroup = (type_of_dsym << C.DISTANCE_CONTEXT_BITS) | dctx
-    use_dist_map = quality >= 10 and len(dsyms_sub) >= 512
+    use_dist_map = quality >= 9 and len(dsyms_sub) >= 512
     if use_dist_map or ntypes_d > 1:
         dhists = cm.context_histograms(
             dsyms_sub, dgroup, ntypes_d * 4, dist_alpha)
