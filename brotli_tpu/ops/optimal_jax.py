@@ -393,78 +393,97 @@ def _cost_tables(data: np.ndarray, seed):
 
 
 def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
-                             quality: int = 11, base: int = 0):
+                             quality: int = 11, base: int = 0,
+                             iterations: int = None):
     """Device q10/q11 parse: greedy device seed -> host cost tables ->
-    device DP per segment -> coalesce + dictionary post-pass."""
+    device DP per segment (iterated: the DP's own parse refines the
+    cost model and contributes seed edges) -> coalesce + dictionary
+    post-pass."""
     from .matcher_jax import find_matches_jax
     from ..enc.optimal import _coalesce
     from ..enc.matcher import add_dictionary_matches
 
+    if iterations is None:
+        # a second cost-refinement pass measures out neutral-to-worse
+        # on this corpus family; the knob stays for experiments
+        iterations = 1
     n = len(data)
     arr = np.asarray(data)
     # seed: greedy device parse, no dictionary probing (the post-pass
     # below probes the final parse's gaps once)
     seed = find_matches_jax(arr, max_distance, quality=5, base=base,
                             use_dict=False)
-    tables = _cost_tables(arr, seed)
-    dev_tables = [jnp.asarray(t) for t in tables]
-
     sm, sl, sd, sf = seed
-    handles = []
-    for lo in range(0, n, SEG):
-        hi = min(lo + SEG, n)
-        chunk = arr[lo:hi]
-        b = _bucket(len(chunk))
-        padded = np.zeros(b, np.uint8)
-        padded[:len(chunk)] = chunk
-        npos = max(len(chunk) - 3, 0)
-        # seed matches intersected with the segment (a suffix of an LZ
-        # match is a match at the same distance, so a giant match
-        # spanning several segments seeds each of them); fixed pad size
-        # keeps one compiled shape
-        start = np.maximum(sm, lo)
-        end = np.minimum(sm + sl, hi)
-        in_seg = (end - start >= 2) & (sf != 2)
-        spos = (start[in_seg] - lo).astype(np.int32)
-        slen = (end - start)[in_seg].astype(np.int32)
-        sdist = sd[in_seg].astype(np.int32)
-        cap = SEG // 8
-        if len(spos) > cap:  # keep the longest seeds
-            keep = np.argsort(slen)[::-1][:cap]
-            keep.sort()
-            spos, slen, sdist = spos[keep], slen[keep], sdist[keep]
-        pad = cap - len(spos)
-        spos = np.pad(spos, (0, pad))
-        slen = np.pad(slen, (0, pad))
-        sdist = np.pad(sdist, (0, pad))
-        # async dispatch: H2D/compute/D2H pipeline across segments
-        handles.append((lo, dp_parse_block(
-            jnp.asarray(padded), jnp.int32(npos),
-            jnp.int32(max_distance), *dev_tables,
-            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist))))
+    m = lens = dists = None
+    for it in range(iterations):
+        prev = seed if it == 0 else (m, lens, dists,
+                                     np.zeros(len(m), np.int64))
+        tables = _cost_tables(arr, prev)
+        dev_tables = [jnp.asarray(t) for t in tables]
+        handles = []
+        for lo in range(0, n, SEG):
+            hi = min(lo + SEG, n)
+            chunk = arr[lo:hi]
+            b = _bucket(len(chunk))
+            padded = np.zeros(b, np.uint8)
+            padded[:len(chunk)] = chunk
+            npos = max(len(chunk) - 3, 0)
+            # seed matches intersected with the segment (a suffix of an
+            # LZ match is a match at the same distance, so a giant match
+            # spanning several segments seeds each of them); fixed pad
+            # size keeps one compiled shape. Later iterations seed with
+            # the union of the greedy parse and the previous DP parse.
+            spos_parts, slen_parts, sdist_parts = [], [], []
+            for (qm, ql, qd, qf) in ([seed] if it == 0 else
+                                     [seed, prev]):
+                start = np.maximum(qm, lo)
+                end = np.minimum(qm + ql, hi)
+                in_seg = (end - start >= 2) & (qf != 2)
+                spos_parts.append((start[in_seg] - lo).astype(np.int32))
+                slen_parts.append((end - start)[in_seg].astype(np.int32))
+                sdist_parts.append(qd[in_seg].astype(np.int32))
+            spos = np.concatenate(spos_parts)
+            slen = np.concatenate(slen_parts)
+            sdist = np.concatenate(sdist_parts)
+            cap = SEG // 8
+            if len(spos) > cap:  # keep the longest seeds
+                keep = np.argsort(slen)[::-1][:cap]
+                keep.sort()
+                spos, slen, sdist = spos[keep], slen[keep], sdist[keep]
+            pad = cap - len(spos)
+            spos = np.pad(spos, (0, pad))
+            slen = np.pad(slen, (0, pad))
+            sdist = np.pad(sdist, (0, pad))
+            # async dispatch: H2D/compute/D2H pipeline across segments
+            handles.append((lo, dp_parse_block(
+                jnp.asarray(padded), jnp.int32(npos),
+                jnp.int32(max_distance), *dev_tables,
+                jnp.asarray(spos), jnp.asarray(slen),
+                jnp.asarray(sdist))))
 
-    all_m, all_l, all_d = [], [], []
-    for lo, (count, out) in handles:
-        cnt = int(np.asarray(count))
-        if cnt == 0:
-            continue
-        k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
-        k = min(k, out.shape[1])
-        host = np.asarray(out[:, :k])
-        mm = host[0, :cnt].astype(np.int64)
-        pay = host[1, :cnt]
-        ml = (pay >> 25).astype(np.int64)
-        md = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
-        all_m.append(mm + lo)
-        all_l.append(ml)
-        all_d.append(md)
-    if not all_m:
-        z = np.zeros(0, np.int64)
-        return z, z, z, z
-    m = np.concatenate(all_m)
-    lens = np.concatenate(all_l)
-    dists = np.concatenate(all_d)
+        all_m, all_l, all_d = [], [], []
+        for lo, (count, out) in handles:
+            cnt = int(np.asarray(count))
+            if cnt == 0:
+                continue
+            k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
+            k = min(k, out.shape[1])
+            host = np.asarray(out[:, :k])
+            mm = host[0, :cnt].astype(np.int64)
+            pay = host[1, :cnt]
+            ml = (pay >> 25).astype(np.int64)
+            md = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
+            all_m.append(mm + lo)
+            all_l.append(ml)
+            all_d.append(md)
+        if not all_m:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        m = np.concatenate(all_m)
+        lens = np.concatenate(all_l)
+        dists = np.concatenate(all_d)
+        m, lens, dists, _f = _coalesce(m, lens, dists,
+                                       np.zeros(len(m), np.int64))
     flags = np.zeros(len(m), np.int64)
-    m, lens, dists, flags = _coalesce(m, lens, dists, flags)
     return add_dictionary_matches(arr, m, lens, dists, flags,
                                   max_distance, base)
