@@ -179,9 +179,9 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         from . import static_dict
         cand_pos = np.flatnonzero(best_len[:npos] < 12)
         if len(cand_pos):
-            dlen, didx = static_dict.probe(data, cand_pos)
+            dlen, didx, dtr = static_dict.probe(data, cand_pos)
             ddist = static_dict.dict_distance(cand_pos + base, dlen, didx,
-                                              max_distance)
+                                              max_distance, dtr)
             gate = np.where(ddist >= (1 << 18), 7,
                             np.where(ddist >= (1 << 12), 6, 5))
             good = (dlen >= gate) & \
@@ -296,9 +296,10 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     cand = np.flatnonzero(in_gap)
     if len(cand) == 0:
         return m, lens, dists, flags
-    dlen, didx = static_dict.probe(data, cand)
+    dlen, didx, dtr = static_dict.probe(data, cand)
     abs_pos = cand + base
-    ddist = static_dict.dict_distance(abs_pos, dlen, didx, max_distance)
+    ddist = static_dict.dict_distance(abs_pos, dlen, didx, max_distance,
+                                      dtr)
     gate = np.where(ddist >= (1 << 18), 7,
                     np.where(ddist >= (1 << 12), 6, 5))
     # word must fit before the next LZ match

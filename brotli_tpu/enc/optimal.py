@@ -346,9 +346,9 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
     cand_len, cand_dist = candidates_topk(data, max_distance, nc)
     # static-dictionary probe at every position (vectorized)
     pos_all = np.arange(max(n - MIN_MATCH, 0), dtype=np.int64)
-    dlen, didx = static_dict.probe(data, pos_all)
+    dlen, didx, dtr = static_dict.probe(data, pos_all)
     ddist = static_dict.dict_distance(pos_all + base, dlen, didx,
-                                      max_distance)
+                                      max_distance, dtr)
     dict_len = np.zeros(n, np.int32)
     dict_dist = np.zeros(n, np.int64)
     dict_len[:len(pos_all)] = np.where(dlen >= 4, dlen, 0).astype(

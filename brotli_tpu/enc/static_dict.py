@@ -71,42 +71,65 @@ def word_matrix():
     return mat
 
 
+UPPERCASE_FIRST_ID = 9  # bare UPPERCASE_FIRST in the RFC transform set
+
+
 def probe(data: np.ndarray, positions: np.ndarray):
     """Vectorized dictionary probe at the given positions.
 
-    Returns (word_len int64, word_idx int64) per position; word_len 0
-    when no dictionary word matches the data there exactly.
+    Returns (word_len int64, word_idx int64, transform int64) per
+    position; word_len 0 when nothing matches. Besides identity,
+    ASCII-capitalized occurrences match via the bare UPPERCASE_FIRST
+    transform (the most common transformed reference in text; parity:
+    BrotliFindAllStaticDictionaryMatches' transform identification).
     """
     keys, lens, idxs = prefix_table()
     mat = word_matrix()
     n = len(data)
     p = positions
-    w4 = (data[p].astype(np.uint32)
-          | data[np.minimum(p + 1, n - 1)].astype(np.uint32) << 8
-          | data[np.minimum(p + 2, n - 1)].astype(np.uint32) << 16
-          | data[np.minimum(p + 3, n - 1)].astype(np.uint32) << 24)
-    lo = np.searchsorted(keys, w4, side="left")
-    best_len = np.zeros(len(p), np.int64)
-    best_idx = np.zeros(len(p), np.int64)
     # data window of 24 bytes at each position (zero-padded at the end)
     padded = np.concatenate([data, np.zeros(24, np.uint8)])
     win = padded[p[:, None] + np.arange(24)]
     remaining = n - p
-    for probe_i in range(MAX_PROBE):
-        cand = np.minimum(lo + probe_i, len(keys) - 1)
-        ok = keys[cand] == w4
-        L = lens[cand].astype(np.int64)
-        ok &= L <= remaining
-        eq = (win == mat[cand]) | (np.arange(24) >= L[:, None])
-        full = eq.all(axis=1) & ok
-        better = full & (L > best_len)
-        best_len = np.where(better, L, best_len)
-        best_idx = np.where(better, idxs[cand], best_idx)
-    return best_len, best_idx
+    best_len = np.zeros(len(p), np.int64)
+    best_idx = np.zeros(len(p), np.int64)
+    best_tr = np.zeros(len(p), np.int64)
+
+    first = win[:, 0]
+    is_upper = (first >= 0x41) & (first <= 0x5A)
+    for transform, tid in ((0, 0), (1, UPPERCASE_FIRST_ID)):
+        w = win.copy()
+        if transform:
+            # lowercase the first byte: the probe then looks the word
+            # up as stored; only positions starting A-Z are eligible
+            w[:, 0] = np.where(is_upper, first | 0x20, first)
+        w4 = (w[:, 0].astype(np.uint32)
+              | w[:, 1].astype(np.uint32) << 8
+              | w[:, 2].astype(np.uint32) << 16
+              | w[:, 3].astype(np.uint32) << 24)
+        lo = np.searchsorted(keys, w4, side="left")
+        for probe_i in range(MAX_PROBE):
+            cand = np.minimum(lo + probe_i, len(keys) - 1)
+            ok = keys[cand] == w4
+            L = lens[cand].astype(np.int64)
+            ok &= L <= remaining
+            if transform:
+                ok &= is_upper
+            eq = (w == mat[cand]) | (np.arange(24) >= L[:, None])
+            full = eq.all(axis=1) & ok
+            better = full & (L > best_len)
+            best_len = np.where(better, L, best_len)
+            best_idx = np.where(better, idxs[cand], best_idx)
+            best_tr = np.where(better, tid, best_tr)
+    return best_len, best_idx, best_tr
 
 
-def dict_distance(pos, word_len, word_idx, max_backward):
-    """Stream distance encoding a dictionary reference at `pos`
-    (identity transform): distance = max_distance + 1 + word_idx."""
+def dict_distance(pos, word_len, word_idx, max_backward, transform=0):
+    """Stream distance encoding a dictionary reference at `pos`:
+    distance = max_distance + 1 + (transform << nbits | word_idx)
+    (RFC 8 address packing)."""
+    nbits = np.asarray(dict_mod.SIZE_BITS_BY_LENGTH, np.int64)[
+        np.clip(word_len, 0, C.MAX_DICTIONARY_WORD_LENGTH)]
     max_dist = np.minimum(pos, max_backward)
-    return max_dist + 1 + word_idx
+    return max_dist + 1 + (np.asarray(transform, np.int64) << nbits |
+                           word_idx)
