@@ -166,8 +166,6 @@ class CostModel:
         self.litq = np.minimum(
             (bits[cid, data.astype(np.int64)] * QB), 24 * QB
         ).astype(np.int64)
-        self.litq_cum = np.concatenate(
-            [[0], np.cumsum(self.litq)]).astype(np.int64)
 
         # copy-code cost: marginal copy-code bits plus the *measured*
         # insert-side share of the joint command symbol (joint entropy
@@ -203,10 +201,6 @@ class CostModel:
             dh = np.zeros(64, np.float64)
         dh += 0.2
         self.dist_sym_bits = -np.log2(dh / dh.sum())
-        # short-code cost (ring hits): mildly optimistic constant per
-        # slot; slot 0 = reuse (code 0) is the cheapest
-        self.shortq = (np.array([4.0, 6.0, 6.5, 7.0]) * QB).astype(
-            np.int64)
 
     def dist_cost_q(self, dists: np.ndarray) -> np.ndarray:
         dsym, nbits = _dist_sym_extra(np.maximum(dists, 1))

@@ -288,12 +288,11 @@ def _finish_kernel(paymat, cand_packed, cont_dist, npos,
     return count, jnp.stack([pos_c[:half], pay_c[:half]])
 
 
-def dp_parse_block(data, npos, max_distance, litbits_q, copyq, contq,
+def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
                    dist_sym_bits_q, seed_pos, seed_len, seed_dist,
                    num_candidates: int = NCD):
     """One segment's optimal parse, entirely on device (three jits;
     intermediates never leave the chip). See module docstring."""
-    del contq  # reserved for ring-aware pricing
     ls_all, cs_all, litq_b, cand_packed, cont_dist = _edges_kernel(
         data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
         seed_pos, seed_len, seed_dist, num_candidates=num_candidates)
@@ -385,11 +384,8 @@ def _cost_tables(data: np.ndarray, seed):
     copyq = (cm.copy_cost_q(np.maximum(lens_all, 2)) +
              CMD_BASE_Q).astype(np.int32)
     copyq[:2] = 1 << 28
-    # continuation chunks: likely coalesced or ring-code-0 -> cheap
-    contq = np.full(W, int(6.0 * QBH), np.int32)
-    contq[:2] = 1 << 28
     dist_sym_bits_q = (cm.dist_sym_bits * QBH).astype(np.int32)
-    return litbits_q, copyq, contq, dist_sym_bits_q
+    return litbits_q, copyq, dist_sym_bits_q
 
 
 def find_matches_optimal_jax(data: np.ndarray, max_distance: int,

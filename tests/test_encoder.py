@@ -141,3 +141,44 @@ def test_metadata_blocks(ref_cli):
     assert seen == [payload, b""]
     rc, out = ref_decompress(ref_cli, blob)
     assert rc == 0 and out == b"body " * 4096
+
+
+def test_ring_simulation_matches_decoder():
+    """plan_commands' vectorized distance-ring simulation must agree
+    with a direct serial simulation of the decoder's ring semantics
+    for every emitted short code."""
+    import numpy as np
+    from brotli_tpu.enc import bitstream
+    from brotli_tpu.format import prefix, constants as C
+
+    rng = np.random.default_rng(42)
+    ncmd = 500
+    # distance stream with heavy reuse/near patterns
+    base = rng.integers(1, 2000, 20)
+    dist = base[rng.integers(0, len(base), ncmd)].astype(np.int64)
+    dist += rng.integers(-3, 4, ncmd)  # near variants
+    dist = np.maximum(dist, 1)
+    ins = rng.integers(0, 10, ncmd).astype(np.int64)
+    cpy = rng.integers(2, 30, ncmd).astype(np.int64)
+    plan, new_ring = bitstream.plan_commands(ins, cpy, dist, None)
+
+    # serial decoder-ring oracle
+    rb = list(C.INITIAL_DISTANCE_RB)
+    idx = 0
+    for j in range(ncmd):
+        code = int(plan["dist_syms"][j])
+        if not plan["has_dist"][j]:
+            resolved = rb[(idx - 1) & 3]  # implicit dist0
+            assert resolved == dist[j], j
+            continue
+        if code < C.NUM_DISTANCE_SHORT_CODES:
+            ring, delta = prefix.DISTANCE_SHORT_CODES[code]
+            resolved = rb[(idx - 1 - ring) & 3] + delta
+            assert resolved == dist[j], (j, code, resolved, dist[j])
+            if code != 0:
+                rb[idx & 3] = int(dist[j])
+                idx += 1
+        else:
+            rb[idx & 3] = int(dist[j])
+            idx += 1
+    assert int(new_ring[0]) == rb[(idx - 1) & 3]
