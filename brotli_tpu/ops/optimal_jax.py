@@ -41,7 +41,7 @@ W = 64            # DP window: max edge length W-1
 B = 4096          # DP block size (hard parse boundary)
 NCD = 32          # device candidate slots
 QB = 16           # cost quantization (1/16 bit), matches host DP
-SEG = 1 << 20     # DP segment size: one pad-bucket shape keeps the
+SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
                   # (expensive) kernel compile count at one; long-range
                   # matches still flow in as seed/continuation edges
                   # found by the 8MB-segment greedy matcher
@@ -49,7 +49,7 @@ SEG = 1 << 20     # DP segment size: one pad-bucket shape keeps the
 # one bucket shape: every distinct padded shape compiles its own
 # kernels, and sort compiles are minutes-expensive on this backend
 # (remote compile service)
-_BUCKETS = [1 << 20]
+_BUCKETS = [1 << 21]
 
 
 def _bucket(n: int) -> int:
