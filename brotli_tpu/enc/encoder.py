@@ -93,6 +93,20 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     (non-RFC extension, BROTLI_PARAM_LARGE_WINDOW)."""
     quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock,
                                                large_window)
+    # native fast path (role of the reference's C encoder tiers,
+    # native/btpu_enc.c): one-shot, q0-9, standard window, no custom
+    # dictionary. The JAX/device pipeline stays authoritative for
+    # q10/11 (optimal parse), compound dictionaries, large windows and
+    # the sharded multi-chip path.
+    enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
+    if (enc_sel != "python" and quality <= 9 and not large_window
+            and dictionary is None and mode == 0 and len(data) > 0):
+        try:
+            from .. import native
+            return native.encode(bytes(data), quality, lgwin)
+        except (ImportError, OSError, ValueError):
+            if enc_sel == "native":
+                raise
     bw = BitWriter()
     bitstream.write_stream_header(bw, lgwin)
     raw = bytes(data)

@@ -22,14 +22,15 @@ def _build():
             (_DIR / "gen_tables.py").stat().st_mtime:
         subprocess.run(["python3", str(_DIR / "gen_tables.py")],
                        check=True, capture_output=True)
-    src = _DIR / "btpu_dec.c"
-    if _LIB.exists() and _LIB.stat().st_mtime >= src.stat().st_mtime \
-            and _LIB.stat().st_mtime >= tables.stat().st_mtime:
+    srcs = [_DIR / "btpu_dec.c", _DIR / "btpu_enc.c"]
+    newest = max(tables.stat().st_mtime,
+                 *(s.stat().st_mtime for s in srcs))
+    if _LIB.exists() and _LIB.stat().st_mtime >= newest:
         return
     cc = os.environ.get("CC", "cc")
     subprocess.run(
         [cc, "-O2", "-march=native", "-shared", "-fPIC", "-o",
-         str(_LIB), str(src)],
+         str(_LIB)] + [str(s) for s in srcs] + ["-lm"],
         check=True, capture_output=True)
 
 
@@ -44,6 +45,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_decode.restype = ctypes.c_int
         lib.btpu_free.argtypes = [ctypes.c_void_p]
+        lib.btpu_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_encode.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -67,6 +73,29 @@ def decode(data: bytes) -> bytes:
                          ctypes.byref(out_ptr), ctypes.byref(out_len))
     if rc != 0:
         raise ValueError(_ERRORS.get(rc, f"decode error {rc}"))
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.btpu_free(out_ptr)
+
+
+_ENC_ERRORS = {
+    -3: "out of memory",
+    -6: "unsupported parameters for the native encoder",
+}
+
+
+def encode(data: bytes, quality: int, lgwin: int) -> bytes:
+    """Fast native one-shot encode (quality 0-9, standard window)."""
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    out_ptr = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.btpu_encode(data, len(data), quality, lgwin,
+                         dictionary_data(), ctypes.byref(out_ptr),
+                         ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"encode error {rc}"))
     try:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:

@@ -1,0 +1,1542 @@
+/* brotli_tpu native encoder: host-side fast compress path, quality 0-9.
+ *
+ * Role parity with the reference's c/enc/ fast tiers
+ * (compress_fragment*.c q0/q1, backward_references.c q2-9), but an
+ * independent design: commands are buffered into arrays per metablock
+ * and serialized in a second pass with package-merge *optimal*
+ * depth-limited prefix codes (the reference uses a clamp-and-retry
+ * heuristic, entropy_encode.c). Match finding is a chained hash with
+ * distance-cache probing; the static dictionary is matched through a
+ * runtime-built prefix hash with identity / UPPERCASE_FIRST /
+ * omit-last cutoff transforms (role of static_dict.c kCutoffTransforms,
+ * re-derived from the transform table at init).
+ *
+ * All format tables come from btpu_tables.h (generated from the Python
+ * format layer -- single source of truth; nothing copied from the
+ * reference).
+ *
+ * Build: cc -O2 -shared -fPIC -o libbtpu.so btpu_dec.c btpu_enc.c
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "btpu_tables.h"
+
+#define EERR_ALLOC -3
+#define EERR_PARAM -6
+
+#define MAX_HUFF_LEN 15
+#define NUM_LIT 256
+#define NUM_CMD BTPU_NUM_CMD_SYMS
+#define NUM_DIST BTPU_NUM_DIST_SYMS
+#define NUM_LIT_CTX 64
+#define MAX_LIT_TREES 16
+
+/* ---------- bit writer ---------- */
+
+typedef struct {
+  uint8_t* buf;
+  size_t cap;
+  size_t len;     /* whole bytes emitted */
+  uint64_t acc;   /* pending bits, LSB-first */
+  unsigned nacc;  /* 0..7 after flush */
+} BW;
+
+static int bw_reserve(BW* b, size_t extra) {
+  if (b->len + extra <= b->cap) return 0;
+  size_t ncap = b->cap ? b->cap * 2 : 1 << 16;
+  while (ncap < b->len + extra) ncap *= 2;
+  uint8_t* nb = (uint8_t*)realloc(b->buf, ncap);
+  if (!nb) return EERR_ALLOC;
+  b->buf = nb;
+  b->cap = ncap;
+  return 0;
+}
+
+static inline int bw_put(BW* b, uint64_t v, unsigned n) {
+  /* n <= 56; caller guarantees v < 2^n */
+  b->acc |= v << b->nacc;
+  b->nacc += n;
+  if (b->nacc >= 32) {
+    if (bw_reserve(b, 8)) return EERR_ALLOC;
+    while (b->nacc >= 8) {
+      b->buf[b->len++] = (uint8_t)b->acc;
+      b->acc >>= 8;
+      b->nacc -= 8;
+    }
+  }
+  return 0;
+}
+
+static int bw_flush_align(BW* b) {
+  if (bw_reserve(b, 8)) return EERR_ALLOC;
+  while (b->nacc >= 8) {
+    b->buf[b->len++] = (uint8_t)b->acc;
+    b->acc >>= 8;
+    b->nacc -= 8;
+  }
+  if (b->nacc) {
+    b->buf[b->len++] = (uint8_t)b->acc;
+    b->acc = 0;
+    b->nacc = 0;
+  }
+  return 0;
+}
+
+static size_t bw_bitlen(const BW* b) { return b->len * 8 + b->nacc; }
+
+/* ---------- package-merge: optimal depth-limited code lengths -------- */
+
+typedef struct {
+  uint64_t* w;     /* scratch: weights per level, 2n nodes */
+  uint8_t* leaf;   /* scratch: is-leaf flags per level */
+  int* idx;       /* sorted symbol order */
+  uint32_t* sw;    /* sorted weights */
+} PmScratch;
+
+static int pm_cmp_ctx_n;
+static const uint32_t* pm_cmp_freq;
+static int pm_cmp(const void* a, const void* b) {
+  int ia = *(const int*)a, ib = *(const int*)b;
+  uint32_t fa = pm_cmp_freq[ia], fb = pm_cmp_freq[ib];
+  if (fa != fb) return fa < fb ? -1 : 1;
+  return ia - ib;
+}
+
+/* out[sym] = code length (0 for unused); optimal under maxlen. */
+static void pm_lengths(const uint32_t* freq, int n, int maxlen,
+                       uint8_t* out, PmScratch* s) {
+  int used[1200];
+  int nu = 0;
+  memset(out, 0, (size_t)n);
+  for (int i = 0; i < n; i++)
+    if (freq[i]) used[nu++] = i;
+  if (nu == 0) return;
+  if (nu == 1) {
+    out[used[0]] = 1;
+    return;
+  }
+  pm_cmp_ctx_n = nu;
+  pm_cmp_freq = freq;
+  qsort(used, (size_t)nu, sizeof(int), pm_cmp);
+  /* level lists: lists[l] has cnt[l] nodes (weights + leaf flags).
+     lists[0] = leaves; lists[l] = merge(leaves, pairs of lists[l-1]). */
+  int stride = 2 * nu;
+  uint64_t* W = s->w;
+  uint8_t* LF = s->leaf;
+  int cnt[16];
+  for (int i = 0; i < nu; i++) {
+    W[i] = freq[used[i]];
+    LF[i] = 1;
+  }
+  cnt[0] = nu;
+  for (int l = 1; l < maxlen; l++) {
+    uint64_t* prev = W + (size_t)(l - 1) * stride;
+    uint8_t* prevf = LF + (size_t)(l - 1) * stride;
+    (void)prevf;
+    uint64_t* cur = W + (size_t)l * stride;
+    uint8_t* curf = LF + (size_t)l * stride;
+    int npkg = cnt[l - 1] / 2;
+    int i = 0, j = 0, k = 0;
+    while (i < nu && j < npkg) {
+      uint64_t pw = prev[2 * j] + prev[2 * j + 1];
+      if ((uint64_t)freq[used[i]] <= pw) {
+        cur[k] = freq[used[i]];
+        curf[k++] = 1;
+        i++;
+      } else {
+        cur[k] = pw;
+        curf[k++] = 0;
+        j++;
+      }
+    }
+    while (i < nu) {
+      cur[k] = freq[used[i]];
+      curf[k++] = 1;
+      i++;
+    }
+    while (j < npkg) {
+      cur[k] = prev[2 * j] + prev[2 * j + 1];
+      curf[k++] = 0;
+      j++;
+    }
+    cnt[l] = k;
+  }
+  /* walk down: at each level take the first `take` nodes; leaves among
+     them are the smallest leaves and get +1 length. */
+  uint8_t lens[1200];
+  memset(lens, 0, (size_t)nu);
+  int take = 2 * nu - 2;
+  for (int l = maxlen - 1; l >= 0; l--) {
+    uint8_t* curf = LF + (size_t)l * stride;
+    int nleaf = 0;
+    for (int i = 0; i < take; i++) nleaf += curf[i];
+    for (int i = 0; i < nleaf; i++) lens[i]++;
+    take = 2 * (take - nleaf);
+    if (take == 0) break;
+  }
+  for (int i = 0; i < nu; i++) out[used[i]] = lens[i];
+}
+
+/* ---------- canonical code assignment (LSB-first stream) ---------- */
+
+static inline uint32_t rev_bits(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) {
+    r = (r << 1) | (v & 1);
+    v >>= 1;
+  }
+  return r;
+}
+
+static void lengths_to_codes_c(const uint8_t* len, int n, uint16_t* codes) {
+  int bl_count[MAX_HUFF_LEN + 1] = {0};
+  for (int i = 0; i < n; i++) bl_count[len[i]]++;
+  uint32_t next[MAX_HUFF_LEN + 1];
+  uint32_t code = 0;
+  bl_count[0] = 0;
+  for (int l = 1; l <= MAX_HUFF_LEN; l++) {
+    code = (code + (uint32_t)bl_count[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int i = 0; i < n; i++) {
+    codes[i] = len[i] ? (uint16_t)rev_bits(next[len[i]]++, len[i]) : 0;
+  }
+}
+
+/* ---------- prefix-code serialization (RFC 3.4 / 3.5) ---------- */
+
+static int emit_repeat(BW* bw, const uint16_t* cl_codes,
+                       const uint8_t* cl_lens, int single, int code,
+                       int run, int extra_bits, int lit_sym) {
+  /* emit `run` repetitions: short runs as plain symbols, longer via the
+     16/17 repeat recurrence total' = (total-2)<<eb + 3 + e. */
+  if (run <= 0) return 0;
+  if (run < 3) {
+    for (int i = 0; i < run; i++) {
+      if (!single) bw_put(bw, cl_codes[lit_sym], cl_lens[lit_sym]);
+    }
+    return 0;
+  }
+  int reps = run - 3;
+  int stack[16];
+  int sp = 0;
+  for (;;) {
+    stack[sp++] = reps & ((1 << extra_bits) - 1);
+    reps >>= extra_bits;
+    if (reps == 0) break;
+    reps -= 1;
+  }
+  while (sp--) {
+    if (!single) bw_put(bw, cl_codes[code], cl_lens[code]);
+    bw_put(bw, (uint64_t)stack[sp], (unsigned)extra_bits);
+  }
+  return 0;
+}
+
+static int write_huffman_code_c(BW* bw, const uint8_t* lengths, int n,
+                                int alphabet_size, PmScratch* pm) {
+  int used[1200];
+  int nu = 0;
+  for (int i = 0; i < n; i++)
+    if (lengths[i]) used[nu++] = i;
+  uint8_t one = 1;
+  const uint8_t* lens = lengths;
+  if (nu == 0) { /* degenerate: 1-symbol code over symbol 0 */
+    used[nu++] = 0;
+    lens = &one; /* only lens[used[0]] is read below via special-case */
+  }
+  if (nu <= 4) {
+    /* simple form: symbols ordered by (length, value) */
+    int order[4];
+    for (int i = 0; i < nu; i++) order[i] = used[i];
+    for (int i = 1; i < nu; i++) { /* insertion sort by (len, sym) */
+      int s = order[i], j = i - 1;
+      int sl = (lens == &one) ? 1 : lens[s];
+      while (j >= 0) {
+        int t = order[j];
+        int tl = (lens == &one) ? 1 : lens[t];
+        if (tl < sl || (tl == sl && t < s)) break;
+        order[j + 1] = t;
+        j--;
+      }
+      order[j + 1] = s;
+    }
+    bw_put(bw, 1, 2);
+    bw_put(bw, (uint64_t)(nu - 1), 2);
+    int max_bits = 0;
+    while ((1 << max_bits) < alphabet_size) max_bits++;
+    for (int i = 0; i < nu; i++)
+      bw_put(bw, (uint64_t)order[i], (unsigned)max_bits);
+    if (nu == 4) {
+      int shape[4];
+      for (int i = 0; i < 4; i++) shape[i] = lens[used[i]];
+      /* tree-select: depths {1,2,3,3} vs {2,2,2,2} */
+      int deep = 0;
+      for (int i = 0; i < 4; i++)
+        if (shape[i] == 3) deep++;
+      bw_put(bw, deep == 2 ? 1 : 0, 1);
+    }
+    return 0;
+  }
+
+  /* complex form: RLE the length sequence, code the cl symbols */
+  int last = used[nu - 1];
+  uint32_t cl_freq[18] = {0};
+  /* first pass: count cl symbols */
+  {
+    int prev_nz = 8, i = 0;
+    while (i <= last) {
+      int v = lengths[i], j = i;
+      while (j <= last && lengths[j] == v) j++;
+      int run = j - i;
+      if (v == 0) {
+        if (run < 3)
+          cl_freq[0] += (uint32_t)run;
+        else {
+          int reps = run - 3;
+          for (;;) {
+            cl_freq[17]++;
+            reps >>= 3;
+            if (reps == 0) break;
+            reps -= 1;
+          }
+        }
+      } else {
+        if (v != prev_nz) {
+          cl_freq[v]++;
+          run -= 1;
+        }
+        prev_nz = v;
+        if (run < 3)
+          cl_freq[v] += (uint32_t)run;
+        else {
+          int reps = run - 3;
+          for (;;) {
+            cl_freq[16]++;
+            reps >>= 2;
+            if (reps == 0) break;
+            reps -= 1;
+          }
+        }
+      }
+      i = j;
+    }
+  }
+  uint8_t cl_lens[18];
+  uint16_t cl_codes[18];
+  pm_lengths(cl_freq, 18, 5, cl_lens, pm);
+  lengths_to_codes_c(cl_lens, 18, cl_codes);
+  int num_codes = 0;
+  for (int i = 0; i < 18; i++)
+    if (cl_lens[i]) num_codes++;
+  int single = num_codes == 1;
+
+  int skip = 0;
+  while (skip < 3 && cl_lens[kClcOrder[skip]] == 0) skip++;
+  if (skip == 1) skip = 0;
+  bw_put(bw, (uint64_t)skip, 2);
+  int space = 32;
+  for (int oi = skip; oi < 18; oi++) {
+    int v = cl_lens[kClcOrder[oi]];
+    bw_put(bw, kClcLenCode[v], kClcLenBits[v]);
+    if (v != 0) {
+      space -= 32 >> v;
+      if (space <= 0) break;
+    }
+  }
+  /* second pass: emit symbol lengths through the cl code */
+  {
+    int prev_nz = 8, i = 0;
+    while (i <= last) {
+      int v = lengths[i], j = i;
+      while (j <= last && lengths[j] == v) j++;
+      int run = j - i;
+      if (v == 0) {
+        emit_repeat(bw, cl_codes, cl_lens, single, 17, run, 3, 0);
+      } else {
+        if (v != prev_nz) {
+          if (!single) bw_put(bw, cl_codes[v], cl_lens[v]);
+          run -= 1;
+        }
+        prev_nz = v;
+        emit_repeat(bw, cl_codes, cl_lens, single, 16, run, 2, v);
+      }
+      i = j;
+    }
+  }
+  return 0;
+}
+
+/* ---------- histogram clustering (greedy agglomerative) ---------- */
+
+static double hist_entropy(const uint32_t* h, int n) {
+  uint64_t total = 0;
+  for (int i = 0; i < n; i++) total += h[i];
+  if (total == 0) return 0.0;
+  double bits = 0.0, lt = log2((double)total);
+  for (int i = 0; i < n; i++)
+    if (h[i]) bits += (double)h[i] * (lt - log2((double)h[i]));
+  return bits;
+}
+
+/* fast x*log2(x) with a small-value table */
+static double g_xlogx[4096];
+static int g_xlogx_ready = 0;
+static inline double xlogx(uint64_t x) {
+  if (x < 4096) return g_xlogx[x];
+  return (double)x * log2((double)x);
+}
+
+static double hist_cost(const uint32_t* h, int n) {
+  uint64_t total = 0;
+  double sx = 0.0;
+  for (int i = 0; i < n; i++) {
+    total += h[i];
+    if (h[i]) sx += xlogx(h[i]);
+  }
+  if (total == 0) return 0.0;
+  return xlogx(total) - sx;
+}
+
+static double pair_cost(const uint32_t* a, const uint32_t* b, int n) {
+  uint64_t total = 0;
+  double sx = 0.0;
+  for (int i = 0; i < n; i++) {
+    uint32_t v = a[i] + b[i];
+    total += v;
+    if (v) sx += xlogx(v);
+  }
+  if (total == 0) return 0.0;
+  return xlogx(total) - sx;
+}
+
+/* Cluster k histograms (alphabet n) to <= max_trees; fills assign[k]
+   and returns the tree count. hists is modified in place (merged rows).
+   tree id t's histogram ends up in hists[reps[t]*n]. Gains are cached
+   in a k x k matrix; only the merged row is recomputed per step. */
+static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
+                         double table_cost, int* assign, int* reps) {
+  double cost[64];
+  int alive[64];
+  int group_of[64];
+  static double gain[64][64];
+  if (!g_xlogx_ready) {
+    g_xlogx[0] = 0.0;
+    for (int i = 1; i < 4096; i++) g_xlogx[i] = (double)i * log2((double)i);
+    g_xlogx_ready = 1;
+  }
+  for (int i = 0; i < k; i++) {
+    cost[i] = hist_cost(hists + (size_t)i * n, n);
+    alive[i] = 1;
+    group_of[i] = i;
+  }
+  for (int a = 0; a < k; a++)
+    for (int b = a + 1; b < k; b++)
+      gain[a][b] = cost[a] + cost[b] -
+                   pair_cost(hists + (size_t)a * n, hists + (size_t)b * n,
+                             n) +
+                   table_cost;
+  int n_alive = k;
+  while (n_alive > 1) {
+    double best = -1e300;
+    int ba = -1, bb = -1;
+    for (int a = 0; a < k; a++) {
+      if (!alive[a]) continue;
+      for (int b = a + 1; b < k; b++) {
+        if (!alive[b]) continue;
+        if (gain[a][b] > best) {
+          best = gain[a][b];
+          ba = a;
+          bb = b;
+        }
+      }
+    }
+    if (best <= 0 && n_alive <= max_trees) break;
+    for (int i = 0; i < n; i++)
+      hists[(size_t)ba * n + i] += hists[(size_t)bb * n + i];
+    cost[ba] = hist_cost(hists + (size_t)ba * n, n);
+    alive[bb] = 0;
+    for (int i = 0; i < k; i++)
+      if (group_of[i] == bb) group_of[i] = ba;
+    n_alive--;
+    for (int b = 0; b < k; b++) {
+      if (!alive[b] || b == ba) continue;
+      double g = cost[ba] + cost[b] -
+                 pair_cost(hists + (size_t)ba * n,
+                           hists + (size_t)b * n, n) +
+                 table_cost;
+      if (b > ba)
+        gain[ba][b] = g;
+      else
+        gain[b][ba] = g;
+    }
+  }
+  /* renumber in first-appearance order */
+  int ntrees = 0;
+  int remap[256];
+  for (int i = 0; i < k; i++) remap[i] = -1;
+  for (int i = 0; i < k; i++) {
+    int g = group_of[i];
+    if (remap[g] < 0) {
+      remap[g] = ntrees;
+      reps[ntrees] = g;
+      ntrees++;
+    }
+    assign[i] = remap[g];
+  }
+  return ntrees;
+}
+
+/* ---------- context map serialization (RFC 7.3) ---------- */
+
+static int write_context_map_c(BW* bw, const int* cmap, int nctx,
+                               int ntrees, PmScratch* pm) {
+  /* varlen_uint8(ntrees - 1) */
+  int v = ntrees - 1;
+  if (v == 0) {
+    bw_put(bw, 0, 1);
+  } else {
+    bw_put(bw, 1, 1);
+    int nbits = 0;
+    while ((2 << nbits) <= v) nbits++;
+    bw_put(bw, (uint64_t)nbits, 3);
+    if (nbits) bw_put(bw, (uint64_t)(v - (1 << nbits)), (unsigned)nbits);
+  }
+  if (ntrees <= 1) return 0;
+  /* forward MTF */
+  uint8_t mtf[256];
+  for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
+  uint8_t seq[512];
+  for (int i = 0; i < nctx; i++) {
+    uint8_t val = (uint8_t)cmap[i];
+    int j = 0;
+    while (mtf[j] != val) j++;
+    seq[i] = (uint8_t)j;
+    memmove(mtf + 1, mtf, (size_t)j);
+    mtf[0] = val;
+  }
+  /* zero-RLE: pick RLEMAX from the longest runs */
+  int sym[512], extra[512], ebits[512];
+  int ns = 0, rlemax = 0;
+  {
+    int i = 0;
+    while (i < nctx) {
+      if (seq[i] != 0) {
+        sym[ns] = seq[i];
+        extra[ns] = 0;
+        ebits[ns++] = 0;
+        i++;
+        continue;
+      }
+      int j = i;
+      while (j < nctx && seq[j] == 0) j++;
+      int run = j - i;
+      while (run > 0) {
+        if (run == 1) {
+          sym[ns] = 0;
+          extra[ns] = 0;
+          ebits[ns++] = 0;
+          run = 0;
+        } else {
+          int vb = 0;
+          while ((2 << vb) <= run) vb++;
+          if (vb > 16) vb = 16;
+          int ex = run - (1 << vb);
+          if (ex > (1 << vb) - 1) ex = (1 << vb) - 1;
+          sym[ns] = vb; /* placeholder: run code vb */
+          extra[ns] = ex;
+          ebits[ns++] = -vb; /* negative marks run codes */
+          run -= (1 << vb) + ex;
+          if (vb > rlemax) rlemax = vb;
+        }
+      }
+      i = j;
+    }
+  }
+  if (rlemax) {
+    bw_put(bw, 1, 1);
+    bw_put(bw, (uint64_t)(rlemax - 1), 4);
+  } else {
+    bw_put(bw, 0, 1);
+  }
+  int alphabet = ntrees + rlemax;
+  uint32_t freq[300];
+  memset(freq, 0, sizeof(uint32_t) * (size_t)alphabet);
+  for (int i = 0; i < ns; i++) {
+    int s = ebits[i] < 0 ? sym[i] : (sym[i] ? sym[i] + rlemax : 0);
+    freq[s]++;
+  }
+  uint8_t lens[300];
+  uint16_t codes[300];
+  pm_lengths(freq, alphabet, MAX_HUFF_LEN, lens, pm);
+  write_huffman_code_c(bw, lens, alphabet, alphabet, pm);
+  int used = 0;
+  for (int i = 0; i < alphabet; i++)
+    if (lens[i]) used++;
+  lengths_to_codes_c(lens, alphabet, codes);
+  for (int i = 0; i < ns; i++) {
+    int s = ebits[i] < 0 ? sym[i] : (sym[i] ? sym[i] + rlemax : 0);
+    if (used > 1) bw_put(bw, codes[s], lens[s]);
+    if (ebits[i] < 0) bw_put(bw, (uint64_t)extra[i], (unsigned)(-ebits[i]));
+  }
+  bw_put(bw, 1, 1); /* IMTF */
+  return 0;
+}
+
+/* ---------- static dictionary matcher ---------- */
+
+typedef struct {
+  uint32_t word_off; /* offset of word bytes in dict blob */
+  uint16_t idx;      /* index within its length bucket */
+  uint8_t len;
+} DictEntry;
+
+#define DICT_HBITS 15
+#define DICT_HSIZE (1 << DICT_HBITS)
+
+typedef struct {
+  const uint8_t* blob;
+  DictEntry* entries;       /* grouped by bucket */
+  uint32_t start[DICT_HSIZE + 1];
+  int omit_last_id[10];     /* bare omit-last-k transform id, 1..9 */
+  int uc_first_id;
+  int ready;
+} DictIndex;
+
+static DictIndex g_dict;
+
+static inline uint32_t dict_hash4(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return (uint32_t)((v * 0x9E3779B1u) >> (32 - DICT_HBITS));
+}
+
+static int dict_index_init(const uint8_t* blob) {
+  if (g_dict.ready && g_dict.blob == blob) return 0;
+  free(g_dict.entries);
+  memset(&g_dict, 0, sizeof(g_dict));
+  g_dict.blob = blob;
+  g_dict.uc_first_id = -1;
+  for (int k = 1; k <= 9; k++) g_dict.omit_last_id[k] = -1;
+  for (int t = 0; t < 121; t++) {
+    if (kTransformPrefixLen[t] || kTransformSuffixLen[t]) continue;
+    int op = kTransformOp[t];
+    if (op == 1 && g_dict.uc_first_id < 0) g_dict.uc_first_id = t;
+    if (op >= 21 && op <= 29 && g_dict.omit_last_id[op - 20] < 0)
+      g_dict.omit_last_id[op - 20] = t;
+  }
+  /* count words */
+  size_t total = 0;
+  for (int L = 4; L <= 24; L++)
+    if (kDictSizeBits[L]) total += (size_t)1 << kDictSizeBits[L];
+  uint32_t* counts = (uint32_t*)calloc(DICT_HSIZE + 1, sizeof(uint32_t));
+  DictEntry* ents = (DictEntry*)malloc(sizeof(DictEntry) * total);
+  if (!counts || !ents) {
+    free(counts);
+    free(ents);
+    return EERR_ALLOC;
+  }
+  for (int L = 4; L <= 24; L++) {
+    if (!kDictSizeBits[L]) continue;
+    uint32_t cnt = 1u << kDictSizeBits[L];
+    uint32_t off = kDictOffsets[L];
+    for (uint32_t i = 0; i < cnt; i++)
+      counts[dict_hash4(blob + off + (size_t)i * L)]++;
+  }
+  uint32_t acc = 0;
+  for (int h = 0; h <= DICT_HSIZE; h++) {
+    uint32_t c = h < DICT_HSIZE ? counts[h] : 0;
+    g_dict.start[h] = acc;
+    counts[h] = acc;
+    acc += c;
+  }
+  for (int L = 4; L <= 24; L++) {
+    if (!kDictSizeBits[L]) continue;
+    uint32_t cnt = 1u << kDictSizeBits[L];
+    uint32_t off = kDictOffsets[L];
+    for (uint32_t i = 0; i < cnt; i++) {
+      uint32_t woff = off + (uint32_t)((size_t)i * L);
+      uint32_t h = dict_hash4(blob + woff);
+      DictEntry* e = &ents[counts[h]++];
+      e->word_off = woff;
+      e->idx = (uint16_t)i;
+      e->len = (uint8_t)L;
+    }
+  }
+  free(counts);
+  g_dict.entries = ents;
+  g_dict.ready = 1;
+  return 0;
+}
+
+static inline size_t common_len(const uint8_t* a, const uint8_t* b,
+                                size_t max) {
+  size_t i = 0;
+  while (i + 8 <= max) {
+    uint64_t x, y;
+    memcpy(&x, a + i, 8);
+    memcpy(&y, b + i, 8);
+    uint64_t d = x ^ y;
+    if (d) return i + (size_t)(__builtin_ctzll(d) >> 3);
+    i += 8;
+  }
+  while (i < max && a[i] == b[i]) i++;
+  return i;
+}
+
+/* Probe the static dictionary at data[pos..]; returns output length (0
+   = no match) and fills copy-code value, transform id, word index and
+   word length. */
+static int dict_probe(const uint8_t* data, size_t pos, size_t n,
+                      int min_out, int* out_copy, int* out_tid,
+                      uint32_t* out_idx, int* out_wlen) {
+  if (pos + 4 > n || !g_dict.ready) return 0;
+  size_t rem = n - pos;
+  const uint8_t* p = data + pos;
+  int best_out = 0, best_copy = 0, best_tid = 0, best_wlen = 0;
+  uint32_t best_idx = 0;
+  int best_score = 0;
+  for (int tf = 0; tf < 2; tf++) {
+    uint8_t first = p[0];
+    uint8_t key[4];
+    if (tf == 1) {
+      if (first < 'A' || first > 'Z' || g_dict.uc_first_id < 0) break;
+      key[0] = (uint8_t)(first | 0x20);
+      key[1] = p[1];
+      key[2] = p[2];
+      key[3] = p[3];
+    }
+    uint32_t h = dict_hash4(tf ? key : p);
+    uint32_t lo = g_dict.start[h], hi = g_dict.start[h + 1];
+    for (uint32_t e = lo; e < hi; e++) {
+      const DictEntry* de = &g_dict.entries[e];
+      const uint8_t* w = g_dict.blob + de->word_off;
+      int L = de->len;
+      if (tf == 1) {
+        if (w[0] != key[0]) continue;
+        size_t m1 = 1 + common_len(p + 1, w + 1,
+                                   (rem < (size_t)L ? rem : (size_t)L) - 1);
+        if ((int)m1 != L) continue; /* uc_first: full word only */
+        int score = L * 128 - 140; /* transform penalty */
+        if (L >= min_out && score > best_score) {
+          best_score = score;
+          best_out = L;
+          best_copy = L;
+          best_tid = g_dict.uc_first_id;
+          best_idx = de->idx;
+          best_wlen = L;
+        }
+        continue;
+      }
+      size_t cap = rem < (size_t)L ? rem : (size_t)L;
+      size_t m = common_len(p, w, cap);
+      if ((int)m == L) { /* identity */
+        int score = L * 128;
+        if (L >= min_out && score > best_score) {
+          best_score = score;
+          best_out = L;
+          best_copy = L;
+          best_tid = 0;
+          best_idx = de->idx;
+          best_wlen = L;
+        }
+      } else if ((int)m >= min_out && m >= 6 && L - (int)m <= 9 &&
+                 g_dict.omit_last_id[L - (int)m] >= 0) {
+        int score = (int)m * 128 - 160; /* cutoff penalty */
+        if (score > best_score) {
+          best_score = score;
+          best_out = (int)m;
+          best_copy = L; /* copy code selects the word-length bucket */
+          best_tid = g_dict.omit_last_id[L - (int)m];
+          best_idx = de->idx;
+          best_wlen = L;
+        }
+      }
+    }
+  }
+  if (!best_out) return 0;
+  *out_copy = best_copy;
+  *out_tid = best_tid;
+  *out_idx = best_idx;
+  *out_wlen = best_wlen;
+  return best_out;
+}
+
+/* ---------- LZ match finder ---------- */
+
+typedef struct {
+  uint32_t ins;  /* literal count before the copy */
+  uint32_t cpy;  /* copy length CODE value (0 = final insert-only) */
+  uint32_t dist; /* distance (0 = final insert-only) */
+  uint32_t adv;  /* bytes of input consumed by the copy; flag in top bit */
+} Cmd;
+#define CMD_DICT 0x80000000u /* adv top bit: no ring push */
+
+typedef struct {
+  uint32_t* head; /* [1<<hbits] last pos+1 for hash */
+  uint32_t* prev; /* [1<<chain_bits] previous pos+1 in chain */
+  int hbits;
+  uint32_t chain_mask;
+  int depth;     /* chain walk budget */
+  int lazy;      /* lazy matching on */
+  int use_dict;  /* static dictionary probing on */
+  int min_len;
+} MatchCfg;
+
+static inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+static inline uint32_t hash5(const uint8_t* p, int hbits) {
+  return (uint32_t)(((load64(p) & 0xFFFFFFFFFFull) *
+                     0x1FE35A7BD3579BD3ull) >> (64 - hbits));
+}
+
+typedef struct {
+  size_t len;
+  size_t dist;
+  int score;
+} MatchResult;
+
+static inline int match_score(size_t len, size_t dist, int cache_slot) {
+  int bl = 0;
+  size_t d = dist;
+  while (d) {
+    bl++;
+    d >>= 1;
+  }
+  int s = (int)len * 128 - 8 * bl;
+  if (cache_slot == 0) s += 120;
+  else if (cache_slot > 0) s += 70;
+  return s;
+}
+
+#define MAX_COPY_LEN ((size_t)1 << 22) /* keeps copy codes + mlen in range */
+
+static void find_match(const uint8_t* data, size_t pos, size_t n,
+                       size_t maxback, const uint32_t* ring,
+                       const MatchCfg* cfg, MatchResult* out) {
+  out->len = 0;
+  out->dist = 0;
+  out->score = 0;
+  size_t rem = n - pos;
+  if (rem < 4) return;
+  size_t maxd = pos < maxback ? pos : maxback;
+  const uint8_t* p = data + pos;
+  size_t limit = rem < MAX_COPY_LEN ? rem : MAX_COPY_LEN;
+  /* distance-cache probe */
+  for (int s = 0; s < 4; s++) {
+    size_t d = ring[s];
+    if (d == 0 || d > maxd) continue;
+    if (s > 0 && (d == ring[0] || (s > 1 && d == ring[1]) ||
+                  (s > 2 && d == ring[2])))
+      continue;
+    const uint8_t* q = p - d;
+    if (q[0] != p[0]) continue;
+    size_t l = common_len(p, q, limit);
+    if (l >= 3) {
+      int sc = match_score(l, d, s);
+      if (sc > out->score) {
+        out->score = sc;
+        out->len = l;
+        out->dist = d;
+      }
+    }
+  }
+  /* hash chain walk (positions strictly decrease; stale slots from the
+     wrapped chain table terminate the walk) */
+  uint32_t h = hash5(p, cfg->hbits);
+  uint32_t cur = cfg->head[h];
+  int depth = cfg->depth;
+  size_t best_len = out->len > 4 ? out->len : 3;
+  while (cur && depth-- > 0) {
+    size_t cand = (size_t)cur - 1;
+    size_t d = pos - cand;
+    if (d == 0 || d > maxd) break;
+    const uint8_t* q = data + cand;
+    if (best_len >= limit) break;
+    if (q[best_len] == p[best_len]) {
+      size_t l = common_len(p, q, limit);
+      if (l > best_len) {
+        int sc = match_score(l, d, -1);
+        if (sc > out->score) {
+          out->score = sc;
+          out->len = l;
+          out->dist = d;
+          best_len = l;
+        }
+      }
+    }
+    if (cand == 0) break;
+    uint32_t nxt = cfg->prev[cand & cfg->chain_mask];
+    if (nxt >= cur) break;
+    cur = nxt;
+  }
+  if (out->len < (size_t)cfg->min_len) {
+    out->len = 0;
+    out->dist = 0;
+    out->score = 0;
+  }
+}
+
+static inline void insert_hash(const uint8_t* data, size_t pos,
+                               const MatchCfg* cfg) {
+  uint32_t h = hash5(data + pos, cfg->hbits);
+  cfg->prev[pos & cfg->chain_mask] = cfg->head[h];
+  cfg->head[h] = (uint32_t)(pos + 1);
+}
+
+/* ---------- command planning + emission ---------- */
+
+typedef struct {
+  uint16_t cmd_sym;
+  uint8_t dcode;
+  uint8_t dbits;
+  uint32_t dextra;
+  uint8_t has_dist;
+} Plan;
+
+static inline int value_code(uint32_t v, const int32_t* base, int n) {
+  int lo = 0, hi = n - 1;
+  while (lo < hi) {
+    int mid = (lo + hi + 1) >> 1;
+    if ((uint32_t)base[mid] <= v)
+      lo = mid;
+    else
+      hi = mid - 1;
+  }
+  return lo;
+}
+
+static inline uint16_t combine_cmd(int icode, int ccode, int implicit) {
+  static const int cell_starts[3][3] = {
+      {128, 192, 384}, {256, 320, 512}, {448, 576, 640}};
+  int low = ((icode & 7) << 3) | (ccode & 7);
+  if (implicit) return (uint16_t)(((ccode >> 3) == 0 ? 0 : 64) + low);
+  return (uint16_t)(cell_starts[icode >> 3][ccode >> 3] + low);
+}
+
+/* Plan distance codes + command symbols for one metablock; updates the
+   ring in place. */
+static void plan_cmds(const Cmd* cmds, size_t ncmd, uint32_t* ring,
+                      Plan* plan) {
+  for (size_t i = 0; i < ncmd; i++) {
+    const Cmd* c = &cmds[i];
+    int final_insert = c->cpy == 0 && c->dist == 0;
+    int is_dict = (c->adv & CMD_DICT) != 0;
+    int icode = value_code(c->ins, kInsertBase, 24);
+    int ccode = value_code(final_insert ? 2 : c->cpy, kCopyBase, 24);
+    Plan* pl = &plan[i];
+    pl->dcode = 0;
+    pl->dbits = 0;
+    pl->dextra = 0;
+    if (final_insert) {
+      pl->has_dist = 0;
+      pl->cmd_sym =
+          combine_cmd(icode, ccode, icode < 8); /* implicit cell if ok */
+      continue;
+    }
+    uint32_t dist = c->dist;
+    int dcode = -1;
+    if (!is_dict) {
+      if (dist == ring[0]) {
+        dcode = 0;
+      } else if (dist == ring[1]) {
+        dcode = 1;
+      } else if (dist == ring[2]) {
+        dcode = 2;
+      } else if (dist == ring[3]) {
+        dcode = 3;
+      } else {
+        long d0 = (long)dist - (long)ring[0];
+        long d1 = (long)dist - (long)ring[1];
+        if (d0 >= -3 && d0 <= 3 && d0 != 0)
+          dcode = d0 < 0 ? (int)(4 + 2 * (-d0 - 1)) : (int)(5 + 2 * (d0 - 1));
+        else if (d1 >= -3 && d1 <= 3 && d1 != 0)
+          dcode = d1 < 0 ? (int)(10 + 2 * (-d1 - 1))
+                         : (int)(11 + 2 * (d1 - 1));
+      }
+    }
+    int implicit = 0;
+    if (dcode == 0 && icode < 8 && ccode < 16) implicit = 1;
+    if (dcode < 0) {
+      /* explicit distance (NPOSTFIX = 0, NDIRECT = 0) */
+      uint64_t d = (uint64_t)dist - 1;
+      uint64_t t = (d + 4) >> 2;
+      int nbits = 0;
+      while (t) {
+        nbits++;
+        t >>= 1;
+      }
+      uint64_t rest = d + 4 - (1ull << (nbits + 1));
+      uint64_t half = rest >> nbits;
+      pl->dcode = (uint8_t)(16 + (((nbits - 1) << 1) | (int)half));
+      pl->dextra = (uint32_t)(rest - (half << nbits));
+      pl->dbits = (uint8_t)nbits;
+    } else {
+      pl->dcode = (uint8_t)dcode;
+    }
+    pl->has_dist = (uint8_t)!implicit;
+    pl->cmd_sym = combine_cmd(icode, ccode, implicit);
+    /* ring push: every non-dict copy whose distance differs from top */
+    if (!is_dict && dist != ring[0]) {
+      ring[3] = ring[2];
+      ring[2] = ring[1];
+      ring[1] = ring[0];
+      ring[0] = dist;
+    }
+  }
+}
+
+/* varlen uint8 for block-type counts */
+static void put_varlen_u8(BW* bw, int value) {
+  if (value == 0) {
+    bw_put(bw, 0, 1);
+    return;
+  }
+  bw_put(bw, 1, 1);
+  int nbits = 0;
+  while ((2 << nbits) <= value) nbits++;
+  bw_put(bw, (uint64_t)nbits, 3);
+  if (nbits) bw_put(bw, (uint64_t)(value - (1 << nbits)), (unsigned)nbits);
+}
+
+static void put_mlen_header(BW* bw, size_t mlen, int is_last,
+                            int is_uncompressed) {
+  bw_put(bw, is_last ? 1 : 0, 1);
+  if (is_last) bw_put(bw, 0, 1); /* not empty */
+  int nibbles = mlen <= (1 << 16) ? 4 : mlen <= (1 << 20) ? 5 : 6;
+  bw_put(bw, (uint64_t)(nibbles - 4), 2);
+  uint64_t v = (uint64_t)mlen - 1;
+  for (int i = 0; i < nibbles; i++) bw_put(bw, (v >> (4 * i)) & 0xF, 4);
+  if (!is_last) bw_put(bw, is_uncompressed ? 1 : 0, 1);
+}
+
+/* choose the literal context mode for a metablock (UTF8 vs LSB6) */
+static int choose_ctx_mode(const uint8_t* data, size_t lo, size_t hi) {
+  size_t n = hi - lo;
+  if (n > 65536) n = 65536;
+  size_t ok = 0;
+  for (size_t i = 0; i < n; i++) {
+    uint8_t b = data[lo + i];
+    if (b < 128 || b >= 0xC2) ok++;
+  }
+  return (double)ok > 0.75 * (double)n ? 2 /* UTF8 */ : 3 /* SIGNED */;
+}
+
+typedef struct {
+  const uint8_t* data;
+  size_t n;
+  int quality;
+  int lgwin;
+  size_t maxback;
+  BW bw;
+  PmScratch pm;
+  uint32_t ring[4];
+  /* per-metablock scratch, grown on demand */
+  Plan* plan;
+  size_t plan_cap;
+} Enc;
+
+/* Serialize one metablock from the command array. Commands must consume
+   exactly [lo, hi) of the input. */
+static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
+                          size_t hi, int is_last) {
+  size_t mlen = hi - lo;
+  const uint8_t* data = e->data;
+  BW* bw = &e->bw;
+  int q = e->quality;
+  if (ncmd > e->plan_cap) {
+    free(e->plan);
+    e->plan_cap = ncmd + 64;
+    e->plan = (Plan*)malloc(sizeof(Plan) * e->plan_cap);
+    if (!e->plan) return EERR_ALLOC;
+  }
+  Plan* plan = e->plan;
+  plan_cmds(cmds, ncmd, e->ring, plan);
+
+  /* ---- histograms ---- */
+  int mode = 0;
+  int use_ctx = 0;
+  size_t nlit = 0;
+  for (size_t i = 0; i < ncmd; i++) nlit += cmds[i].ins;
+  static const double kTableCost = 60.0;
+  int lit_assign[NUM_LIT_CTX];
+  int lit_reps[NUM_LIT_CTX];
+  int n_lit_trees = 1;
+  uint32_t* lit_hist = NULL;
+  if (q >= 5 && nlit >= 1024) {
+    use_ctx = 1;
+    mode = choose_ctx_mode(data, lo, hi);
+  }
+  int nctx = use_ctx ? NUM_LIT_CTX : 1;
+  lit_hist = (uint32_t*)calloc((size_t)nctx * NUM_LIT, sizeof(uint32_t));
+  uint32_t* cmd_hist = (uint32_t*)calloc(NUM_CMD, sizeof(uint32_t));
+  uint32_t* dist_hist = (uint32_t*)calloc(4 * NUM_DIST, sizeof(uint32_t));
+  if (!lit_hist || !cmd_hist || !dist_hist) {
+    free(lit_hist);
+    free(cmd_hist);
+    free(dist_hist);
+    return EERR_ALLOC;
+  }
+  const uint8_t* lut0 = kContextLut[use_ctx ? mode : 0];
+  const uint8_t* lut1 = lut0 + 256;
+  {
+    size_t pos = lo;
+    for (size_t i = 0; i < ncmd; i++) {
+      const Cmd* c = &cmds[i];
+      cmd_hist[plan[i].cmd_sym]++;
+      for (uint32_t k = 0; k < c->ins; k++) {
+        size_t pp = pos + k;
+        int ctx = 0;
+        if (use_ctx) {
+          uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+          uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+          ctx = lut0[p1] | lut1[p2];
+        }
+        lit_hist[(size_t)ctx * NUM_LIT + data[pp]]++;
+      }
+      pos += c->ins + (c->adv & ~CMD_DICT);
+      if (plan[i].has_dist) {
+        int dctx = kCmdDistCtx[plan[i].cmd_sym];
+        dist_hist[(size_t)dctx * NUM_DIST + plan[i].dcode]++;
+      }
+    }
+  }
+
+  /* ---- cluster literal contexts ---- */
+  if (use_ctx) {
+    int max_trees = q >= 9 ? MAX_LIT_TREES : 12;
+    n_lit_trees = cluster_hists(lit_hist, NUM_LIT_CTX, NUM_LIT, max_trees,
+                                kTableCost, lit_assign, lit_reps);
+    if (n_lit_trees < 0) return EERR_ALLOC;
+    if (n_lit_trees == 1) use_ctx = 0;
+  }
+  if (!use_ctx) {
+    /* single tree: if clustering ran, lit_hist[lit_reps[0]] already
+       holds the merged histogram; otherwise row 0 is the histogram */
+    lit_assign[0] = 0;
+    if (nctx == 1) lit_reps[0] = 0;
+    n_lit_trees = 1;
+  }
+
+  /* ---- cluster distance contexts ---- */
+  int dist_assign[4] = {0, 0, 0, 0};
+  int dist_reps[4] = {0};
+  int n_dist_trees = 1;
+  size_t ndist_syms = 0;
+  for (size_t i = 0; i < ncmd; i++) ndist_syms += plan[i].has_dist;
+  if (q >= 5 && ndist_syms >= 512) {
+    n_dist_trees = cluster_hists(dist_hist, 4, NUM_DIST, 4, 30.0,
+                                 dist_assign, dist_reps);
+    if (n_dist_trees < 0) return EERR_ALLOC;
+  } else {
+    /* merge the 4 context rows into one */
+    for (int c = 1; c < 4; c++)
+      for (int s = 0; s < NUM_DIST; s++)
+        dist_hist[s] += dist_hist[(size_t)c * NUM_DIST + s];
+    dist_reps[0] = 0;
+  }
+
+  /* ---- code lengths ---- */
+  uint8_t lit_lens[MAX_LIT_TREES][NUM_LIT];
+  uint16_t lit_codes[MAX_LIT_TREES][NUM_LIT];
+  uint8_t lit_emit[MAX_LIT_TREES]; /* 0 => single-symbol, emit 0 bits */
+  for (int t = 0; t < n_lit_trees; t++) {
+    pm_lengths(lit_hist + (size_t)lit_reps[t] * NUM_LIT, NUM_LIT,
+               MAX_HUFF_LEN, lit_lens[t], &e->pm);
+    int used = 0;
+    for (int s = 0; s < NUM_LIT; s++)
+      if (lit_lens[t][s]) used++;
+    lit_emit[t] = used > 1;
+    lengths_to_codes_c(lit_lens[t], NUM_LIT, lit_codes[t]);
+  }
+  uint8_t cmd_lens[NUM_CMD];
+  uint16_t cmd_codes[NUM_CMD];
+  pm_lengths(cmd_hist, NUM_CMD, MAX_HUFF_LEN, cmd_lens, &e->pm);
+  int cmd_used = 0;
+  for (int s = 0; s < NUM_CMD; s++)
+    if (cmd_lens[s]) cmd_used++;
+  lengths_to_codes_c(cmd_lens, NUM_CMD, cmd_codes);
+  uint8_t dist_lens[4][NUM_DIST];
+  uint16_t dist_codes[4][NUM_DIST];
+  uint8_t dist_emit[4];
+  for (int t = 0; t < n_dist_trees; t++) {
+    pm_lengths(dist_hist + (size_t)dist_reps[t] * NUM_DIST, NUM_DIST,
+               MAX_HUFF_LEN, dist_lens[t], &e->pm);
+    int used = 0;
+    for (int s = 0; s < NUM_DIST; s++)
+      if (dist_lens[t][s]) used++;
+    dist_emit[t] = used > 1;
+    lengths_to_codes_c(dist_lens[t], NUM_DIST, dist_codes[t]);
+  }
+
+  /* ---- header ---- */
+  put_mlen_header(bw, mlen, is_last, 0);
+  put_varlen_u8(bw, 0); /* NBLTYPESL - 1 */
+  put_varlen_u8(bw, 0); /* NBLTYPESI - 1 */
+  put_varlen_u8(bw, 0); /* NBLTYPESD - 1 */
+  bw_put(bw, 0, 2);     /* NPOSTFIX */
+  bw_put(bw, 0, 4);     /* NDIRECT >> NPOSTFIX */
+  bw_put(bw, (uint64_t)(use_ctx ? mode : 0), 2); /* literal ctx mode */
+  if (n_lit_trees > 1)
+    write_context_map_c(bw, lit_assign, NUM_LIT_CTX, n_lit_trees, &e->pm);
+  else
+    put_varlen_u8(bw, 0);
+  if (n_dist_trees > 1)
+    write_context_map_c(bw, dist_assign, 4, n_dist_trees, &e->pm);
+  else
+    put_varlen_u8(bw, 0);
+  for (int t = 0; t < n_lit_trees; t++)
+    write_huffman_code_c(bw, lit_lens[t], NUM_LIT, NUM_LIT, &e->pm);
+  write_huffman_code_c(bw, cmd_lens, NUM_CMD, NUM_CMD, &e->pm);
+  for (int t = 0; t < n_dist_trees; t++)
+    write_huffman_code_c(bw, dist_lens[t], NUM_DIST, NUM_DIST, &e->pm);
+
+  /* ---- body ---- */
+  {
+    size_t pos = lo;
+    for (size_t i = 0; i < ncmd; i++) {
+      const Cmd* c = &cmds[i];
+      const Plan* pl = &plan[i];
+      int sym = pl->cmd_sym;
+      if (cmd_used > 1) bw_put(bw, cmd_codes[sym], cmd_lens[sym]);
+      /* insert / copy extra bits */
+      uint32_t ib = kCmdInsertExtra[sym];
+      if (ib) bw_put(bw, c->ins - (uint32_t)kCmdInsertBase[sym], ib);
+      uint32_t cb = kCmdCopyExtra[sym];
+      if (cb) {
+        uint32_t cval = c->cpy == 0 && c->dist == 0 ? 2 : c->cpy;
+        bw_put(bw, cval - (uint32_t)kCmdCopyBase[sym], cb);
+      }
+      for (uint32_t k = 0; k < c->ins; k++) {
+        size_t pp = pos + k;
+        uint8_t lit = data[pp];
+        int t = 0;
+        if (use_ctx) {
+          uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+          uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+          t = lit_assign[lut0[p1] | lut1[p2]];
+        }
+        if (lit_emit[t]) bw_put(bw, lit_codes[t][lit], lit_lens[t][lit]);
+      }
+      pos += c->ins + (c->adv & ~CMD_DICT);
+      if (pl->has_dist) {
+        int dt = dist_assign[kCmdDistCtx[sym]];
+        if (dist_emit[dt])
+          bw_put(bw, dist_codes[dt][pl->dcode], dist_lens[dt][pl->dcode]);
+        if (pl->dbits) bw_put(bw, pl->dextra, pl->dbits);
+      }
+    }
+  }
+  free(lit_hist);
+  free(cmd_hist);
+  free(dist_hist);
+  return 0;
+}
+
+/* uncompressed metablock (byte-aligned raw copy) */
+static int emit_uncompressed(Enc* e, size_t lo, size_t hi) {
+  BW* bw = &e->bw;
+  put_mlen_header(bw, hi - lo, 0, 1);
+  if (bw_flush_align(bw)) return EERR_ALLOC;
+  if (bw_reserve(bw, hi - lo)) return EERR_ALLOC;
+  memcpy(bw->buf + bw->len, e->data + lo, hi - lo);
+  bw->len += hi - lo;
+  return 0;
+}
+
+static void put_stream_header(BW* bw, int wbits) {
+  if (wbits == 16) {
+    bw_put(bw, 0, 1);
+  } else if (wbits >= 18 && wbits <= 24) {
+    bw_put(bw, 1, 1);
+    bw_put(bw, (uint64_t)(wbits - 17), 3);
+  } else if (wbits == 17) {
+    bw_put(bw, 1, 1);
+    bw_put(bw, 0, 3);
+    bw_put(bw, 0, 3);
+  } else { /* 10..15 */
+    bw_put(bw, 1, 1);
+    bw_put(bw, 0, 3);
+    bw_put(bw, (uint64_t)(wbits - 8), 3);
+  }
+}
+
+/* quality -> matcher parameters */
+static void cfg_for_quality(MatchCfg* cfg, int q) {
+  cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : q <= 7 ? 17 : 18;
+  cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 16 : q <= 7 ? 32 : 96;
+  cfg->lazy = q >= 2;
+  cfg->use_dict = q >= 5;
+  cfg->min_len = 4;
+}
+
+/* incompressibility estimate: sampled literal entropy */
+static int looks_incompressible(const uint8_t* data, size_t lo, size_t hi,
+                                size_t copy_bytes) {
+  size_t mlen = hi - lo;
+  if (copy_bytes * 50 > mlen) return 0;
+  uint32_t h[256] = {0};
+  size_t stride = mlen > (1 << 16) ? mlen / (1 << 16) : 1;
+  size_t cnt = 0;
+  for (size_t p = lo; p < hi; p += stride) {
+    h[data[p]]++;
+    cnt++;
+  }
+  double bits = hist_entropy(h, 256);
+  return bits > 7.8 * (double)cnt;
+}
+
+int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
+                const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
+  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24 || n == 0)
+    return EERR_PARAM;
+  /* padded input copy: match finding may read up to 8 bytes past the
+     end (zero padding keeps the reads in-bounds and harmless) */
+  uint8_t* data = (uint8_t*)malloc(n + 16);
+  if (!data) return EERR_ALLOC;
+  memcpy(data, raw, n);
+  memset(data + n, 0, 16);
+
+  Enc e;
+  memset(&e, 0, sizeof(e));
+  e.data = data;
+  e.n = n;
+  e.quality = quality;
+  e.lgwin = lgwin;
+  e.maxback = ((size_t)1 << lgwin) - 16;
+  for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
+  e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
+  e.pm.leaf = (uint8_t*)malloc(16 * 2 * 1200);
+  MatchCfg cfg;
+  cfg_for_quality(&cfg, quality);
+  if (cfg.use_dict && dict_blob) {
+    if (dict_index_init(dict_blob)) cfg.use_dict = 0;
+  } else if (cfg.use_dict && !g_dict.ready) {
+    cfg.use_dict = 0;
+  }
+  size_t hsize = (size_t)1 << cfg.hbits;
+  size_t win = (size_t)1 << (lgwin < 22 ? lgwin : 22);
+  if (win > n) { /* shrink chain table for small inputs */
+    win = 16;
+    while (win < n) win <<= 1;
+  }
+  cfg.chain_mask = (uint32_t)(win - 1);
+  cfg.head = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  cfg.prev = cfg.depth > 1 ? (uint32_t*)calloc(win, sizeof(uint32_t))
+                           : (uint32_t*)calloc(16, sizeof(uint32_t));
+  if (cfg.depth <= 1) cfg.chain_mask = 15;
+  size_t cmd_cap = 1 << 16;
+  Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * cmd_cap);
+  int rc = 0;
+  if (!cfg.head || !cfg.prev || !cmds || !e.pm.w || !e.pm.leaf) {
+    rc = EERR_ALLOC;
+    goto done;
+  }
+
+  put_stream_header(&e.bw, lgwin);
+
+  {
+    size_t mb_target = (size_t)1 << 22; /* ~4 MB metablocks */
+    size_t pos = 0;       /* next input byte to consume */
+    size_t mb_lo = 0;     /* metablock start */
+    size_t lit_start = 0; /* first unconsumed literal */
+    size_t ncmd = 0;
+    size_t copy_bytes = 0; /* bytes covered by copies in this block */
+    size_t miss_run = 0;   /* consecutive positions without a match */
+
+    uint32_t sim_ring[4]; /* matcher's view of the distance cache */
+    memcpy(sim_ring, e.ring, sizeof(sim_ring));
+
+#define FLUSH_BLOCK(hi_, last_)                                         \
+  do {                                                                  \
+    if (looks_incompressible(data, mb_lo, (hi_), copy_bytes)) {         \
+      size_t p_ = mb_lo;                                                \
+      while (p_ < (hi_)) {                                              \
+        size_t ch_ = (hi_) - p_;                                        \
+        if (ch_ > ((size_t)1 << 24) - 16) ch_ = ((size_t)1 << 24) - 16; \
+        rc = emit_uncompressed(&e, p_, p_ + ch_);                       \
+        if (rc) goto done;                                              \
+        p_ += ch_;                                                      \
+      }                                                                 \
+      if (last_) {                                                      \
+        bw_put(&e.bw, 1, 1); /* ISLAST */                               \
+        bw_put(&e.bw, 1, 1); /* ISLASTEMPTY */                          \
+      }                                                                  \
+      /* uncompressed blocks leave the decoder ring untouched */        \
+      memcpy(sim_ring, e.ring, sizeof(sim_ring));                       \
+    } else {                                                            \
+      rc = emit_metablock(&e, cmds, ncmd, mb_lo, (hi_), (last_));       \
+      if (rc) goto done;                                                \
+      memcpy(sim_ring, e.ring, sizeof(sim_ring));                       \
+    }                                                                   \
+    ncmd = 0;                                                           \
+    copy_bytes = 0;                                                     \
+    mb_lo = (hi_);                                                      \
+  } while (0)
+
+#define PUSH_CMD(ins_, cpy_, dist_, adv_)                   \
+  do {                                                      \
+    if (ncmd == cmd_cap) {                                  \
+      cmd_cap *= 2;                                         \
+      Cmd* nc_ = (Cmd*)realloc(cmds, sizeof(Cmd) * cmd_cap); \
+      if (!nc_) {                                           \
+        rc = EERR_ALLOC;                                    \
+        goto done;                                          \
+      }                                                     \
+      cmds = nc_;                                           \
+    }                                                       \
+    cmds[ncmd].ins = (uint32_t)(ins_);                      \
+    cmds[ncmd].cpy = (uint32_t)(cpy_);                      \
+    cmds[ncmd].dist = (uint32_t)(dist_);                    \
+    cmds[ncmd].adv = (uint32_t)(adv_);                      \
+    ncmd++;                                                 \
+  } while (0)
+
+    while (pos < n) {
+      MatchResult m;
+      find_match(data, pos, n, e.maxback, sim_ring, &cfg, &m);
+      int dcopy = 0, dtid = 0, dwlen = 0;
+      uint32_t didx = 0;
+      int dout = 0;
+      if (cfg.use_dict && m.len < 12) {
+        int min_out = m.len >= 4 ? (int)m.len + 1 : 4;
+        dout = dict_probe(data, pos, n, min_out, &dcopy, &dtid, &didx,
+                          &dwlen);
+      }
+      if (dout > (int)m.len) {
+        /* dictionary reference (never pushes the distance ring) */
+        size_t maxd = pos < e.maxback ? pos : e.maxback;
+        uint32_t dist =
+            (uint32_t)(maxd + 1 +
+                       ((uint32_t)dtid << kDictSizeBits[dwlen]) + didx);
+        PUSH_CMD(pos - lit_start, dcopy, dist, (uint32_t)dout | CMD_DICT);
+        copy_bytes += (size_t)dout;
+        size_t end = pos + (size_t)dout;
+        for (size_t p2 = pos; p2 < end; p2++) insert_hash(data, p2, &cfg);
+        pos = end;
+        lit_start = pos;
+        miss_run = 0;
+      } else if (m.len >= 4) {
+        int pos_inserted = 0;
+        if (cfg.lazy && m.len < 160) {
+          int defer = 0;
+          while (defer < 4 && pos + 1 < n) {
+            MatchResult m2;
+            insert_hash(data, pos, &cfg);
+            pos_inserted = 1;
+            find_match(data, pos + 1, n, e.maxback, sim_ring, &cfg, &m2);
+            if (m2.score > m.score + 130) {
+              pos += 1;
+              m = m2;
+              pos_inserted = 0;
+              defer++;
+            } else {
+              break;
+            }
+          }
+        }
+        PUSH_CMD(pos - lit_start, m.len, m.dist, m.len);
+        copy_bytes += m.len;
+        if (m.dist != sim_ring[0]) {
+          sim_ring[3] = sim_ring[2];
+          sim_ring[2] = sim_ring[1];
+          sim_ring[1] = sim_ring[0];
+          sim_ring[0] = (uint32_t)m.dist;
+        }
+        /* insert hashes across the match (sparser for long matches) */
+        size_t end = pos + m.len;
+        size_t step = m.len > 256 ? 4 : 1;
+        if (!pos_inserted) insert_hash(data, pos, &cfg);
+        for (size_t p2 = pos + 1; p2 < end; p2 += step)
+          insert_hash(data, p2, &cfg);
+        pos = end;
+        lit_start = pos;
+        miss_run = 0;
+      } else {
+        insert_hash(data, pos, &cfg);
+        miss_run++;
+        /* sparse probing over incompressible spans */
+        size_t step = 1;
+        if (miss_run > 512)
+          step = 4;
+        else if (miss_run > 128)
+          step = 2;
+        pos += step;
+        if (pos > n) pos = n;
+      }
+      /* close the metablock at a command boundary */
+      if (pos - mb_lo >= mb_target && pos < n) {
+        size_t hi;
+        if (lit_start > mb_lo) {
+          hi = lit_start; /* pending literals roll into the next block */
+        } else {
+          /* all-literal block: close with an insert-only command */
+          PUSH_CMD(pos - lit_start, 0, 0, 0);
+          lit_start = pos;
+          hi = pos;
+        }
+        FLUSH_BLOCK(hi, 0);
+      }
+    }
+    /* final block: trailing literals as a final insert-only command */
+    if (lit_start < n) PUSH_CMD(n - lit_start, 0, 0, 0);
+    FLUSH_BLOCK(n, 1);
+    rc = bw_flush_align(&e.bw);
+
+    /* whole-stream fallback: never exceed raw size by more than the
+       uncompressed-stream framing */
+    if (rc == 0 && e.bw.len >= n + 4) {
+      BW fb;
+      memset(&fb, 0, sizeof(fb));
+      put_stream_header(&fb, lgwin);
+      size_t p2 = 0;
+      while (p2 < n && rc == 0) {
+        size_t ch = n - p2;
+        if (ch > ((size_t)1 << 24) - 16) ch = ((size_t)1 << 24) - 16;
+        put_mlen_header(&fb, ch, 0, 1);
+        rc = bw_flush_align(&fb);
+        if (rc == 0) {
+          rc = bw_reserve(&fb, ch);
+          if (rc == 0) {
+            memcpy(fb.buf + fb.len, data + p2, ch);
+            fb.len += ch;
+          }
+        }
+        p2 += ch;
+      }
+      bw_put(&fb, 1, 1);
+      bw_put(&fb, 1, 1);
+      if (rc == 0) rc = bw_flush_align(&fb);
+      if (rc == 0 && fb.len < e.bw.len) {
+        free(e.bw.buf);
+        e.bw = fb;
+      } else {
+        free(fb.buf);
+      }
+    }
+  }
+
+done:
+  free(cfg.head);
+  free(cfg.prev);
+  free(cmds);
+  free(e.plan);
+  free(e.pm.w);
+  free(e.pm.leaf);
+  free(data);
+  if (rc) {
+    free(e.bw.buf);
+    return rc;
+  }
+  *out = e.bw.buf;
+  *out_len = e.bw.len;
+  return 0;
+}

@@ -2,15 +2,25 @@ import os
 import pathlib
 import subprocess
 
-# Virtual 8-device CPU mesh for sharding tests; must be set before any
-# jax import anywhere in the test session. Hard override: the machine
-# environment exports JAX_PLATFORMS=axon (the TPU tunnel), and running
-# tests through the tunnel means minutes-long remote kernel compiles.
+# Virtual 8-device CPU mesh for sharding tests. The machine environment
+# exports JAX_PLATFORMS=axon (the TPU tunnel) and this JAX build IGNORES
+# the env var (the axon plugin registers regardless), so running tests
+# through the tunnel means minutes-long remote kernel compiles. The only
+# reliable switch is jax.config.update BEFORE the backend initializes;
+# do that here and fail loudly if it did not take.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got backend "
+    f"{jax.default_backend()!r}; jax.config jax_platforms pin failed")
+assert len(jax.devices()) == 8, len(jax.devices())
 
 import pytest  # noqa: E402
 

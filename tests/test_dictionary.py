@@ -62,7 +62,7 @@ def test_sharded_encode(testdata, ref_cli):
     assert brotli_tpu.decompress(comp) == data
 
 
-def test_dictgen_tool(ref_cli, testdata):
+def test_dictgen_tool(ref_cli, testdata, monkeypatch):
     """Dictionary generator (research/dictionary_generator.cc role):
     the generated raw dictionary must help on in-domain data and the
     stream must decode through the reference CLI with -D."""
@@ -71,6 +71,9 @@ def test_dictgen_tool(ref_cli, testdata):
     import brotli_tpu
     from brotli_tpu.tools.dictgen import generate
 
+    # dictionary compression rides the Python pipeline; compare against
+    # the same pipeline (the native no-dict path compresses differently)
+    monkeypatch.setenv("BROTLI_TPU_ENCODER", "python")
     data = (testdata / "alice29.txt").read_bytes()
     train, target = data[:len(data) // 2], data[len(data) // 2:]
     d = generate(train, 32768)
