@@ -69,12 +69,30 @@ def decompress(string, dictionary=None, large_window=False) -> bytes:
     parity: BrotliDecoderAttachDictionary RAW / SERIALIZED)."""
     data = bytes(string)
     import os
+    use_native = os.environ.get("BROTLI_TPU_DECODER", "native") == "native"
     if dictionary or large_window:
         shared = None
         if dictionary and bytes(dictionary[:2]) == b"\x91\x00":
             from .format import shared_dictionary as shd
             shared = shd.parse(bytes(dictionary))
             dictionary = None
+        # native handles raw compound dicts + large windows; custom
+        # word lists / transforms need the Python decoder
+        if use_native and (shared is None or
+                           not (shared.word_lists or
+                                shared.transform_lists)):
+            compound = bytes(dictionary) if dictionary else b""
+            if shared is not None:
+                compound = b"".join(shared.prefixes) + compound
+            try:
+                from .native import decode as native_decode
+                try:
+                    return native_decode(data, compound=compound,
+                                         large_window=large_window)
+                except ValueError as e:
+                    raise error(str(e)) from e
+            except (ImportError, OSError, subprocess_error()):
+                pass
         try:
             return Decoder(dictionary=dictionary, shared=shared,
                            large_window=large_window).decompress(data)
@@ -82,7 +100,7 @@ def decompress(string, dictionary=None, large_window=False) -> bytes:
             raise error(str(e)) from e
         except Exception as e:
             raise error(f"decompression failed: {e}") from e
-    if os.environ.get("BROTLI_TPU_DECODER", "native") == "native":
+    if use_native:
         try:
             from .native import decode as native_decode
             try:

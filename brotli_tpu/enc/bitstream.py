@@ -136,8 +136,64 @@ def ring_after(dists, flags, ring=None) -> np.ndarray:
     return pv[:-5:-1].copy()
 
 
+def encode_distances_vec(d: np.ndarray, npostfix: int, ndirect: int):
+    """Vectorized format.prefix.encode_distance over a distance array
+    (explicit codes only; callers handle ring short codes). Returns
+    (dcode, extra_value, extra_bits)."""
+    d = np.asarray(d, dtype=np.int64)
+    direct = d <= ndirect
+    # general branch (clamp direct entries to keep the math in range)
+    dd = np.where(direct, ndirect + 1, d) - ndirect - 1
+    pmask = (1 << npostfix) - 1
+    postfix = dd & pmask
+    hcode = dd >> npostfix
+    # nbits = max(bit_length(hcode + 4) - 2, 1), via shift loop
+    v = (hcode + 4) >> 2
+    nbits = np.zeros(len(d), dtype=np.int64)
+    while np.any(v):
+        nbits += v > 0
+        v >>= 1
+    nbits = np.maximum(nbits, 1)
+    rest = hcode - ((np.int64(2) << nbits) - 4)
+    half = rest >> nbits
+    extra_val = rest - (half << nbits)
+    dcode = (C.NUM_DISTANCE_SHORT_CODES + ndirect +
+             ((((nbits - 1) << 1) | half) << npostfix) + postfix)
+    dcode = np.where(direct, C.NUM_DISTANCE_SHORT_CODES + d - 1, dcode)
+    extra_val = np.where(direct, 0, extra_val)
+    nbits = np.where(direct, 0, nbits)
+    return dcode, extra_val, nbits
+
+
+def choose_distance_params(expl_dists: np.ndarray):
+    """Search NPOSTFIX in 0..3 x NDIRECT in {0..15}<<npostfix for the
+    cheapest explicit-distance encoding (parity anchor: the q>=10
+    search in c/enc/metablock.c:301-334, full 64-config sweep instead
+    of its early-break walk). Cost = histogram entropy of the distance
+    codes + total extra bits. Returns (npostfix, ndirect)."""
+    if len(expl_dists) == 0:
+        return 0, 0
+    best = (0, 0)
+    best_cost = None
+    for npostfix in range(C.MAX_NPOSTFIX + 1):
+        for msb in range(16):
+            ndirect = msb << npostfix
+            dcode, _, dbits = encode_distances_vec(expl_dists, npostfix,
+                                                   ndirect)
+            freq = np.bincount(dcode)
+            nz = freq[freq > 0]
+            n = nz.sum()
+            entropy = float(n * np.log2(n) - (nz * np.log2(nz)).sum())
+            cost = entropy + float(dbits.sum()) + 10.0 * len(nz)
+            if best_cost is None or cost < best_cost - 1e-9:
+                best_cost = cost
+                best = (npostfix, ndirect)
+    return best
+
+
 def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
-                  ring, dict_flag: np.ndarray = None):
+                  ring, dict_flag: np.ndarray = None,
+                  npostfix: int = 0, ndirect: int = 0):
     """Resolve commands to symbols + extras, all vectorized.
 
     `ring`: the decoder's 4-slot distance ring entering this block,
@@ -210,21 +266,11 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     dcode[near] = short[near]
     explicit_new = (~final_insert) & ~is_reuse & ~near
     if np.any(explicit_new):
-        d = dist[explicit_new].astype(np.int64) - 1  # RFC: d = dist-NDIRECT-1
-        # vectorized encode_distance (npostfix=0, ndirect=0):
-        # nbits = bit_length(d + 4) - 2, integer math
-        nbits = np.zeros(len(d), dtype=np.int64)
-        tmp = (d + 4) >> 2
-        while np.any(tmp):
-            nbits += (tmp > 0)
-            tmp >>= 1
-        rest = d + 4 - (np.int64(1) << (nbits + 1))
-        half = rest >> nbits
-        ev = rest - (half << nbits)
-        dcode[explicit_new] = (C.NUM_DISTANCE_SHORT_CODES +
-                               (((nbits - 1) << 1) | half))
+        dc, ev, nb = encode_distances_vec(
+            dist[explicit_new].astype(np.int64), npostfix, ndirect)
+        dcode[explicit_new] = dc
         dextra[explicit_new] = ev
-        dbits[explicit_new] = nbits
+        dbits[explicit_new] = nb
     # explicit reuse -> short code 0 (no extra bits)
 
     has_dist = ~final_insert & ~implicit
@@ -246,6 +292,7 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
         "dist_extras": (dextra, dbits),
         "has_dist": has_dist,
         "ins": np.asarray(ins, np.int64),
+        "expl_dists": dist[explicit_new].astype(np.int64),
     }, new_ring
 
 
@@ -341,9 +388,17 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     """
     ins, cpy, dist, dflag = _as_arrays(cmds)
     plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag)
+    # NPOSTFIX/NDIRECT search (q>=10, parity: metablock.c:301-334).
+    npostfix = ndirect = 0
+    if quality >= 10 and len(plan["expl_dists"]) >= 128:
+        npostfix, ndirect = choose_distance_params(plan["expl_dists"])
+        if (npostfix, ndirect) != (0, 0):
+            plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag,
+                                           npostfix, ndirect)
     ncmd = len(ins)
     dist_alpha = C.distance_alphabet_size(
-        0, 0, C.LARGE_MAX_DISTANCE_BITS if large else C.MAX_DISTANCE_BITS)
+        npostfix, ndirect,
+        C.LARGE_MAX_DISTANCE_BITS if large else C.MAX_DISTANCE_BITS)
     cmd_syms = plan["cmd_syms"]
     has = plan["has_dist"]
     dsyms_sub = plan["dist_syms"][has]
@@ -452,8 +507,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         dsw_info = _plan_block_switches(drun_types, dblock_lengths,
                                         ntypes_d)
         _write_block_header(bw, dsw_info, ntypes_d)
-    bw.write(0, 2)  # NPOSTFIX = 0
-    bw.write(0, 4)  # NDIRECT = 0
+    bw.write(npostfix, 2)  # NPOSTFIX
+    bw.write(ndirect >> npostfix, 4)  # NDIRECT (stored >> npostfix)
 
     # --- command trees: one per command block type (no context map)
     cmd_lens2d = np.zeros((ntypes_i, C.NUM_COMMAND_SYMBOLS), np.int64)

@@ -44,6 +44,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_decode.restype = ctypes.c_int
+        lib.btpu_decode_ex.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_decode_ex.restype = ctypes.c_int
         lib.btpu_free.argtypes = [ctypes.c_void_p]
         lib.btpu_encode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -63,14 +69,19 @@ _ERRORS = {
 }
 
 
-def decode(data: bytes) -> bytes:
-    """Fast native decode; raises ValueError on invalid streams."""
+def decode(data: bytes, compound: bytes = b"",
+           large_window: bool = False) -> bytes:
+    """Fast native decode; raises ValueError on invalid streams.
+    `compound`: attached raw (compound) dictionary bytes.
+    `large_window`: accept the non-RFC large-window extension."""
     from ..format.dictionary import dictionary_data
     lib = get_lib()
     out_ptr = ctypes.c_void_p()
     out_len = ctypes.c_size_t()
-    rc = lib.btpu_decode(data, len(data), dictionary_data(),
-                         ctypes.byref(out_ptr), ctypes.byref(out_len))
+    rc = lib.btpu_decode_ex(data, len(data), dictionary_data(),
+                            compound or None, len(compound),
+                            1 if large_window else 0,
+                            ctypes.byref(out_ptr), ctypes.byref(out_len))
     if rc != 0:
         raise ValueError(_ERRORS.get(rc, f"decode error {rc}"))
     try:

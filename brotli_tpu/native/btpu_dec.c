@@ -449,8 +449,9 @@ typedef struct {
   Tree* dist;
 } TreeGroups;
 
-int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
-                uint8_t** out_ptr, size_t* out_len) {
+int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
+                   const uint8_t* compound, size_t compound_len,
+                   int large_window, uint8_t** out_ptr, size_t* out_len) {
   BitReader br = {in, in_len, 0};
   Out out = {0, 0, 0};
   int e = 0;
@@ -464,8 +465,10 @@ int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
   int32_t dist_rb[4] = {16, 15, 11, 4};
   int rb_idx = 0;
 
-  /* window bits */
+  /* window bits (incl. the large-window extension, parity:
+     c/dec/decode.c:146 DecodeWindowBits) */
   int wbits;
+  int is_large = 0;
   if ((e = br_take(&br, 1, &v))) goto fail;
   if (v == 0) {
     wbits = 16;
@@ -475,8 +478,17 @@ int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
       wbits = 17 + (int)v;
     } else {
       if ((e = br_take(&br, 3, &v))) goto fail;
-      if (v == 1) { e = ERR_FORMAT; goto fail; } /* large window: later */
-      wbits = v ? 8 + (int)v : 17;
+      if (v == 1) {
+        if (!large_window) { e = ERR_FORMAT; goto fail; }
+        if ((e = br_take(&br, 1, &v))) goto fail;
+        if (v) { e = ERR_FORMAT; goto fail; }
+        if ((e = br_take(&br, 6, &v))) goto fail;
+        if (v < 10 || v > 30) { e = ERR_FORMAT; goto fail; }
+        wbits = (int)v;
+        is_large = 1;
+      } else {
+        wbits = v ? 8 + (int)v : 17;
+      }
     }
   }
   {
@@ -565,7 +577,8 @@ int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
                                 &n_lit_trees, scratch))) goto fail;
       if ((e = read_context_map(&br, (uint32_t)dist_cmap_size, dist_cmap,
                                 &n_dist_trees, scratch))) goto fail;
-      uint32_t dist_alpha = 16 + ndirect + (24u << (npostfix + 1));
+      uint32_t maxnbits = is_large ? 62u : 24u;
+      uint32_t dist_alpha = 16 + ndirect + (maxnbits << (npostfix + 1));
       lit_trees = (Tree*)malloc(sizeof(Tree) * n_lit_trees);
       cmd_trees = (Tree*)malloc(sizeof(Tree) * bs[1].num_types);
       dist_trees = (Tree*)malloc(sizeof(Tree) * n_dist_trees);
@@ -661,21 +674,40 @@ int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
             uint32_t postfix = x & ((1u << npostfix) - 1);
             uint32_t h = x >> npostfix;
             uint32_t nbits = 1 + (h >> 1);
-            uint32_t offset = ((2 + (h & 1)) << nbits) - 4;
+            uint64_t offset = ((uint64_t)(2 + (h & 1)) << nbits) - 4;
             uint32_t extra;
             if ((e = br_take(&br, (int)nbits, &extra))) goto fail;
-            distance = ((int64_t)(offset + extra) << npostfix) + postfix +
-                       ndirect + 1;
+            distance = (int64_t)(((offset + extra) << npostfix) + postfix +
+                                 ndirect + 1);
+            if (distance > 0x7FFFFFFCll) { e = ERR_FORMAT; goto fail; }
           }
         }
-        if ((uint64_t)distance > max_distance) {
+        if ((uint64_t)distance > max_distance &&
+            (uint64_t)distance <= max_distance + compound_len) {
+          /* compound (attached raw) dictionary reference; unlike
+             static-dict words these DO push the distance ring
+             (parity: decode.c InitializeCompoundDictionaryCopy) */
+          uint64_t address = (uint64_t)distance - max_distance - 1;
+          size_t start = compound_len - (size_t)(address + 1);
+          if (start + copy_len > compound_len) { e = ERR_FORMAT; goto fail; }
+          if (!dist_code_zero) {
+            dist_rb[rb_idx & 3] = (int32_t)distance;
+            rb_idx++;
+          }
+          if ((e = out_reserve(&out, copy_len))) goto fail;
+          memcpy(out.p + out.len, compound + start, copy_len);
+          out.len += copy_len;
+          remaining -= copy_len;
+        } else if ((uint64_t)distance > max_distance) {
           /* static dictionary reference */
           if (copy_len < 4 || copy_len > 24 || !dict) {
             e = ERR_DICTIONARY; goto fail;
           }
           uint32_t nbits_d = kDictSizeBits[copy_len];
           if (!nbits_d) { e = ERR_DICTIONARY; goto fail; }
-          uint64_t address = (uint64_t)distance - max_distance - 1;
+          /* static-dict address space starts after the compound region */
+          uint64_t address =
+              (uint64_t)distance - max_distance - 1 - compound_len;
           uint32_t word_idx = (uint32_t)(address & ((1u << nbits_d) - 1));
           uint32_t tid = (uint32_t)(address >> nbits_d);
           if (tid >= 121) { e = ERR_DICTIONARY; goto fail; }
@@ -733,6 +765,11 @@ fail:
   free(lit_trees); free(cmd_trees); free(dist_trees);
   free(lit_cmap); free(dist_cmap);
   return e ? e : ERR_FORMAT;
+}
+
+int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,
+                uint8_t** out_ptr, size_t* out_len) {
+  return btpu_decode_ex(in, in_len, dict, NULL, 0, 0, out_ptr, out_len);
 }
 
 void btpu_free(uint8_t* p) { free(p); }

@@ -185,28 +185,35 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     nslots = num_candidates + 1
     ls_flat = jnp.stack(slots_len)          # (nslots, n)
     cs_flat = jnp.stack(slots_cost)
+    slots_dist = [(cp & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                  for cp in cand_packed[:num_candidates]] + [cont_dist]
+    ds_flat = jnp.stack(slots_dist)
     # clip edges that would cross the block boundary; kill sub-2 stubs
     i_in_b = (pos % B)[None, :]
     ls_flat = jnp.minimum(ls_flat, B - i_in_b)
     cs_flat = jnp.where(ls_flat >= 2, cs_flat, 1 << 28)
-    ls_all = ls_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
+    # payload = len<<25 | dist: the winning edge's distance rides the
+    # DP scan, so backtracking needs no per-slot candidate gathers
+    pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
+    pd_all = pd_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
     cs_all = cs_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
     litq_b = litq.reshape(nb, B).T
-    return (ls_all.astype(jnp.int32), cs_all.astype(jnp.int32),
-            litq_b, cand_packed, cont_dist)
+    return (pd_all.astype(jnp.int32), cs_all.astype(jnp.int32), litq_b)
 
 
 @jax.jit
-def _scan_kernel(ls_all, cs_all, litq_b):
+def _scan_kernel(pd_all, cs_all, litq_b):
     """The DP wavefront: lax.scan over in-block position, blocks as
-    the vector axis, relaxation into a rolling (nb, W) window."""
+    the vector axis, relaxation into a rolling (nb, W) window. Edge
+    payloads are len<<25|dist; min-reduction over a packed int64
+    (cost<<32 | payload) keeps the winning payload with the cost."""
     nb = litq_b.shape[1]
     INF = jnp.int32(1 << 30)
     iota_w = jnp.arange(W, dtype=jnp.int32)
 
     def step(carry, xs):
         F, P = carry  # (nb, W) cost, payload
-        lq, ls, cs = xs  # (nb,), (nslots, nb), (nslots, nb)
+        lq, pd, cs = xs  # (nb,), (nslots, nb), (nslots, nb)
         cost_i = F[:, 0]
         pay_i = P[:, 0]
         # literal relax into +1
@@ -215,16 +222,21 @@ def _scan_kernel(ls_all, cs_all, litq_b):
         F = F.at[:, 1].set(jnp.where(upd, lv, F[:, 1]))
         P = P.at[:, 1].set(jnp.where(upd, 0, P[:, 1]))
         # all slots at once: scatter each edge into its target column
-        # via a one-hot mask, then reduce over the slot axis (the
-        # winning slot index rides along as argmin)
+        # via a one-hot mask, min-reduce cost over the slot axis, then
+        # recover the winner's payload with a second masked reduction
+        # (no int64: x64 mode is off)
+        ls = pd >> 25                                 # (nslots, nb)
         v = cost_i[None, :] + cs                      # (nslots, nb)
-        M = jnp.where(iota_w[None, None, :] == ls[:, :, None],
-                      v[:, :, None], INF)             # (nslots, nb, W)
-        minv = M.min(axis=0)
-        s_win = M.argmin(axis=0).astype(jnp.int32)
+        hit = iota_w[None, None, :] == ls[:, :, None]  # (nslots, nb, W)
+        M = jnp.where(hit, v[:, :, None], INF)
+        minv = M.min(axis=0)                          # (nb, W)
+        # payload sentinel must exceed any real len<<25|dist packing
+        PM = jnp.where(M == minv[None, :, :], pd[:, :, None],
+                       jnp.int32(0x7FFFFFFF))
+        pay = PM.min(axis=0)
         better = minv < F
         F = jnp.where(better, minv, F)
-        P = jnp.where(better, (iota_w[None, :] << 7) | (s_win + 1), P)
+        P = jnp.where(better, pay, P)
         # shift the window
         F = jnp.concatenate([F[:, 1:], jnp.full((F.shape[0], 1), INF)],
                             axis=1)
@@ -235,24 +247,23 @@ def _scan_kernel(ls_all, cs_all, litq_b):
     F0 = jnp.full((nb, W), INF, jnp.int32).at[:, 0].set(0)
     P0 = jnp.zeros((nb, W), jnp.int32)
     (Fend, Pend), pays = jax.lax.scan(step, (F0, P0),
-                                      (litq_b, ls_all, cs_all))
+                                      (litq_b, pd_all, cs_all))
     # pays[i] = final payload of position i (every edge into i comes
     # from j < i); the block end B needs the post-scan window head
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates",))
-def _finish_kernel(paymat, cand_packed, cont_dist, npos,
-                   num_candidates: int = NCD):
-    """Backtrack every block, resolve distances, compact matches."""
+@jax.jit
+def _finish_kernel(paymat, npos):
+    """Backtrack every block and compact matches (the payload already
+    carries len<<25|dist, so no candidate lookups are needed)."""
     nb = paymat.shape[0]
     n = nb * B
-    nslots = num_candidates + 1
     bidx = jnp.arange(nb, dtype=jnp.int32)
 
     def bstep(posv, _):
         v = paymat[bidx, posv]
-        ln = v >> 7
+        ln = v >> 25
         stepb = jnp.where(posv > 0, jnp.maximum(ln, 1), 0)
         src = posv - stepb
         is_match = (ln >= 2) & (posv > 0)
@@ -264,25 +275,12 @@ def _finish_kernel(paymat, cand_packed, cont_dist, npos,
     gsrc = jnp.where(srcs >= 0, srcs + (bidx[None, :] * B),
                      -1).reshape(-1)
     vflat = vs.reshape(-1)
-    ln_all = (vflat >> 7)
-    slot_all = vflat & 0x7F
-
-    # distance per selected match: candidate slots from cand_packed,
-    # continuation slot from cont_dist
-    gclip = jnp.clip(gsrc, 0, n - 1)
-    dsel = jnp.zeros_like(gclip)
-    for k in range(num_candidates):
-        dk = (cand_packed[k] & jnp.uint32((1 << 25) - 1)).astype(
-            jnp.int32)
-        dsel = jnp.where(slot_all == k + 1, dk[gclip], dsel)
-    dsel = jnp.where(slot_all == nslots, cont_dist[gclip], dsel)
 
     valid = (gsrc >= 0) & (gsrc < npos)
     key = jnp.where(valid, gsrc.astype(jnp.uint32),
                     jnp.uint32(0xFFFFFFFF))
-    payload = (jnp.minimum(ln_all, (1 << 7) - 1).astype(jnp.uint32) <<
-               25) | jnp.minimum(dsel, (1 << 25) - 1).astype(jnp.uint32)
-    pos_c, pay_c = jax.lax.sort((key, payload), num_keys=1)
+    pos_c, pay_c = jax.lax.sort(
+        (key, vflat.astype(jnp.uint32)), num_keys=1)
     count = jnp.sum(valid.astype(jnp.int32))
     half = n // 2
     return count, jnp.stack([pos_c[:half], pay_c[:half]])
@@ -293,12 +291,11 @@ def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
                    num_candidates: int = NCD):
     """One segment's optimal parse, entirely on device (three jits;
     intermediates never leave the chip). See module docstring."""
-    ls_all, cs_all, litq_b, cand_packed, cont_dist = _edges_kernel(
+    pd_all, cs_all, litq_b = _edges_kernel(
         data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
         seed_pos, seed_len, seed_dist, num_candidates=num_candidates)
-    paymat = _scan_kernel(ls_all, cs_all, litq_b)
-    return _finish_kernel(paymat, tuple(cand_packed), cont_dist, npos,
-                          num_candidates=num_candidates)
+    paymat = _scan_kernel(pd_all, cs_all, litq_b)
+    return _finish_kernel(paymat, npos)
 
 
 def _cost_tables(data: np.ndarray, seed):

@@ -7,6 +7,7 @@ import pytest
 
 import numpy as np
 import brotli_tpu
+from brotli_tpu.enc import bitstream, encoder
 from tests.conftest import ref_decompress
 
 SMALL = [b"", b"x", b"aaaaaaaa", b"The quick brown fox jumps over the lazy "
@@ -182,3 +183,43 @@ def test_ring_simulation_matches_decoder():
             rb[idx & 3] = int(dist[j])
             idx += 1
     assert int(new_ring[0]) == rb[(idx - 1) & 3]
+
+
+def test_npostfix_ndirect_configs(ref_cli, monkeypatch):
+    """Every NPOSTFIX/NDIRECT corner must serialize so the reference
+    decoder accepts it (parity: metablock.c:301-334 search space +
+    prefix.encode_distance general form)."""
+    from conftest import ref_decompress
+    monkeypatch.setenv("BROTLI_TPU_ENCODER", "python")
+    rng = np.random.default_rng(11)
+    # strided binary record data: distances cluster on multiples, small
+    # distances exercise the direct codes
+    rec = bytes(rng.integers(0, 256, 24).astype(np.uint8))
+    data = b"".join(rec[:k] + rec for k in
+                    rng.integers(0, 24, 3000)) + b"tail" * 40
+    for np_, nd_msb in [(0, 0), (0, 7), (0, 15), (1, 5), (2, 3),
+                        (3, 15), (3, 1)]:
+        nd = nd_msb << np_
+        monkeypatch.setattr(bitstream, "choose_distance_params",
+                            lambda d, v=(np_, nd): v)
+        comp = encoder.encode(data, quality=11)
+        rc, out = ref_decompress(ref_cli, comp)
+        assert rc == 0 and out == data, (np_, nd)
+        from brotli_tpu.dec.decoder import Decoder
+        assert Decoder().decompress(comp) == data, (np_, nd)
+
+
+def test_npostfix_search_helps(ref_cli, testdata, monkeypatch):
+    """The search must never lose to the hardcoded (0,0) writer, and it
+    picks a nonzero config on distance-dense binary data."""
+    monkeypatch.setenv("BROTLI_TPU_ENCODER", "python")
+    data = (testdata / "mapsdatazrh").read_bytes()
+    comp = encoder.encode(data, quality=11)
+    chosen = []
+    orig = bitstream.choose_distance_params
+    monkeypatch.setattr(
+        bitstream, "choose_distance_params",
+        lambda d: chosen.append(orig(d)) or (0, 0))
+    comp00 = encoder.encode(data, quality=11)
+    assert chosen and any(c != (0, 0) for c in chosen)
+    assert len(comp) <= len(comp00)

@@ -59,3 +59,37 @@ def test_api_uses_native_by_default(testdata, monkeypatch):
     assert brotli_tpu.decompress(comp) == want
     monkeypatch.setenv("BROTLI_TPU_DECODER", "python")
     assert brotli_tpu.decompress(comp) == want
+
+
+def test_native_large_window(testdata, ref_cli):
+    """Large-window extension in the native decoder (parity:
+    c/dec/decode.c:146 DecodeWindowBits large branch)."""
+    import subprocess
+    from brotli_tpu.native import decode as native_decode
+    data = (testdata / "alice29.txt").read_bytes()
+    r = subprocess.run([ref_cli, "-c", "-q", "5", "--large_window=28"],
+                       input=data, capture_output=True)
+    assert r.returncode == 0
+    assert native_decode(r.stdout, large_window=True) == data
+    comp = brotli_tpu.compress(data, quality=5, lgwin=28,
+                               large_window=True)
+    assert native_decode(comp, large_window=True) == data
+    with pytest.raises(ValueError):
+        native_decode(comp)  # must be opted into
+
+
+def test_native_compound_dictionary(testdata):
+    """Attached raw (compound) dictionary decode in the native decoder
+    (parity: decode.c:2230-2330 compound branch); static-dict address
+    space shifts past the compound region."""
+    from brotli_tpu.native import decode as native_decode
+    data = (testdata / "alice29.txt").read_bytes()
+    d = data[:30000]
+    target = data[20000:80000]
+    comp = brotli_tpu.compress(target, quality=5, dictionary=d)
+    assert native_decode(comp, compound=d) == target
+    # api routes the native path for raw dicts
+    assert brotli_tpu.decompress(comp, dictionary=d) == target
+    # q11 streams may also carry static-dict words alongside
+    comp11 = brotli_tpu.compress(target, quality=11, dictionary=d)
+    assert native_decode(comp11, compound=d) == target

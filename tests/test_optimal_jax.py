@@ -1,0 +1,57 @@
+"""Device q10/11 optimal-parse DP (ops/optimal_jax.py) on the CPU
+backend with shrunken segment buckets: the production TPU path must
+produce valid, non-overlapping matches whose serialization decodes
+through the reference CLI (zopfli role parity:
+c/enc/backward_references_hq.c, validated end-to-end)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from brotli_tpu.format import constants as C
+
+
+@pytest.fixture(scope="module")
+def small_segments():
+    from brotli_tpu.ops import optimal_jax as OJ
+    old_seg, old_buckets = OJ.SEG, OJ._BUCKETS
+    OJ.SEG, OJ._BUCKETS = 1 << 17, [1 << 17]
+    yield OJ
+    OJ.SEG, OJ._BUCKETS = old_seg, old_buckets
+
+
+def test_device_dp_parse_roundtrip(small_segments, testdata, ref_cli):
+    OJ = small_segments
+    data = (testdata / "alice29.txt").read_bytes()[:300_000]
+    arr = np.frombuffer(data, dtype=np.uint8)
+    maxback = C.max_backward_distance(22)
+    m, lens, dists, flags = OJ.find_matches_optimal_jax(arr, maxback, 11)
+    assert len(m) > 1000
+    # invariants: sorted, non-overlapping, valid lengths and distances
+    assert np.all(np.diff(m) > 0)
+    assert np.all(m[1:] >= (m + lens)[:-1])
+    assert np.all(lens >= 2)
+    lz = flags == 0
+    assert np.all(dists[lz] >= 1)
+    src = m - dists
+    assert np.all(src[lz] >= 0)
+    for s, p, l in zip(src[lz][:500], m[lz][:500], lens[lz][:500]):
+        assert bytes(arr[s:s + l]) == bytes(arr[p:p + l])
+
+    # serialize + reference CLI roundtrip
+    from brotli_tpu.format.bitio import BitWriter
+    from brotli_tpu.enc import bitstream, encoder as E
+    bw = BitWriter()
+    bitstream.write_stream_header(bw, 22)
+    E._write_blocks(bw, arr, 0, len(arr), (m, lens, dists, flags), 22,
+                    is_last=True, ring=None, quality=11, ctx_floor=0)
+    bw.align_to_byte()
+    comp = bw.getvalue()
+    r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    # parse quality: within 10% of the reference's q11 output
+    ref = subprocess.run([ref_cli, "-c", "-q", "11", "-w", "22"],
+                         input=data, capture_output=True).stdout
+    assert len(comp) <= len(ref) * 1.10
