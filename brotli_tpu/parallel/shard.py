@@ -106,10 +106,21 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
 
 
 def _find_matches_sharded(arr, bounds, max_distance, quality, use_device):
-    """Per-shard match finding; device path uses the JAX kernel on each
-    shard (sharded over the mesh when multiple devices exist)."""
+    """Per-shard match finding. With several devices, all shards run as
+    ONE shard_map dispatch over the mesh (each device match-finds its
+    shard; SURVEY 2.9.4); otherwise shards run through the single-device
+    kernel (or NumPy when no device path is available)."""
+    n_shards = len(bounds) - 1
+    if use_device:
+        try:
+            import jax
+            if len(jax.devices()) >= n_shards > 1:
+                return _find_matches_mesh(arr, bounds, max_distance,
+                                          quality)
+        except ImportError:
+            pass
     out = []
-    for si in range(len(bounds) - 1):
+    for si in range(n_shards):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
         shard = arr[lo:hi]
         if use_device:
@@ -123,5 +134,67 @@ def _find_matches_sharded(arr, bounds, max_distance, quality, use_device):
         m, lens, dists, flags = matcher.find_matches_vectorized(
             shard, max_distance, num_candidates=4 if quality >= 5 else 2,
             use_dict=quality >= 5, base=lo)
+        out.append((m, lens, dists, flags))
+    return out
+
+
+def _find_matches_mesh(arr, bounds, max_distance, quality):
+    """One shard per device via shard_map: the production multi-chip
+    match-finding stage. Shards pad to one common bucket; every device
+    runs the sort-carry matcher + chain walk + on-device compaction on
+    its shard, and only packed matches come back (one D2H per shard).
+    Host post-pass (cap extension + static-dictionary probe) mirrors
+    ops/matcher_jax.find_matches_jax."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from ..ops.matcher_jax import match_block, CAP, _bucket
+    from ..enc.matcher import _extend_capped, add_dictionary_matches
+
+    n_shards = len(bounds) - 1
+    sizes = [int(bounds[i + 1] - bounds[i]) for i in range(n_shards)]
+    bucket = _bucket(max(sizes))
+    if bucket < max(sizes):  # shard exceeds the largest kernel bucket
+        raise ValueError("shard too large for the mesh matcher")
+    batch = np.zeros((n_shards, bucket), np.uint8)
+    nposv = np.zeros(n_shards, np.int32)
+    for si in range(n_shards):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        batch[si, :hi - lo] = arr[lo:hi]
+        nposv[si] = max(hi - lo - 3, 0)
+
+    ncand = 4 if quality >= 5 else 2
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), axis_names=("data",))
+
+    def shard_step(chunk, npos):
+        count, packed = match_block(chunk[0], npos[0],
+                                    jnp.int32(max_distance),
+                                    num_candidates=ncand)
+        return count[None], packed[None]
+
+    step = jax.jit(shard_map(
+        shard_step, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False))
+    counts, packed = step(jnp.asarray(batch), jnp.asarray(nposv))
+    counts = np.asarray(counts)
+    packed = np.asarray(packed)
+
+    use_dict = quality >= 5
+    out = []
+    for si in range(n_shards):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        cnt = int(counts[si])
+        m = packed[si, 0, :cnt].astype(np.int64)
+        pay = packed[si, 1, :cnt]
+        lens = (pay >> 25).astype(np.int64)
+        dists = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
+        flags = np.zeros(cnt, np.int64)
+        shard = arr[lo:hi]
+        m, lens, dists, flags = _extend_capped(shard, m, lens, dists,
+                                               flags, CAP, 1 << 24)
+        if use_dict:
+            m, lens, dists, flags = add_dictionary_matches(
+                shard, m, lens, dists, flags, max_distance, lo)
         out.append((m, lens, dists, flags))
     return out

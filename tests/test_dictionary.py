@@ -145,3 +145,30 @@ def test_shared_dictionary_serialized(ref_cli, testdata):
     assert ref(8, 2, 2) == b"tharding"  # 's' shifted +1
     assert ref(8, 3, 3) == b"wavefr"
     assert ref(8, 9, 0) is None  # transform id out of range
+
+
+def test_sharded_encode_mesh(testdata, ref_cli):
+    """The PRODUCTION shard_map mesh path (one shard per device on the
+    virtual 8-device mesh): single dispatch, exact ring handoff,
+    ordered gather; stream must decode through the reference CLI."""
+    import jax
+    from brotli_tpu.parallel import shard as sh
+    assert len(jax.devices()) == 8
+    data = (testdata / "lcet10.txt").read_bytes() + \
+        (testdata / "plrabn12.txt").read_bytes()
+    taken = {"mesh": False}
+    orig = sh._find_matches_mesh
+
+    def spy(*a, **k):
+        taken["mesh"] = True
+        return orig(*a, **k)
+
+    sh._find_matches_mesh = spy
+    try:
+        comp = sh.compress_sharded(data, quality=5, n_shards=8)
+    finally:
+        sh._find_matches_mesh = orig
+    assert taken["mesh"], "mesh path not taken"
+    rc, out = ref_decompress(ref_cli, comp)
+    assert rc == 0 and out == data
+    assert brotli_tpu.decompress(comp) == data
