@@ -17,10 +17,19 @@ from ..format import dictionary as dict_mod
 from ..format import prefix
 from ..format.bitio import BitReader, NeedMoreInput  # noqa: F401
 from ..format.huffman import DecodeTable, simple_table
+from .errors import DecoderError as E
 
 
 class FormatError(Exception):
-    """Invalid Brotli stream."""
+    """Invalid Brotli stream. `code` identifies the failure precisely,
+    mirroring the reference's BrotliDecoderErrorCode values
+    (dec/errors.py; c/include/brotli/decode.h:64-105)."""
+
+    def __init__(self, message, code=None):
+        super().__init__(message)
+        from .errors import DecoderError
+        self.code = DecoderError(code) if code is not None else \
+            DecoderError.UNREACHABLE
 
 
 def _read_varlen_uint8(br: BitReader) -> int:
@@ -43,9 +52,9 @@ def _read_window_bits(br: BitReader, large_window: bool) -> tuple:
     n = br.take(3)
     if n == 1:
         if not large_window:
-            raise FormatError("large-window stream, flag not set")
+            raise FormatError("large-window stream, flag not set", E.WINDOW_BITS)
         if br.take(1) == 1:
-            raise FormatError("invalid large window bits")
+            raise FormatError("invalid large window bits", E.WINDOW_BITS)
         return br.take(6), True
     if n != 0:
         return 8 + n, False
@@ -64,9 +73,9 @@ def read_huffman_code(br: BitReader, alphabet_size_max: int,
         symbols = [br.take(max_bits) for _ in range(num_symbols)]
         for s in symbols:
             if s >= alphabet_size_limit:
-                raise FormatError("simple code symbol out of range")
+                raise FormatError("simple code symbol out of range", E.SIMPLE_HUFFMAN_ALPHABET)
         if len(set(symbols)) != num_symbols:
-            raise FormatError("duplicate symbol in simple code")
+            raise FormatError("duplicate symbol in simple code", E.SIMPLE_HUFFMAN_SAME)
         tree_select = bool(br.take(1)) if num_symbols == 4 else False
         return simple_table(symbols, tree_select, alphabet_size_limit)
 
@@ -102,13 +111,13 @@ def read_huffman_code(br: BitReader, alphabet_size_max: int,
             repeat += br.take(extra_bits) + 3
             delta = repeat - old_repeat
             if symbol + delta > alphabet_size_limit:
-                raise FormatError("repeat overruns alphabet")
+                raise FormatError("repeat overruns alphabet", E.HUFFMAN_SPACE)
             if repeat_len != 0:
                 lengths[symbol:symbol + delta] = repeat_len
                 space -= delta << (15 - repeat_len)
             symbol += delta
     if space != 0:
-        raise FormatError("prefix code over/under-subscribed")
+        raise FormatError("prefix code over/under-subscribed", E.HUFFMAN_SPACE)
     return DecodeTable(lengths)
 
 
@@ -130,7 +139,7 @@ def _read_code_length_code_with_skip(br: BitReader, skip: int) -> DecodeTable:
             if space <= 0:  # filled (or over-subscribed -> error below)
                 break
     if not (num_codes == 1 or space == 0):
-        raise FormatError("code-length code space")
+        raise FormatError("code-length code space", E.CL_SPACE)
     if num_codes == 1:
         sym = int(np.flatnonzero(lengths)[0])
         t = DecodeTable.__new__(DecodeTable)
@@ -171,7 +180,7 @@ def read_context_map(br: BitReader, size: int) -> tuple:
         elif code <= max_run_length_prefix:
             reps = (1 << code) + br.take(code)
             if i + reps > size:
-                raise FormatError("context map run overruns")
+                raise FormatError("context map run overruns", E.CONTEXT_MAP_REPEAT)
             cmap[i:i + reps] = 0
             i += reps
         else:
@@ -207,7 +216,7 @@ class _BlockState:
     def switch(self, br: BitReader) -> int:
         """Read a block-switch command; returns new block type."""
         if self.num_types <= 1:
-            raise FormatError("block switch with single block type")
+            raise FormatError("block switch with single block type", E.BLOCK_SWITCH)
         bt, used = self.type_table.decode(br.peek(self.type_table.max_len))
         br.skip(used)
         self.length = self._read_block_length(br)
@@ -268,19 +277,19 @@ class Decoder:
             done = self._one_metablock(br, out, state)
         pad = br.align_to_byte()
         if pad != 0:
-            raise FormatError("non-zero stream padding")
+            raise FormatError("non-zero stream padding", E.PADDING_1)
         # Trailing garbage check: remaining bytes must be absent.
         if not allow_trailing and br.available() >= 8:
-            raise FormatError("trailing data after last metablock")
+            raise FormatError("trailing data after last metablock", E.PADDING_2)
         return bytes(out), br.bitpos // 8
 
     def _read_stream_header(self, br) -> dict:
         window_bits, is_large = _read_window_bits(br, self.large_window)
         if not is_large and not (10 <= window_bits <= 24):
-            raise FormatError(f"bad window bits {window_bits}")
+            raise FormatError(f"bad window bits {window_bits}", E.WINDOW_BITS)
         if is_large and not (C.LARGE_MIN_WINDOW_BITS <= window_bits
                              <= C.LARGE_MAX_WINDOW_BITS):
-            raise FormatError(f"bad large window bits {window_bits}")
+            raise FormatError(f"bad large window bits {window_bits}", E.WINDOW_BITS)
         return {
             "max_backward": (1 << window_bits) - C.WINDOW_GAP,
             "is_large": is_large,
@@ -299,13 +308,13 @@ class Decoder:
         mnibbles = br.take(2) + 4
         if mnibbles == 7:  # metadata block
             if br.take(1):
-                raise FormatError("reserved bit set")
+                raise FormatError("reserved bit set", E.RESERVED)
             skip_bytes = br.take(2)
             mlen = 0
             for i in range(skip_bytes):
                 b = br.take(8)
                 if i + 1 == skip_bytes and skip_bytes > 1 and b == 0:
-                    raise FormatError("exuberant metadata nibble")
+                    raise FormatError("exuberant metadata nibble", E.EXUBERANT_META_NIBBLE)
                 mlen |= b << (i * 8)
             if skip_bytes:
                 mlen += 1
@@ -318,14 +327,14 @@ class Decoder:
         for i in range(mnibbles):
             nib = br.take(4)
             if i + 1 == mnibbles and mnibbles > 4 and nib == 0:
-                raise FormatError("exuberant nibble")
+                raise FormatError("exuberant nibble", E.EXUBERANT_NIBBLE)
             mlen |= nib << (i * 4)
         mlen += 1
         is_uncompressed = 0 if is_last else br.take(1)
         if is_uncompressed:
             pad = br.align_to_byte()
             if pad != 0:
-                raise FormatError("non-zero padding")
+                raise FormatError("non-zero padding", E.PADDING_1)
             out += br.read_bytes(mlen)
             return False
         state["rb_idx"] = self._metablock(
@@ -414,7 +423,7 @@ class Decoder:
                     ring, delta = prefix.DISTANCE_SHORT_CODES[dcode]
                     distance = dist_rb[(rb_idx - 1 - ring) & 3] + delta
                     if distance <= 0:
-                        raise FormatError("non-positive short-code distance")
+                        raise FormatError("non-positive short-code distance", E.DISTANCE)
                 else:
                     extra = br.take(int(dist_extra[dcode]))
                     distance = int(dist_offset[dcode]) + (extra << npostfix)
@@ -425,7 +434,7 @@ class Decoder:
                     -1 if implicit_dist0 else dcode, len(out)))
             if distance > max_distance:
                 if distance > C.MAX_ALLOWED_DISTANCE:
-                    raise FormatError("distance too large")
+                    raise FormatError("distance too large", E.DISTANCE)
                 address = distance - max_distance - 1
                 csize = len(self.compound)
                 if address < csize:
@@ -434,7 +443,7 @@ class Decoder:
                     # (decode.c InitializeCompoundDictionaryCopy)
                     start = csize - (address + 1)
                     if start + copy_len > csize:
-                        raise FormatError("compound reference overruns")
+                        raise FormatError("compound reference overruns", E.COMPOUND_DICTIONARY)
                     if not dist_code_is_zero:
                         dist_rb[rb_idx & 3] = distance
                         rb_idx += 1
@@ -451,7 +460,7 @@ class Decoder:
                         word = dict_mod.decode_reference(
                             copy_len, address - csize)
                     if word is None:
-                        raise FormatError("invalid dictionary reference")
+                        raise FormatError("invalid dictionary reference", E.DICTIONARY)
                     out += word
                     remaining -= len(word)
             else:
@@ -467,7 +476,7 @@ class Decoder:
                         out.append(out[start + k])
                 remaining -= copy_len
         if remaining < 0:
-            raise FormatError("metablock length overrun")
+            raise FormatError("metablock length overrun", E.BLOCK_LENGTH_1)
         return rb_idx
 
 
@@ -492,7 +501,7 @@ class IncrementalDecoder:
         """Absorb input, return newly decoded output (possibly b'')."""
         if self.finished:
             if chunk:
-                raise FormatError("data after stream end")
+                raise FormatError("data after stream end", E.PADDING_2)
             return b""
         self._buf += chunk
         br = BitReader(bytes(self._buf))

@@ -147,12 +147,10 @@ def encode_distances_vec(d: np.ndarray, npostfix: int, ndirect: int):
     pmask = (1 << npostfix) - 1
     postfix = dd & pmask
     hcode = dd >> npostfix
-    # nbits = max(bit_length(hcode + 4) - 2, 1), via shift loop
-    v = (hcode + 4) >> 2
-    nbits = np.zeros(len(d), dtype=np.int64)
-    while np.any(v):
-        nbits += v > 0
-        v >>= 1
+    # nbits = max(bit_length(hcode + 4) - 2, 1); frexp exponent IS the
+    # bit length (exact: values < 2^53)
+    nbits = np.frexp((hcode + 4).astype(np.float64))[1].astype(
+        np.int64) - 2
     nbits = np.maximum(nbits, 1)
     rest = hcode - ((np.int64(2) << nbits) - 4)
     half = rest >> nbits
@@ -173,6 +171,13 @@ def choose_distance_params(expl_dists: np.ndarray):
     codes + total extra bits. Returns (npostfix, ndirect)."""
     if len(expl_dists) == 0:
         return 0, 0
+    # strided subsample: the argmin over configs is stable well below
+    # full resolution, and the sweep cost is per-config linear
+    scale = 1.0
+    if len(expl_dists) > 32768:
+        step = len(expl_dists) // 32768 + 1
+        expl_dists = expl_dists[::step]
+        scale = float(step)
     best = (0, 0)
     best_cost = None
     for npostfix in range(C.MAX_NPOSTFIX + 1):
@@ -184,7 +189,7 @@ def choose_distance_params(expl_dists: np.ndarray):
             nz = freq[freq > 0]
             n = nz.sum()
             entropy = float(n * np.log2(n) - (nz * np.log2(nz)).sum())
-            cost = entropy + float(dbits.sum()) + 10.0 * len(nz)
+            cost = (entropy + float(dbits.sum())) * scale + 10.0 * len(nz)
             if best_cost is None or cost < best_cost - 1e-9:
                 best_cost = cost
                 best = (npostfix, ndirect)

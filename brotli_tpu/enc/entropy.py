@@ -13,13 +13,17 @@ from ..format import constants as C
 from ..format.huffman import lengths_to_codes  # noqa: F401  (re-export)
 
 
+_native_pm = None
+
+
 def package_merge(freqs, max_len: int) -> np.ndarray:
     """Optimal depth-limited code lengths (package-merge).
 
     freqs: int array over the alphabet; zeros get length 0.
     Returns int32 lengths with max(lengths) <= max_len and exact Kraft
     equality over the used symbols (when >= 2 symbols are used).
-    """
+    Dispatches to the native C engine (btpu_pm_lengths) when built;
+    the Python fallback below is the semantics reference."""
     freqs = np.asarray(freqs, dtype=np.int64)
     used = np.flatnonzero(freqs)
     n = len(used)
@@ -31,6 +35,24 @@ def package_merge(freqs, max_len: int) -> np.ndarray:
         return lengths
     if n > (1 << max_len):
         raise ValueError("alphabet larger than 2^max_len")
+    global _native_pm
+    if _native_pm is None:
+        try:
+            from ..native import get_lib
+            _native_pm = get_lib()
+        except Exception:
+            _native_pm = False
+    if _native_pm is not False and len(freqs) <= 1200 and \
+            freqs.max() < (1 << 32):
+        import ctypes
+        f32 = np.ascontiguousarray(freqs, dtype=np.uint32)
+        out = np.zeros(len(freqs), dtype=np.uint8)
+        rc = _native_pm.btpu_pm_lengths(
+            f32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(freqs), int(max_len),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == 0:
+            return out.astype(np.int32)
     w = freqs[used]
     # packages[level] = list of (weight, set-of-item-indices as count array)
     # Standard package-merge: items are (weight, [leaf]) pairs; merge up.

@@ -60,13 +60,15 @@ def get_lib():
     return _lib
 
 
-_ERRORS = {
-    -1: "invalid stream",
-    -2: "truncated input",
-    -3: "out of memory",
-    -4: "output too large",
-    -5: "invalid dictionary reference",
-}
+class DecodeError(ValueError):
+    """Native decode failure; `code` mirrors the reference's
+    BrotliDecoderErrorCode values (see dec/errors.py)."""
+
+    def __init__(self, code: int):
+        from ..dec.errors import NAMES
+        self.code = code
+        super().__init__(
+            f"decode error {NAMES.get(code, code)} ({code})")
 
 
 def decode(data: bytes, compound: bytes = b"",
@@ -83,7 +85,7 @@ def decode(data: bytes, compound: bytes = b"",
                             1 if large_window else 0,
                             ctypes.byref(out_ptr), ctypes.byref(out_len))
     if rc != 0:
-        raise ValueError(_ERRORS.get(rc, f"decode error {rc}"))
+        raise DecodeError(rc)
     try:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:

@@ -15,11 +15,31 @@
 
 #include "btpu_tables.h"
 
-#define ERR_FORMAT -1
-#define ERR_TRUNCATED -2
-#define ERR_ALLOC -3
-#define ERR_OUTPUT_TOO_LARGE -4
-#define ERR_DICTIONARY -5
+/* error identities mirror the reference's BrotliDecoderErrorCode
+   (c/include/brotli/decode.h:64-105; negatives match exactly).
+   Conditions the reference reports through other channels (results,
+   malloc failure) use codes <= -100. Python names: dec/errors.py. */
+#define ERR_EXUBERANT_NIBBLE -1
+#define ERR_RESERVED -2
+#define ERR_EXUBERANT_META_NIBBLE -3
+#define ERR_SIMPLE_HUFFMAN_ALPHABET -4
+#define ERR_SIMPLE_HUFFMAN_SAME -5
+#define ERR_CL_SPACE -6
+#define ERR_HUFFMAN_SPACE -7
+#define ERR_CONTEXT_MAP_REPEAT -8
+#define ERR_BLOCK_LENGTH -9
+#define ERR_TRANSFORM -11
+#define ERR_DICTIONARY -12
+#define ERR_WINDOW_BITS -13
+#define ERR_PADDING_1 -14
+#define ERR_PADDING_2 -15
+#define ERR_DISTANCE -16
+#define ERR_BLOCK_SWITCH -17
+#define ERR_COMPOUND_DICTIONARY -18
+#define ERR_FORMAT -31 /* unreachable/generic */
+#define ERR_TRUNCATED -102
+#define ERR_ALLOC -103
+#define ERR_OUTPUT_TOO_LARGE -104
 
 #define MAX_OUTPUT ((size_t)1 << 32)
 
@@ -86,7 +106,7 @@ static int tree_build(Tree* t, const uint8_t* lengths, int alpha) {
   for (int s = 0; s < alpha; s++) {
     if (lengths[s]) { t->count[lengths[s]]++; used++; single = s; }
   }
-  if (used == 0) return ERR_FORMAT;
+  if (used == 0) return ERR_HUFFMAN_SPACE;
   if (used == 1) {
     memset(t->len, 255, sizeof(t->len));
     t->degenerate_sym = single;
@@ -105,7 +125,7 @@ static int tree_build(Tree* t, const uint8_t* lengths, int alpha) {
     space += (int64_t)t->count[l] << (15 - l);
     idx += t->count[l];
   }
-  if (space != (1 << 15)) return ERR_FORMAT;
+  if (space != (1 << 15)) return ERR_HUFFMAN_SPACE;
   /* sorted symbol list */
   int fill = 0;
   uint16_t next_idx[16];
@@ -188,7 +208,7 @@ static int read_block_len(BlockState* bs, BitReader* br, uint64_t* out) {
   uint32_t code, extra;
   int e;
   if ((e = tree_decode(&bs->len_tree, br, &code))) return e;
-  if (code >= 26) return ERR_FORMAT;
+  if (code >= 26) return ERR_BLOCK_LENGTH;
   if ((e = br_take(br, kBlockCountExtra[code], &extra))) return e;
   *out = (uint64_t)kBlockCountBase[code] + extra;
   return 0;
@@ -218,7 +238,7 @@ static int block_state_init(BlockState* bs, BitReader* br,
 static int block_switch(BlockState* bs, BitReader* br, uint32_t* out_type) {
   uint32_t bt;
   int e;
-  if (bs->num_types <= 1) return ERR_FORMAT;
+  if (bs->num_types <= 1) return ERR_BLOCK_SWITCH;
   if ((e = tree_decode(&bs->type_tree, br, &bt))) return e;
   if ((e = read_block_len(bs, br, &bs->length))) return e;
   if (bt == 0) bt = bs->type_rb[0];
@@ -251,10 +271,10 @@ static int read_huffman_code(BitReader* br, int alpha, Tree* t,
     uint16_t syms[4];
     for (uint32_t i = 0; i < nsym; i++) {
       if ((e = br_take(br, max_bits, &v))) return e;
-      if ((int)v >= alpha) return ERR_FORMAT;
+      if ((int)v >= alpha) return ERR_SIMPLE_HUFFMAN_ALPHABET;
       syms[i] = (uint16_t)v;
       for (uint32_t j = 0; j < i; j++)
-        if (syms[j] == syms[i]) return ERR_FORMAT;
+        if (syms[j] == syms[i]) return ERR_SIMPLE_HUFFMAN_SAME;
     }
     uint32_t tree_select = 0;
     if (nsym == 4 && (e = br_take(br, 1, &tree_select))) return e;
@@ -288,7 +308,7 @@ static int read_huffman_code(BitReader* br, int alpha, Tree* t,
       if (space <= 0) break;
     }
   }
-  if (!(num_codes == 1 || space == 0)) return ERR_FORMAT;
+  if (!(num_codes == 1 || space == 0)) return ERR_CL_SPACE;
   Tree cl_tree;
   if ((e = tree_build(&cl_tree, cl_len, 18))) return e;
   /* symbol lengths */
@@ -316,7 +336,7 @@ static int read_huffman_code(BitReader* br, int alpha, Tree* t,
       if ((e = br_take(br, extra_bits, &extra))) return e;
       repeat += extra + 3;
       uint32_t delta = repeat - old;
-      if (symbol + (int)delta > alpha) return ERR_FORMAT;
+      if (symbol + (int)delta > alpha) return ERR_HUFFMAN_SPACE;
       if (repeat_len) {
         memset(lengths + symbol, (int)repeat_len, delta);
         space2 -= (int64_t)delta << (15 - repeat_len);
@@ -324,7 +344,7 @@ static int read_huffman_code(BitReader* br, int alpha, Tree* t,
       symbol += (int)delta;
     }
   }
-  if (space2 != 0) return ERR_FORMAT;
+  if (space2 != 0) return ERR_HUFFMAN_SPACE;
   return tree_build(t, lengths, alpha);
 }
 
@@ -357,7 +377,7 @@ static int read_context_map(BitReader* br, uint32_t size, uint8_t* cmap,
       uint32_t reps;
       if ((e = br_take(br, (int)code, &reps))) return e;
       reps += 1u << code;
-      if (i + reps > size) return ERR_FORMAT;
+      if (i + reps > size) return ERR_CONTEXT_MAP_REPEAT;
       memset(cmap + i, 0, reps);
       i += reps;
     } else {
@@ -479,11 +499,11 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
     } else {
       if ((e = br_take(&br, 3, &v))) goto fail;
       if (v == 1) {
-        if (!large_window) { e = ERR_FORMAT; goto fail; }
+        if (!large_window) { e = ERR_WINDOW_BITS; goto fail; }
         if ((e = br_take(&br, 1, &v))) goto fail;
-        if (v) { e = ERR_FORMAT; goto fail; }
+        if (v) { e = ERR_WINDOW_BITS; goto fail; }
         if ((e = br_take(&br, 6, &v))) goto fail;
-        if (v < 10 || v > 30) { e = ERR_FORMAT; goto fail; }
+        if (v < 10 || v > 30) { e = ERR_WINDOW_BITS; goto fail; }
         wbits = (int)v;
         is_large = 1;
       } else {
@@ -504,14 +524,14 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
       uint32_t mnib;
       if ((e = br_take(&br, 2, &mnib))) goto fail;
       if (mnib == 3) { /* metadata */
-        if ((e = br_take(&br, 1, &v)) || v) { if (!e) e = ERR_FORMAT; goto fail; }
+        if ((e = br_take(&br, 1, &v)) || v) { if (!e) e = ERR_RESERVED; goto fail; }
         uint32_t skip_bytes;
         if ((e = br_take(&br, 2, &skip_bytes))) goto fail;
         uint64_t mlen = 0;
         for (uint32_t i = 0; i < skip_bytes; i++) {
           if ((e = br_take(&br, 8, &v))) goto fail;
           if (i + 1 == skip_bytes && skip_bytes > 1 && v == 0) {
-            e = ERR_FORMAT; goto fail;
+            e = ERR_EXUBERANT_META_NIBBLE; goto fail;
           }
           mlen |= (uint64_t)v << (8 * i);
         }
@@ -519,7 +539,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
         /* align + skip */
         if (br.bitpos & 7) {
           if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
-          if (v) { e = ERR_FORMAT; goto fail; }
+          if (v) { e = ERR_PADDING_1; goto fail; }
         }
         if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
         br.bitpos += mlen * 8;
@@ -531,7 +551,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
       for (uint32_t i = 0; i < nibbles; i++) {
         if ((e = br_take(&br, 4, &v))) goto fail;
         if (i + 1 == nibbles && nibbles > 4 && v == 0) {
-          e = ERR_FORMAT; goto fail;
+          e = ERR_EXUBERANT_NIBBLE; goto fail;
         }
         mlen |= (uint64_t)v << (4 * i);
       }
@@ -543,7 +563,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
       if (is_uncompressed) {
         if (br.bitpos & 7) {
           if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
-          if (v) { e = ERR_FORMAT; goto fail; }
+          if (v) { e = ERR_PADDING_1; goto fail; }
         }
         if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
         if ((e = out_reserve(&out, mlen))) goto fail;
@@ -666,7 +686,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
             distance =
                 (int64_t)dist_rb[(rb_idx - 1 - ring[dcode]) & 3] +
                 delta[dcode];
-            if (distance <= 0) { e = ERR_FORMAT; goto fail; }
+            if (distance <= 0) { e = ERR_DISTANCE; goto fail; }
           } else if (dcode < 16 + ndirect) {
             distance = (int64_t)(dcode - 16 + 1);
           } else {
@@ -679,7 +699,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
             if ((e = br_take(&br, (int)nbits, &extra))) goto fail;
             distance = (int64_t)(((offset + extra) << npostfix) + postfix +
                                  ndirect + 1);
-            if (distance > 0x7FFFFFFCll) { e = ERR_FORMAT; goto fail; }
+            if (distance > 0x7FFFFFFCll) { e = ERR_DISTANCE; goto fail; }
           }
         }
         if ((uint64_t)distance > max_distance &&
@@ -689,7 +709,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
              (parity: decode.c InitializeCompoundDictionaryCopy) */
           uint64_t address = (uint64_t)distance - max_distance - 1;
           size_t start = compound_len - (size_t)(address + 1);
-          if (start + copy_len > compound_len) { e = ERR_FORMAT; goto fail; }
+          if (start + copy_len > compound_len) { e = ERR_COMPOUND_DICTIONARY; goto fail; }
           if (!dist_code_zero) {
             dist_rb[rb_idx & 3] = (int32_t)distance;
             rb_idx++;
@@ -721,7 +741,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
           } else {
             wl = transform_word(out.p + out.len, word, (int)copy_len,
                                 (int)tid);
-            if (wl == 0) { e = ERR_FORMAT; goto fail; }
+            if (wl == 0) { e = ERR_TRANSFORM; goto fail; }
           }
           out.len += (size_t)wl;
           remaining -= wl;
@@ -742,7 +762,7 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
           remaining -= copy_len;
         }
       }
-      if (remaining < 0) { e = ERR_FORMAT; goto fail; }
+      if (remaining < 0) { e = ERR_BLOCK_LENGTH; goto fail; }
       free(lit_trees); free(cmd_trees); free(dist_trees);
       free(lit_cmap); free(dist_cmap);
       lit_trees = cmd_trees = dist_trees = NULL;
@@ -753,9 +773,9 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
   /* byte-align padding must be zero, no trailing bytes */
   if (br.bitpos & 7) {
     if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
-    if (v) { e = ERR_FORMAT; goto fail; }
+    if (v) { e = ERR_PADDING_1; goto fail; }
   }
-  if (br.bitpos != br.len * 8) { e = ERR_FORMAT; goto fail; }
+  if (br.bitpos != br.len * 8) { e = ERR_PADDING_2; goto fail; }
   *out_ptr = out.p;
   *out_len = out.len;
   return 0;

@@ -1540,3 +1540,24 @@ done:
   *out_len = e.bw.len;
   return 0;
 }
+
+/* ctypes export: optimal depth-limited code lengths for the Python
+   serialization path (same package-merge engine the native encoder
+   uses; brotli_tpu/enc/entropy.py calls this when the lib is built). */
+int btpu_pm_lengths(const uint32_t* freq, int n, int maxlen,
+                    uint8_t* out) {
+  if (n <= 0 || n > 1200 || maxlen <= 0 || maxlen > 15) return -20;
+  PmScratch s;
+  memset(&s, 0, sizeof(s));
+  s.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * (size_t)n);
+  s.leaf = (uint8_t*)malloc((size_t)16 * 2 * (size_t)n);
+  if (!s.w || !s.leaf) {
+    free(s.w);
+    free(s.leaf);
+    return -3;
+  }
+  pm_lengths(freq, n, maxlen, out, &s);
+  free(s.w);
+  free(s.leaf);
+  return 0;
+}

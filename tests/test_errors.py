@@ -1,0 +1,314 @@
+"""SynthTest-style invalid-stream corpus: hand-assembled bitstreams,
+each asserting the PRECISE error identity on BOTH decoders (parity:
+java/org/brotli/dec/SynthTest.java cases + decode.h:64-105 error enum;
+our codes mirror the reference's numbers, dec/errors.py)."""
+
+import pytest
+
+import numpy as np
+
+from brotli_tpu import native
+from brotli_tpu.dec.decoder import Decoder, FormatError
+from brotli_tpu.dec.errors import DecoderError as E
+from brotli_tpu.format import constants as C
+from brotli_tpu.format.bitio import BitWriter
+
+
+def _header16(bw):
+    bw.write(0, 1)  # WBITS = 16
+
+
+def _simple(bw, alpha_bits, syms, tree_select=0):
+    """RFC 3.4 simple prefix code."""
+    bw.write(1, 2)
+    bw.write(len(syms) - 1, 2)
+    for s in syms:
+        bw.write(s, alpha_bits)
+    if len(syms) == 4:
+        bw.write(tree_select, 1)
+
+
+def _meta_header(bw, mlen, nibbles=4, last=True):
+    bw.write(1 if last else 0, 1)
+    if last:
+        bw.write(0, 1)  # not ISLASTEMPTY
+    bw.write(nibbles - 4, 2)
+    bw.write(mlen - 1, 4 * nibbles)
+
+
+def _trivial_prelude(bw):
+    """1 block type per category, npostfix/ndirect 0, 1 tree each."""
+    for _ in range(3):
+        bw.write(0, 1)  # NBLTYPES = 1
+    bw.write(0, 2)      # NPOSTFIX
+    bw.write(0, 4)      # NDIRECT
+    bw.write(0, 2)      # context mode
+    bw.write(0, 1)      # NTREES_L = 1
+    bw.write(0, 1)      # NTREES_D = 1
+
+
+def _one_literal_stream(lit=ord("a")):
+    """Minimal valid stream: one metablock, one literal. All three
+    alphabets are single-symbol (0-bit) codes."""
+    from brotli_tpu.enc import bitstream
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    _simple(bw, 8, [lit])            # literal tree
+    # command symbol: insert_len 1, any copy cell (mlen hits 0 first)
+    sym = int(bitstream._combine_codes(
+        np.array([1]), np.array([0]), np.array([False]))[0])
+    _simple(bw, 10, [sym])           # command tree
+    _simple(bw, 6, [0])              # distance tree
+    bw.align_to_byte()
+    return bw.getvalue()
+
+
+def _expect(stream, code, dictionary=b""):
+    with pytest.raises(FormatError) as exc:
+        Decoder(dictionary=dictionary or None).decompress(stream)
+    assert exc.value.code == code, (exc.value, exc.value.code, code)
+    with pytest.raises(native.DecodeError) as exc2:
+        native.decode(stream, compound=dictionary)
+    assert exc2.value.code == code, (exc2.value, code)
+
+
+def test_minimal_valid_stream_sanity():
+    s = _one_literal_stream()
+    assert Decoder().decompress(s) == b"a"
+    assert native.decode(s) == b"a"
+
+
+def test_invalid_window_bits9():
+    bw = BitWriter()
+    bw.write(1, 1)
+    bw.write(0, 3)
+    bw.write(1, 3)  # large-window escape without the flag
+    bw.write(0, 9)
+    _expect(bw.getvalue().ljust(4, b"\0"), E.WINDOW_BITS)
+
+
+def test_reserved_bit_metadata():
+    bw = BitWriter()
+    _header16(bw)
+    bw.write(1, 1)  # ISLAST
+    bw.write(0, 1)
+    bw.write(3, 2)  # MNIBBLES code 3 -> metadata
+    bw.write(1, 1)  # reserved MUST be 0
+    bw.align_to_byte()
+    _expect(bw.getvalue(), E.RESERVED)
+
+
+def test_exuberant_nibble():
+    bw = BitWriter()
+    _header16(bw)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(1, 2)          # 5 nibbles
+    bw.write(0x0FFFF, 20)   # high nibble zero -> exuberant
+    bw.align_to_byte()
+    _expect(bw.getvalue(), E.EXUBERANT_NIBBLE)
+
+
+def test_exuberant_meta_nibble():
+    bw = BitWriter()
+    _header16(bw)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(3, 2)   # metadata
+    bw.write(0, 1)   # reserved ok
+    bw.write(2, 2)   # MSKIPBYTES = 2
+    bw.write(0xFF, 8)
+    bw.write(0, 8)   # high byte zero -> exuberant
+    bw.align_to_byte()
+    _expect(bw.getvalue(), E.EXUBERANT_META_NIBBLE)
+
+
+def test_simple_huffman_duplicate():
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    _simple(bw, 8, [ord("a"), ord("a")])  # duplicate symbols
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(8, b"\0"), E.SIMPLE_HUFFMAN_SAME)
+
+
+def test_simple_huffman_alphabet_overflow():
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    for _ in range(3):
+        bw.write(0, 1)
+    bw.write(0, 2)
+    bw.write(5, 4)  # NDIRECT = 5 -> dist alphabet 69, 7-bit symbols
+    bw.write(0, 2)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _simple(bw, 8, [ord("a")])
+    from brotli_tpu.enc import bitstream
+    sym = int(bitstream._combine_codes(
+        np.array([1]), np.array([0]), np.array([False]))[0])
+    _simple(bw, 10, [sym])
+    _simple(bw, 7, [69])  # symbol == alphabet size -> out of range
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(16, b"\0"), E.SIMPLE_HUFFMAN_ALPHABET)
+
+
+def _clc(bw, pairs):
+    """Write code-length-code entries (value per CODE_LENGTH_CODE_ORDER
+    position) using the fixed 2-4 bit encoding."""
+    for v in pairs:
+        code, ln = C.CODE_LENGTH_CODE_FIXED[v]
+        bw.write(code, ln)
+
+
+def test_clc_space_excess():
+    """Code-length code over-subscribed (ClClTreeExcess)."""
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    bw.write(0, 2)  # complex code, HSKIP = 0
+    # order: 1,2,3,4,...; lengths 2,1,1 -> space 8+16+16 = 40 > 32:
+    # over-subscribed at the third entry
+    _clc(bw, [2, 1, 1])
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(16, b"\0"), E.CL_SPACE)
+
+
+def test_clc_space_deficiency():
+    """Code-length code under-subscribed (ClClTreeDeficiency)."""
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    bw.write(0, 2)  # complex, HSKIP 0
+    # single length-2 entry + all zeros: space = 8 != 32, >1 codes
+    # needs at least 2 nonzero to not be "single code" special case
+    _clc(bw, [2, 3] + [0] * 16)
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(16, b"\0"), E.CL_SPACE)
+
+
+def test_huffman_space():
+    """Literal code lengths under-subscribe the symbol space."""
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    bw.write(0, 2)  # complex literal code, HSKIP 0
+    # code-length code: lengths {1:1, 2:2, 0:2} -> space
+    # 16 + 8 + 8 = 32, exact
+    _clc(bw, [1, 2, 0, 0, 2])
+    # literal lengths: one len-1 code then 255 len-2 codes; symbol
+    # space overflows well before the alphabet ends
+    bw.write(0, 1)      # clc sym 1 -> literal 0 gets length 1
+    bw.write(1, 2)      # clc sym 2 -> literal 1 gets length 2
+    for _ in range(254):
+        bw.write(1, 2)
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(24, b"\0"), E.HUFFMAN_SPACE)
+
+
+def test_distance_short_code_nonpositive():
+    """Short-code distance <= 0 (NegativeDistance)."""
+    from brotli_tpu.enc import bitstream
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 16)
+    _trivial_prelude(bw)
+    _simple(bw, 8, [ord("a")])
+    # command: insert 4, copy 4, explicit distance
+    ins_c, cpy_c = 4, 2  # insert code 4 = len 4; copy code 2 = len 4
+    sym = int(bitstream._combine_codes(
+        np.array([ins_c]), np.array([cpy_c]), np.array([False]))[0])
+    _simple(bw, 10, [sym])
+    # distance short code 6 = ring-top - 2. Initial top is 4, so the
+    # first use yields 2 (valid, pushed); the second yields 0 -> error
+    _simple(bw, 6, [4, 6])
+    # data: two commands (4 lit + 4 copy each, 16 = mlen). Lit/cmd
+    # trees are 0-bit; only the two 1-bit distance symbols are read.
+    bw.write(1, 1)  # first distance: symbol index 1 -> code 6 -> 4-2=2
+    bw.write(1, 1)  # second: top=2 -> 0 -> DISTANCE error
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(24, b"\0"), E.DISTANCE)
+
+
+def test_padding_nonzero():
+    s = bytearray(_one_literal_stream())
+    # the stream ends mid-byte; set a padding bit
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 1)
+    _trivial_prelude(bw)
+    _simple(bw, 8, [ord("a")])
+    from brotli_tpu.enc import bitstream
+    sym = int(bitstream._combine_codes(
+        np.array([1]), np.array([0]), np.array([False]))[0])
+    _simple(bw, 10, [sym])
+    _simple(bw, 6, [0])
+    bw.write(1, 1)  # non-zero padding bit
+    bw.align_to_byte()
+    _expect(bw.getvalue(), E.PADDING_1)
+
+
+def test_trailing_data():
+    s = _one_literal_stream() + b"\x55"
+    _expect(s, E.PADDING_2)
+
+
+def test_block_length_overrun():
+    """Copy runs past the metablock length (CopyTooLong)."""
+    from brotli_tpu.enc import bitstream
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 4)  # mlen 4
+    _trivial_prelude(bw)
+    _simple(bw, 8, [ord("a")])
+    # insert 2, copy 22 -> 2+22 > 4
+    sym = int(bitstream._combine_codes(
+        np.array([2]), np.array([14]), np.array([False]))[0])
+    _simple(bw, 10, [sym])
+    _simple(bw, 6, [16])  # explicit distance, 1 extra bit
+    bw.write(0, 1)  # extra -> distance 1 (within the 2 literals)
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(24, b"\0"), E.BLOCK_LENGTH_1)
+
+
+def test_dictionary_reference_invalid():
+    """Distance far beyond window with no valid dict word length."""
+    from brotli_tpu.enc import bitstream
+    bw = BitWriter()
+    _header16(bw)
+    _meta_header(bw, 31)
+    _trivial_prelude(bw)
+    _simple(bw, 8, [ord("a")])
+    # insert 1, copy 25 (no static dict words of len 25)
+    sym = int(bitstream._combine_codes(
+        np.array([1]), np.array([15]), np.array([False]))[0])
+    _simple(bw, 10, [sym])
+    _simple(bw, 6, [40])  # large explicit distance code
+    bw.write((1 << 12) - 1, 12)  # extra bits -> huge distance
+    bw.align_to_byte()
+    _expect(bw.getvalue().ljust(24, b"\0"), E.DICTIONARY)
+
+
+def test_truncated_stream():
+    s = _one_literal_stream()
+    with pytest.raises(Exception):
+        Decoder().decompress(s[:2])
+    with pytest.raises(native.DecodeError) as exc:
+        native.decode(s[:2])
+    assert exc.value.code == E.TRUNCATED
+
+
+def test_error_names_mirror_reference():
+    """Spot-check numeric identity with decode.h values."""
+    assert E.EXUBERANT_NIBBLE == -1
+    assert E.CL_SPACE == -6
+    assert E.DICTIONARY == -12
+    assert E.WINDOW_BITS == -13
+    assert E.DISTANCE == -16
+    assert E.COMPOUND_DICTIONARY == -18
