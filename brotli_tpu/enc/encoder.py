@@ -210,6 +210,19 @@ class StreamingEncoder:
         self._bw = BitWriter()
         self._history = bytearray()
         self._ring = None
+        # native streaming path (persistent hash-chain state across
+        # chunks; no re-finding over history): q0-9, generic mode
+        self._native = None
+        enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
+        if enc_sel != "python" and quality <= 9 and mode == 0:
+            try:
+                from .. import native
+                self._native = native.StreamEncoder(self.params[0],
+                                                    self.params[1])
+            except (ImportError, OSError, ValueError):
+                if enc_sel == "native":
+                    raise
+                self._native = None
 
     def _ensure_header(self):
         if not self._started:
@@ -219,6 +232,8 @@ class StreamingEncoder:
     def process(self, chunk: bytes) -> bytes:
         if self._finished:
             raise ValueError("encoder already finished")
+        if self._native is not None:
+            return self._native.process(bytes(chunk))
         self._buf += chunk
         return b""
 
@@ -250,6 +265,8 @@ class StreamingEncoder:
         (byte-aligned, opaque to decompression)."""
         if self._finished:
             raise ValueError("encoder already finished")
+        if self._native is not None:
+            return self._native.emit_metadata(bytes(payload))
         self._ensure_header()
         self._emit_buffered(is_last=False)
         bitstream.write_metadata_block(self._bw, payload)
@@ -260,6 +277,8 @@ class StreamingEncoder:
     def flush(self) -> bytes:
         if self._finished:
             return b""
+        if self._native is not None:
+            return self._native.flush()
         self._emit_buffered(is_last=False)
         # empty metadata block byte-aligns the stream (decodable prefix)
         self._bw.write(0, 1)   # ISLAST
@@ -274,6 +293,9 @@ class StreamingEncoder:
     def finish(self) -> bytes:
         if self._finished:
             return b""
+        if self._native is not None:
+            self._finished = True
+            return self._native.finish()
         self._ensure_header()
         self._emit_buffered(is_last=True)
         self._finished = True

@@ -351,31 +351,42 @@ def matches_to_commands(m, lens, dists, flags, lo: int, hi: int):
 def split_matches_at(m, lens, dists, flags, boundaries):
     """Split LZ matches straddling block boundaries; pieces shorter
     than 2 are dropped (their bytes fall back to literals). Dictionary
-    matches cannot split (word refs are atomic) -- they are dropped."""
-    for b in boundaries[:-1]:
-        cross = np.flatnonzero((m < b) & (m + lens > b))
-        for i in cross:
-            p, ln, d, fl = int(m[i]), int(lens[i]), int(dists[i]), \
-                int(flags[i])
-            left = b - p
-            right = ln - left
-            pieces = []
-            if fl == 0:
-                if left >= 2:
-                    pieces.append((p, left, d, 0))
-                if right >= 2:
-                    pieces.append((b, right, d, 0))
-            m = np.delete(m, i)
-            lens = np.delete(lens, i)
-            dists = np.delete(dists, i)
-            flags = np.delete(flags, i)
-            if pieces:
-                pm, pl, pd, pf = map(np.array, zip(*pieces))
-                j = np.searchsorted(m, pm[0])
-                m = np.insert(m, j, pm)
-                lens = np.insert(lens, j, pl)
-                dists = np.insert(dists, j, pd)
-                flags = np.insert(flags, j, pf)
+    matches cannot split (word refs are atomic) -- they are dropped.
+
+    One vectorized pass per crossing depth (a match spanning k blocks
+    splits over ceil(log) rounds; in practice 1-2)."""
+    m = np.asarray(m, np.int64)
+    lens = np.asarray(lens, np.int64)
+    dists = np.asarray(dists, np.int64)
+    flags = np.asarray(flags, np.int64)
+    bnd = np.asarray(boundaries[:-1], dtype=np.int64)
+    while len(bnd) and len(m):
+        # first boundary strictly inside each match (positions are
+        # unique and sorted; at most one match crosses a boundary)
+        bi = np.searchsorted(bnd, m, side="right")
+        has = bi < len(bnd)
+        b = bnd[np.minimum(bi, len(bnd) - 1)]
+        cross = has & (m + lens > b)
+        if not np.any(cross):
+            break
+        keep = ~cross
+        lz = cross & (flags == 0)
+        left = b - m
+        right = lens - left
+        lo_ok = lz & (left >= 2)
+        hi_ok = lz & (right >= 2)
+        parts = (
+            (m[keep], lens[keep], dists[keep], flags[keep]),
+            (m[lo_ok], left[lo_ok], dists[lo_ok], flags[lo_ok]),
+            (b[hi_ok], right[hi_ok], dists[hi_ok], flags[hi_ok]),
+        )
+        m = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts])
+        dists = np.concatenate([p[2] for p in parts])
+        flags = np.concatenate([p[3] for p in parts])
+        order = np.argsort(m, kind="stable")
+        m, lens, dists, flags = (m[order], lens[order], dists[order],
+                                 flags[order])
     return m, lens, dists, flags
 
 

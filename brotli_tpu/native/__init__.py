@@ -56,6 +56,21 @@ def get_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_encode.restype = ctypes.c_int
+        lib.btpu_pm_lengths.restype = ctypes.c_int
+        lib.btpu_enc_new.argtypes = [ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_char_p]
+        lib.btpu_enc_new.restype = ctypes.c_void_p
+        lib.btpu_enc_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_enc_chunk.restype = ctypes.c_int
+        lib.btpu_enc_free_stream.argtypes = [ctypes.c_void_p]
+        lib.btpu_enc_metadata.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_enc_metadata.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -113,3 +128,63 @@ def encode(data: bytes, quality: int, lgwin: int) -> bytes:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:
         lib.btpu_free(out_ptr)
+
+
+class StreamEncoder:
+    """Native streaming encoder: persistent hash-chain state across
+    chunks (role parity: BrotliEncoderCompressStream PROCESS/FLUSH/
+    FINISH, c/enc/encode.c:1634)."""
+
+    def __init__(self, quality: int, lgwin: int):
+        from ..format.dictionary import dictionary_data
+        self._lib = get_lib()
+        self._st = self._lib.btpu_enc_new(quality, lgwin,
+                                          dictionary_data())
+        if not self._st:
+            raise ValueError("unsupported native stream parameters")
+
+    def _chunk(self, data: bytes, op: int) -> bytes:
+        out_ptr = ctypes.c_void_p()
+        out_len = ctypes.c_size_t()
+        rc = self._lib.btpu_enc_chunk(self._st, data, len(data), op,
+                                      ctypes.byref(out_ptr),
+                                      ctypes.byref(out_len))
+        if rc != 0:
+            raise ValueError(_ENC_ERRORS.get(rc, f"encode error {rc}"))
+        if not out_ptr.value:
+            return b""
+        try:
+            return ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.btpu_free(out_ptr)
+
+    def process(self, data: bytes) -> bytes:
+        return self._chunk(bytes(data), 0)
+
+    def flush(self) -> bytes:
+        return self._chunk(b"", 1)
+
+    def emit_metadata(self, payload: bytes) -> bytes:
+        out_ptr = ctypes.c_void_p()
+        out_len = ctypes.c_size_t()
+        rc = self._lib.btpu_enc_metadata(self._st, payload, len(payload),
+                                         ctypes.byref(out_ptr),
+                                         ctypes.byref(out_len))
+        if rc != 0:
+            raise ValueError(_ENC_ERRORS.get(rc, f"encode error {rc}"))
+        if not out_ptr.value:
+            return b""
+        try:
+            return ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.btpu_free(out_ptr)
+
+    def finish(self) -> bytes:
+        out = self._chunk(b"", 2)
+        return out
+
+    def __del__(self):
+        st = getattr(self, "_st", None)
+        if st:
+            self._lib.btpu_enc_free_stream(st)
+            self._st = None

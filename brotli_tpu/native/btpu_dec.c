@@ -164,19 +164,20 @@ static inline int tree_decode(const Tree* t, BitReader* br, uint32_t* out) {
     *out = t->sym[i];
     return 0;
   }
-  /* slow path: walk lengths TBL_BITS+1..15 comparing msb-first codes */
+  /* slow path: all codes of length <= TBL_BITS hit the fast table, so
+     only lengths TBL_BITS+1..15 remain; accumulate their msb-first
+     prefix in one pass, then walk the long lengths */
   uint32_t code = 0;
-  for (int l = 1; l <= 15; l++) {
+  for (int l = 1; l <= TBL_BITS; l++)
     code = (code << 1) | ((bits >> (l - 1)) & 1);
-    if (l > TBL_BITS || 1) {
-      uint32_t rel = code - t->base_code[l];
-      if (t->count[l] && code < (uint32_t)t->base_code[l] + t->count[l] &&
-          code >= t->base_code[l]) {
-        if (!br_avail(br, l)) return ERR_TRUNCATED;
-        br->bitpos += l;
-        *out = t->sorted[t->base_idx[l] + rel];
-        return 0;
-      }
+  for (int l = TBL_BITS + 1; l <= 15; l++) {
+    code = (code << 1) | ((bits >> (l - 1)) & 1);
+    if (t->count[l] && code >= t->base_code[l] &&
+        code < (uint32_t)t->base_code[l] + t->count[l]) {
+      if (!br_avail(br, l)) return ERR_TRUNCATED;
+      br->bitpos += l;
+      *out = t->sorted[t->base_idx[l] + (code - t->base_code[l])];
+      return 0;
     }
   }
   return ERR_FORMAT;

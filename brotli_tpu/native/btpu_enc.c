@@ -1561,3 +1561,350 @@ int btpu_pm_lengths(const uint32_t* freq, int n, int maxlen,
   free(s.leaf);
   return 0;
 }
+
+/* ---------- streaming encoder ----------
+ *
+ * Role parity: BrotliEncoderCompressStream PROCESS/FLUSH/FINISH
+ * (c/enc/encode.c:1634). Persistent hash-chain state carries across
+ * chunks (no re-finding over history); the input window slides in a
+ * buffer trimmed to ~2x the LZ window. Each FLUSH closes the pending
+ * metablock and byte-aligns with an empty metadata block, so every
+ * flushed prefix is independently decodable.
+ */
+
+typedef struct {
+  Enc e;
+  MatchCfg cfg;
+  uint8_t* buf;
+  size_t cap;
+  size_t len;    /* bytes buffered; absolute stream length = base+len */
+  size_t base;   /* absolute position of buf[0] */
+  size_t pos;    /* absolute next-unconsumed position */
+  size_t lit_start;
+  size_t mb_lo;
+  size_t copy_bytes;
+  size_t miss_run;
+  uint32_t sim_ring[4];
+  Cmd* cmds;
+  size_t ncmd, cmd_cap;
+  int started, finished;
+} EncStream;
+
+#define SPAD 16 /* zero slack past the buffered end for 64-bit loads */
+
+void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
+  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24) return NULL;
+  EncStream* S = (EncStream*)calloc(1, sizeof(EncStream));
+  if (!S) return NULL;
+  S->e.quality = quality;
+  S->e.lgwin = lgwin;
+  S->e.maxback = ((size_t)1 << lgwin) - 16;
+  for (int i = 0; i < 4; i++) S->e.ring[i] = kInitialRing[3 - i];
+  memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+  S->e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
+  S->e.pm.leaf = (uint8_t*)malloc(16 * 2 * 1200);
+  cfg_for_quality(&S->cfg, quality);
+  if (S->cfg.use_dict && dict_blob) {
+    if (dict_index_init(dict_blob)) S->cfg.use_dict = 0;
+  } else if (S->cfg.use_dict && !g_dict.ready) {
+    S->cfg.use_dict = 0;
+  }
+  size_t hsize = (size_t)1 << S->cfg.hbits;
+  size_t win = (size_t)1 << (lgwin < 22 ? lgwin : 22);
+  S->cfg.chain_mask = (uint32_t)(win - 1);
+  S->cfg.head = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  S->cfg.prev = (uint32_t*)calloc(win, sizeof(uint32_t));
+  S->cmd_cap = 1 << 12;
+  S->cmds = (Cmd*)malloc(sizeof(Cmd) * S->cmd_cap);
+  if (!S->e.pm.w || !S->e.pm.leaf || !S->cfg.head || !S->cfg.prev ||
+      !S->cmds) {
+    free(S->e.pm.w); free(S->e.pm.leaf); free(S->cfg.head);
+    free(S->cfg.prev); free(S->cmds); free(S);
+    return NULL;
+  }
+  return S;
+}
+
+void btpu_enc_free_stream(void* p) {
+  EncStream* S = (EncStream*)p;
+  if (!S) return;
+  free(S->e.pm.w); free(S->e.pm.leaf); free(S->e.plan);
+  free(S->cfg.head); free(S->cfg.prev);
+  free(S->cmds); free(S->buf); free(S->e.bw.buf);
+  free(S);
+}
+
+static int stream_push_cmd(EncStream* S, uint32_t ins, uint32_t cpy,
+                           uint32_t dist, uint32_t adv) {
+  if (S->ncmd == S->cmd_cap) {
+    size_t nc = S->cmd_cap * 2;
+    Cmd* p = (Cmd*)realloc(S->cmds, sizeof(Cmd) * nc);
+    if (!p) return EERR_ALLOC;
+    S->cmds = p;
+    S->cmd_cap = nc;
+  }
+  Cmd* c = &S->cmds[S->ncmd++];
+  c->ins = ins; c->cpy = cpy; c->dist = dist; c->adv = adv;
+  return 0;
+}
+
+/* Consume input up to absolute position `until`; close metablocks as
+   they fill. Mirrors the one-shot loop (btpu_encode) with persistent
+   state. */
+static int stream_consume(EncStream* S, size_t until) {
+  const uint8_t* data = S->buf - S->base; /* absolute indexing */
+  size_t n = S->base + S->len;            /* match-extension horizon */
+  const size_t mb_target = (size_t)1 << 22;
+  int rc;
+  while (S->pos < until) {
+    size_t pos = S->pos;
+    MatchResult m;
+    find_match(data, pos, n, S->e.maxback, S->sim_ring, &S->cfg, &m);
+    int dcopy = 0, dtid = 0, dwlen = 0;
+    uint32_t didx = 0;
+    int dout = 0;
+    if (S->cfg.use_dict && m.len < 12) {
+      int min_out = m.len >= 4 ? (int)m.len + 1 : 4;
+      dout = dict_probe(data, pos, n, min_out, &dcopy, &dtid, &didx,
+                        &dwlen);
+    }
+    if (dout > (int)m.len) {
+      size_t maxd = pos < S->e.maxback ? pos : S->e.maxback;
+      uint32_t dist = (uint32_t)(maxd + 1 +
+          ((uint32_t)dtid << kDictSizeBits[dwlen]) + didx);
+      if ((rc = stream_push_cmd(S, (uint32_t)(pos - S->lit_start), dcopy,
+                                dist, (uint32_t)dout | CMD_DICT)))
+        return rc;
+      S->copy_bytes += (size_t)dout;
+      size_t end = pos + (size_t)dout;
+      for (size_t p2 = pos; p2 < end; p2++)
+        insert_hash(data, p2, &S->cfg);
+      S->pos = end;
+      S->lit_start = S->pos;
+      S->miss_run = 0;
+    } else if (m.len >= 4) {
+      int pos_inserted = 0;
+      if (S->cfg.lazy && m.len < 160) {
+        int defer = 0;
+        while (defer < 4 && pos + 1 < n) {
+          MatchResult m2;
+          insert_hash(data, pos, &S->cfg);
+          pos_inserted = 1;
+          find_match(data, pos + 1, n, S->e.maxback, S->sim_ring,
+                     &S->cfg, &m2);
+          if (m2.score > m.score + 130) {
+            pos += 1;
+            m = m2;
+            pos_inserted = 0;
+            defer++;
+          } else {
+            break;
+          }
+        }
+      }
+      if ((rc = stream_push_cmd(S, (uint32_t)(pos - S->lit_start),
+                                (uint32_t)m.len, (uint32_t)m.dist,
+                                (uint32_t)m.len)))
+        return rc;
+      S->copy_bytes += m.len;
+      if (m.dist != S->sim_ring[0]) {
+        S->sim_ring[3] = S->sim_ring[2];
+        S->sim_ring[2] = S->sim_ring[1];
+        S->sim_ring[1] = S->sim_ring[0];
+        S->sim_ring[0] = (uint32_t)m.dist;
+      }
+      size_t end = pos + m.len;
+      size_t step = m.len > 256 ? 4 : 1;
+      if (!pos_inserted) insert_hash(data, pos, &S->cfg);
+      for (size_t p2 = pos + 1; p2 < end; p2 += step)
+        insert_hash(data, p2, &S->cfg);
+      S->pos = end;
+      S->lit_start = S->pos;
+      S->miss_run = 0;
+    } else {
+      insert_hash(data, pos, &S->cfg);
+      S->miss_run++;
+      size_t step = S->miss_run > 512 ? 4 : S->miss_run > 128 ? 2 : 1;
+      S->pos = pos + step;
+      if (S->pos > n) S->pos = n;
+    }
+    /* close a full metablock at a command boundary */
+    if (S->pos - S->mb_lo >= mb_target && S->pos < n) {
+      size_t hi;
+      if (S->lit_start > S->mb_lo) {
+        hi = S->lit_start; /* pending literals roll forward */
+      } else {
+        if ((rc = stream_push_cmd(
+                 S, (uint32_t)(S->pos - S->lit_start), 0, 0, 0)))
+          return rc;
+        S->lit_start = S->pos;
+        hi = S->pos;
+      }
+      if (hi > S->mb_lo) {
+        S->e.data = data;
+        rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, hi, 0);
+        if (rc) return rc;
+        memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+        S->ncmd = 0;
+        S->copy_bytes = 0;
+        S->mb_lo = hi;
+      }
+    }
+  }
+  return 0;
+}
+
+/* Trim the sliding buffer: keep the window plus context bytes. */
+static void stream_trim(EncStream* S) {
+  size_t keep_from = S->mb_lo < S->e.maxback ? 0 : S->mb_lo - S->e.maxback;
+  if (keep_from <= S->base || S->len < (S->e.maxback * 2))
+    return;
+  size_t drop = keep_from - S->base;
+  memmove(S->buf, S->buf + drop, S->len - drop + SPAD);
+  S->base += drop;
+  S->len -= drop;
+}
+
+/* op: 0 = process (buffer, bounded emit), 1 = flush, 2 = finish.
+   Emits accumulated output bytes (possibly none for op 0). */
+int btpu_enc_chunk(void* p, const uint8_t* in, size_t in_len, int op,
+                   uint8_t** out, size_t* out_len) {
+  EncStream* S = (EncStream*)p;
+  int rc = 0;
+  *out = NULL;
+  *out_len = 0;
+  if (!S || S->finished) return EERR_PARAM;
+  if (in_len) {
+    if (S->len + in_len + SPAD > S->cap) {
+      size_t nc = S->cap ? S->cap : (1 << 16);
+      while (S->len + in_len + SPAD > nc) nc *= 2;
+      uint8_t* nb = (uint8_t*)realloc(S->buf, nc);
+      if (!nb) return EERR_ALLOC;
+      S->buf = nb;
+      S->cap = nc;
+    }
+    memcpy(S->buf + S->len, in, in_len);
+    S->len += in_len;
+    memset(S->buf + S->len, 0, SPAD);
+  }
+  if (!S->started) {
+    put_stream_header(&S->e.bw, S->e.lgwin);
+    S->started = 1;
+    S->pos = S->lit_start = S->mb_lo = 0;
+  }
+  size_t n = S->base + S->len;
+  if (op == 0) {
+    /* consume all but a lazy-window tail; metablocks emit as they fill */
+    size_t hold = 512;
+    if (n > S->pos + hold) rc = stream_consume(S, n - hold);
+  } else {
+    rc = stream_consume(S, n);
+    if (rc == 0 && S->pos < n) { /* sparse-probe overshoot guard */
+      S->pos = n;
+    }
+    if (rc == 0) {
+      int is_last = (op == 2);
+      if (S->lit_start < n) {
+        rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0, 0);
+        S->lit_start = n;
+      }
+      if (rc == 0 && n > S->mb_lo) {
+        S->e.data = S->buf - S->base;
+        rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n,
+                            is_last);
+        memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+        S->ncmd = 0;
+        S->copy_bytes = 0;
+        S->mb_lo = n;
+      } else if (rc == 0 && is_last) {
+        bw_put(&S->e.bw, 1, 1); /* ISLAST */
+        bw_put(&S->e.bw, 1, 1); /* ISLASTEMPTY */
+      }
+      if (rc == 0 && !is_last) {
+        /* empty metadata block: byte-aligns the flushed prefix */
+        bw_put(&S->e.bw, 0, 1);
+        bw_put(&S->e.bw, 3, 2);
+        bw_put(&S->e.bw, 0, 1);
+        bw_put(&S->e.bw, 0, 2);
+      }
+      if (rc == 0) rc = bw_flush_align(&S->e.bw);
+      if (op == 2) S->finished = 1;
+    }
+  }
+  if (rc) return rc;
+  stream_trim(S);
+  /* hand out accumulated bytes (bit accumulator is empty only after
+     flush/finish; mid-process we hold back the ragged tail) */
+  size_t give = S->e.bw.len;
+  if (give) {
+    uint8_t* o = (uint8_t*)malloc(give ? give : 1);
+    if (!o) return EERR_ALLOC;
+    memcpy(o, S->e.bw.buf, give);
+    *out = o;
+    *out_len = give;
+    /* keep any pending bits; shift buffer down */
+    S->e.bw.len = 0;
+  }
+  return 0;
+}
+
+/* Flush pending data, then write one metadata block carrying `payload`
+   (byte-aligned, opaque to decompression; parity: EMIT_METADATA).
+   The metadata block doubles as the byte-alignment block, so decoders
+   see exactly one metadata event per call. */
+int btpu_enc_metadata(void* p, const uint8_t* payload, size_t plen,
+                      uint8_t** out, size_t* out_len) {
+  EncStream* S = (EncStream*)p;
+  int rc = 0;
+  *out = NULL;
+  *out_len = 0;
+  if (!S || S->finished || plen > (1u << 24)) return EERR_PARAM;
+  if (!S->started) {
+    put_stream_header(&S->e.bw, S->e.lgwin);
+    S->started = 1;
+  }
+  size_t n = S->base + S->len;
+  rc = stream_consume(S, n);
+  if (rc) return rc;
+  if (S->pos < n) S->pos = n;
+  if (S->lit_start < n) {
+    rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0, 0);
+    if (rc) return rc;
+    S->lit_start = n;
+  }
+  if (n > S->mb_lo) {
+    S->e.data = S->buf - S->base;
+    rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n, 0);
+    if (rc) return rc;
+    memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+    S->ncmd = 0;
+    S->copy_bytes = 0;
+    S->mb_lo = n;
+  }
+  BW* bw = &S->e.bw;
+  bw_put(bw, 0, 1);  /* ISLAST = 0 */
+  bw_put(bw, 3, 2);  /* metadata */
+  bw_put(bw, 0, 1);  /* reserved */
+  int nbytes = plen == 0 ? 0 : plen < (1 << 8) ? 1
+               : plen < (1 << 16) ? 2 : 3;
+  bw_put(bw, (uint64_t)nbytes, 2);
+  for (int i = 0; i < nbytes; i++)
+    bw_put(bw, ((plen - 1) >> (8 * i)) & 0xFF, 8);
+  rc = bw_flush_align(bw);
+  if (rc) return rc;
+  rc = bw_reserve(bw, plen);
+  if (rc) return rc;
+  memcpy(bw->buf + bw->len, payload, plen);
+  bw->len += plen;
+  stream_trim(S);
+  size_t give = bw->len;
+  if (give) {
+    uint8_t* o = (uint8_t*)malloc(give);
+    if (!o) return EERR_ALLOC;
+    memcpy(o, bw->buf, give);
+    *out = o;
+    *out_len = give;
+    bw->len = 0;
+  }
+  return 0;
+}

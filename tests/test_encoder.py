@@ -223,3 +223,52 @@ def test_npostfix_search_helps(ref_cli, testdata, monkeypatch):
     comp00 = encoder.encode(data, quality=11)
     assert chosen and any(c != (0, 0) for c in chosen)
     assert len(comp) <= len(comp00)
+
+
+def test_split_matches_vectorized_oracle():
+    """Vectorized split_matches_at vs a direct serial oracle, including
+    multi-boundary-spanning matches and dictionary drops."""
+    from brotli_tpu.enc import matcher as M
+
+    def oracle(m, lens, dists, flags, boundaries):
+        out = []
+        for p, ln, d, fl in zip(m, lens, dists, flags):
+            segs = [(int(p), int(ln))]
+            for b in boundaries[:-1]:
+                nxt = []
+                for (q, l2) in segs:
+                    if q < b < q + l2:
+                        nxt += [(q, b - q), (b, q + l2 - b)]
+                    else:
+                        nxt.append((q, l2))
+                segs = nxt
+            if fl != 0 and len(segs) > 1:
+                continue  # dictionary words cannot split
+            for (q, l2) in segs:
+                if l2 >= 2:
+                    out.append((q, l2, int(d), int(fl)))
+        out.sort()
+        if not out:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        a = np.array(out, np.int64)
+        return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+    rng = np.random.default_rng(5)
+    for trial in range(50):
+        n = int(rng.integers(1, 60))
+        pos = np.cumsum(rng.integers(2, 40, n))
+        lens = rng.integers(2, 80, n)
+        # enforce non-overlap
+        pos = pos + np.concatenate([[0], np.cumsum(lens[:-1])])
+        dists = rng.integers(1, 100, n)
+        flags = rng.integers(0, 3, n) * (rng.random(n) < 0.2)
+        top = int(pos[-1] + lens[-1])
+        nb = int(rng.integers(1, 5))
+        bnds = sorted(rng.integers(1, top + 1, nb).tolist()) + [top + 10]
+        got = M.split_matches_at(pos.astype(np.int64), lens.astype(np.int64),
+                                 dists.astype(np.int64),
+                                 flags.astype(np.int64), bnds)
+        want = oracle(pos, lens, dists, flags, bnds)
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w), (trial, got, want)

@@ -126,3 +126,72 @@ def test_api_routes_native(testdata, monkeypatch):
     monkeypatch.setenv("BROTLI_TPU_ENCODER", "python")
     comp_py = brotli_tpu.compress(data[:4096], quality=5)
     assert brotli_tpu.decompress(comp_py) == data[:4096]
+
+
+def test_streaming_native(lib, testdata, ref_cli):
+    """Native streaming encoder: persistent matcher state across
+    chunks, flush-decodable prefixes, window references across flushes
+    (parity: BrotliEncoderCompressStream, encode.c:1634)."""
+    from conftest import ref_decompress
+    import brotli_tpu
+    data = (testdata / "lcet10.txt").read_bytes()
+    enc = native.StreamEncoder(5, 22)
+    parts = []
+    step = 13_000
+    for i in range(0, len(data), step):
+        parts.append(enc.process(data[i:i + step]))
+        if (i // step) % 4 == 3:
+            parts.append(enc.flush())
+            # every flushed prefix decodes standalone once terminated
+            pref = b"".join(parts) + b"\x03"
+            rc, out = ref_decompress(ref_cli, pref)
+            assert rc == 0 and data.startswith(out) and len(out) > 0
+    parts.append(enc.finish())
+    comp = b"".join(parts)
+    rc, out = ref_decompress(ref_cli, comp)
+    assert rc == 0 and out == data
+    assert brotli_tpu.decompress(comp) == data
+    # window references cross flush boundaries: repetitive data stays
+    # small even when flushed between repeats
+    enc2 = native.StreamEncoder(5, 22)
+    rep = (testdata / "alice29.txt").read_bytes()[:50_000]
+    out2 = [enc2.process(rep), enc2.flush(), enc2.process(rep),
+            enc2.finish()]
+    comp2 = b"".join(out2)
+    assert len(comp2) < len(rep) * 0.45  # second copy nearly free
+    rc, got = ref_decompress(ref_cli, comp2)
+    assert rc == 0 and got == rep + rep
+
+
+def test_streaming_native_linear_scaling(lib):
+    """Flush-heavy streaming must scale linearly (round-1 weakness:
+    every flush re-ran matching over all history)."""
+    import time
+    rng = np.random.default_rng(3)
+    words = [b"the ", b"quick ", b"brown ", b"fox ", b"jumps "]
+    chunk = b"".join(words[i] for i in rng.integers(0, 5, 20_000))
+
+    def run(nflushes):
+        enc = native.StreamEncoder(5, 22)
+        t0 = time.perf_counter()
+        for _ in range(nflushes):
+            enc.process(chunk)
+            enc.flush()
+        enc.finish()
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    t8 = run(8)
+    t32 = run(32)
+    # quadratic behavior would give ~16x; allow generous linear slack
+    assert t32 < t8 * 8, (t8, t32)
+
+
+def test_api_streaming_uses_native(testdata):
+    import brotli_tpu
+    c = brotli_tpu.Compressor(quality=5)
+    assert c._enc._native is not None
+    data = (testdata / "asyoulik.txt").read_bytes()
+    blob = c.process(data) + c.flush() + c.process(data[:1000]) + \
+        c.finish()
+    assert brotli_tpu.decompress(blob) == data + data[:1000]
