@@ -12,6 +12,11 @@ greedy-seed continuation edges -- ops/optimal_jax.py) with lgwin 22.
 Every output is validated by decoding back to the input, and the size
 is compared against the reference CLI at the same quality and window
 when the differential binary is present.
+
+The metric string also reports the per-stage budget (VERDICT r1 #1a):
+device match+DP milliseconds vs host serialization milliseconds,
+measured on a separate instrumented pass, plus the native q1/q5
+one-shot host-encoder throughputs for the fast tiers.
 """
 
 import json
@@ -43,6 +48,42 @@ def build_corpus(target=16 << 20) -> bytes:
     return b"".join(parts)[:target]
 
 
+def stage_split(data: bytes) -> dict:
+    """One instrumented pass: device match+DP vs host serialization."""
+    import numpy as np
+    from brotli_tpu.enc import encoder as E, bitstream
+    from brotli_tpu.format import constants as C
+    from brotli_tpu.format.bitio import BitWriter
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    maxback = C.max_backward_distance(22)
+    t0 = time.time()
+    matches = E.find_matches(arr, maxback, QUALITY)
+    t1 = time.time()
+    bw = BitWriter()
+    bitstream.write_stream_header(bw, 22)
+    E._write_blocks(bw, arr, 0, len(arr), matches, 22, is_last=True,
+                    ring=None, quality=QUALITY, ctx_floor=0)
+    bw.align_to_byte()
+    t2 = time.time()
+    return {"device_ms": round((t1 - t0) * 1000),
+            "serialize_ms": round((t2 - t1) * 1000)}
+
+
+def native_fast_mbps(data: bytes) -> dict:
+    try:
+        from brotli_tpu import native
+        out = {}
+        for q in (1, 5):
+            native.encode(data[:1 << 20], q, 22)  # warm
+            t0 = time.time()
+            native.encode(data, q, 22)
+            out[f"q{q}"] = round(len(data) / (time.time() - t0) / 1e6, 1)
+        return out
+    except Exception:
+        return {}
+
+
 def main():
     import brotli_tpu
 
@@ -58,15 +99,21 @@ def main():
         best = max(best, len(data) / dt / 1e6)
     assert brotli_tpu.decompress(comp) == data
     ratio = len(data) / len(comp)
+    split = stage_split(data)
+    fast = native_fast_mbps(data)
     size_note = f"ratio {ratio:.2f}"
     if REF_CLI.exists():
         ref = subprocess.run(
             [str(REF_CLI), "-q", str(QUALITY), "-w", "22", "-c"],
             input=data, capture_output=True).stdout
         size_note += f", size {len(comp) / len(ref):.3f}x ref-q{QUALITY}"
+    stages = (f"device {split['device_ms']}ms + "
+              f"host-serialize {split['serialize_ms']}ms")
+    fast_note = (f", native one-shot q1 {fast.get('q1', '?')} / "
+                 f"q5 {fast.get('q5', '?')} MB/s" if fast else "")
     print(json.dumps({
         "metric": f"q{QUALITY} optimal-parse encode MB/s single chip "
-                  f"(16MB text corpus, {size_note})",
+                  f"(16MB text corpus, {size_note}; {stages}{fast_note})",
         "value": round(best, 2),
         "unit": "MB/s",
         "vs_baseline": round(best / BASELINE_MBPS, 3),

@@ -38,7 +38,7 @@ def set_reporting_callbacks(on_start=None, on_finish=None):
 
 def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
              lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None,
-             large_window=False) -> bytes:
+             large_window=False, base64_mode=False) -> bytes:
     """One-shot compression. `large_window` allows lgwin up to 30
     (non-RFC extension; the receiver must opt in too). `dictionary`
     may be raw LZ77 bytes or a serialized shared dictionary (its raw
@@ -53,7 +53,7 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
     try:
         out = encode(bytes(string), quality=quality, lgwin=lgwin,
                      lgblock=lgblock, mode=mode, dictionary=dictionary,
-                     large_window=large_window)
+                     large_window=large_window, base64_mode=base64_mode)
     except ValueError as e:
         raise error(str(e)) from e
     if _on_finish is not None:

@@ -379,7 +379,8 @@ def write_context_map(bw: BitWriter, cmap: np.ndarray,
 def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
                     mlen: int, cmds, is_last: bool, ring=None,
                     quality: int = 1, context_mode=None,
-                    ctx_floor: int = 0, large: bool = False):
+                    ctx_floor: int = 0, large: bool = False,
+                    b64_mask=None):
     """Serialize one compressed metablock.
 
     q < 5: single tree per alphabet ("StoreMetaBlockTrivial").
@@ -428,6 +429,28 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         ntypes = 1
         type_of_lit = np.zeros(nlit, np.int64)
 
+    # --- base64 literal-split forcing (parity: metablock.c
+    # ForceBase64LiteralSplits + the fixed flat code in
+    # block_encoder_inc.h): payload literals get a dedicated block
+    # type whose tree is the 6-bit base64 code
+    b64_type = None
+    if b64_mask is not None and nlit:
+        lit_b64 = b64_mask[np.minimum(lit_pos, len(b64_mask) - 1)]
+        if lit_b64.any():
+            b64_type = ntypes
+            ntypes += 1
+            type_of_lit = np.where(lit_b64, b64_type, type_of_lit)
+            if type_of_lit[0] != 0:  # first block type must be 0 (RFC 6)
+                a, b = int(type_of_lit[0]), 0
+                perm = np.arange(ntypes)
+                perm[a], perm[b] = b, a
+                type_of_lit = perm[type_of_lit]
+                b64_type = int(perm[b64_type])
+            edges = np.flatnonzero(np.diff(type_of_lit)) + 1
+            bounds = np.concatenate([[0], edges, [nlit]])
+            block_lengths = np.diff(bounds)
+            run_types = type_of_lit[bounds[:-1]]
+
     cmd_split = dist_split = None
     if quality >= 9 and ncmd >= 2048:
         cmd_split = block_split.split_symbols(
@@ -459,10 +482,15 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         mode = 0
         ctx_ids = np.zeros(nlit, np.int64)
     group = (type_of_lit << C.LITERAL_CONTEXT_BITS) | ctx_ids
+    b64_tree = None
     if use_context or ntypes > 1:
         hists = cm.context_histograms(
             literals, group, ntypes * C.NUM_LITERAL_CONTEXTS,
             C.NUM_LITERAL_SYMBOLS)
+        if b64_type is not None:
+            # base64 contexts use the forced flat code; their rows must
+            # not shape the clustering
+            hists[b64_type * 64:(b64_type + 1) * 64] = 0
         if use_context:
             assign, merged = cm.cluster_histograms(
                 hists, max_trees=48 if quality >= 10 else 12)
@@ -473,6 +501,24 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
                 hists[t * 64:(t + 1) * 64].sum(axis=0)
                 for t in range(ntypes)])
         ntrees = len(merged)
+        if b64_type is not None:
+            b64_tree = ntrees
+            ntrees += 1
+            merged = np.concatenate(
+                [merged, np.zeros((1, C.NUM_LITERAL_SYMBOLS),
+                                  merged.dtype)])
+            assign = assign.copy()
+            assign[(b64_type << C.LITERAL_CONTEXT_BITS) +
+                   np.arange(C.NUM_LITERAL_CONTEXTS)] = b64_tree
+            # drop trees no context references anymore (the zeroed
+            # b64 rows may have left an orphan in the per-type path)
+            used = np.unique(assign)
+            remap = np.zeros(ntrees, np.int64)
+            remap[used] = np.arange(len(used))
+            assign = remap[assign]
+            merged = merged[used]
+            b64_tree = int(remap[b64_tree])
+            ntrees = len(used)
         if ntrees == 1 and ntypes == 1:
             use_context = False
     multi = use_context or ntypes > 1
@@ -550,7 +596,12 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         lit_lens2d = np.zeros((ntrees, C.NUM_LITERAL_SYMBOLS), np.int32)
         lit_codes2d = np.zeros_like(lit_lens2d, dtype=np.int64)
         for t in range(ntrees):
-            true_len = package_merge(merged[t], C.HUFFMAN_MAX_CODE_LENGTH)
+            if t == b64_tree:
+                from .base64_mode import base64_code_lengths
+                true_len = base64_code_lengths()
+            else:
+                true_len = package_merge(merged[t],
+                                         C.HUFFMAN_MAX_CODE_LENGTH)
             write_huffman_code(bw, true_len, C.NUM_LITERAL_SYMBOLS)
             e = _emission(true_len)
             lit_lens2d[t] = e

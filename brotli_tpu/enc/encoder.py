@@ -85,12 +85,15 @@ def find_matches(arr, max_distance, quality, large=False):
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
            lgblock: int = 0, mode: int = 0, dictionary=None,
-           large_window: bool = False) -> bytes:
+           large_window: bool = False, base64_mode: bool = False) -> bytes:
     """One-shot encode. `dictionary`: optional raw LZ77 (compound)
     dictionary -- matches may reach into it via beyond-window distances
     (parity: BrotliEncoderPrepareDictionary RAW +
     AttachPreparedDictionary). `large_window`: allow lgwin up to 30
-    (non-RFC extension, BROTLI_PARAM_LARGE_WINDOW)."""
+    (non-RFC extension, BROTLI_PARAM_LARGE_WINDOW). `base64_mode`:
+    detect ';base64,' payload regions, skip LZ there and emit them
+    under a forced flat 6-bit literal code (parity:
+    BROTLI_PARAM_BASE64_MODE, 1.2.0)."""
     quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock,
                                                large_window)
     # native fast path (role of the reference's C encoder tiers,
@@ -100,7 +103,8 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     # the sharded multi-chip path.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
     if (enc_sel != "python" and quality <= 9 and not large_window
-            and dictionary is None and mode == 0 and len(data) > 0):
+            and dictionary is None and mode == 0 and not base64_mode
+            and len(data) > 0):
         try:
             from .. import native
             return native.encode(bytes(data), quality, lgwin)
@@ -123,12 +127,20 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     matches = find_matches(arr, maxback, quality, large=large)
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
+    b64_mask = None
+    if base64_mode:
+        from . import base64_mode as b64
+        starts, lengths = b64.detect_regions(arr[D:])
+        if len(starts):
+            b64_mask = np.zeros(len(arr), bool)
+            b64_mask[D:] = b64.region_mask(arr[D:], starts, lengths)
+            matches = b64.drop_matches_in_regions(matches, b64_mask)
     # mode hint (parity: BrotliEncoderMode + ChooseContextMode): TEXT
     # forces the UTF8 context model, FONT the signed-byte model
     ctx_mode = {1: 2, 2: 3}.get(mode)
     _write_blocks(bw, arr, D, D + n, matches, lgblock, is_last=True,
                   ring=None, quality=quality, ctx_floor=D, large=large,
-                  context_mode=ctx_mode)
+                  context_mode=ctx_mode, b64_mask=b64_mask)
     bw.align_to_byte()
     out = bw.getvalue()
     if len(out) >= n + 4:
@@ -156,7 +168,7 @@ def _lift_dictionary_matches(matches, D, maxback):
 
 def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
                   ring=None, quality=1, ctx_floor=0, large=False,
-                  context_mode=None):
+                  context_mode=None, b64_mask=None):
     """Serialize region [lo, hi) as metablocks; returns the distance
     ring state after the last block."""
     mb_size = 1 << lgblock
@@ -169,7 +181,7 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
         ring = bitstream.store_metablock(
             bw, arr, pos, b - pos, cmds, block_last, ring,
             quality=quality, ctx_floor=ctx_floor, large=large,
-            context_mode=context_mode)
+            context_mode=context_mode, b64_mask=b64_mask)
         pos = b
     return ring
 

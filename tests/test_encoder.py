@@ -272,3 +272,45 @@ def test_split_matches_vectorized_oracle():
         want = oracle(pos, lens, dists, flags, bnds)
         for g, w in zip(got, want):
             assert np.array_equal(g, w), (trial, got, want)
+
+
+def test_base64_mode(ref_cli, monkeypatch):
+    """Base64 region detection + forced flat 6-bit literal code
+    (parity: BROTLI_PARAM_BASE64_MODE; backward_references_inc.h:38-91
+    trigger scan, metablock.c ForceBase64LiteralSplits,
+    block_encoder_inc.h fixed code)."""
+    import base64 as b64lib
+    from brotli_tpu.enc import base64_mode as B
+
+    rng = np.random.default_rng(2)
+    payloads = [b64lib.b64encode(rng.integers(0, 256, n).astype(
+        np.uint8).tobytes()) for n in (4000, 100, 2500)]
+    doc = b"<html>" + b"".join(
+        b'<img src="data:image/png;base64,' + p + b'="/> and some '
+        b'ordinary compressible text in between ' for p in payloads) + \
+        b"the tail of the document repeats: ordinary compressible text"
+
+    arr = np.frombuffer(doc, np.uint8)
+    starts, lengths = B.detect_regions(arr)
+    assert len(starts) == 3
+    for s, ln in zip(starts, lengths):
+        assert all(B._IS_B64[c] for c in doc[s:s + ln])
+        assert doc[s + ln:s + ln + 1] == b"="  # padding excluded
+
+    for q in (5, 11):
+        comp = brotli_tpu.compress(doc, quality=q, base64_mode=True)
+        rc, out = ref_decompress(ref_cli, comp)
+        assert rc == 0 and out == doc, q
+        assert brotli_tpu.decompress(comp) == doc
+        # flat 6-bit coding beats entropy-coding the mixed stream
+        plain = brotli_tpu.compress(doc, quality=q)
+        assert len(comp) <= plain * 1.02 if isinstance(plain, int) \
+            else len(comp) <= len(plain) * 1.02
+
+    # no-trigger input is untouched by the flag
+    plain_doc = b"no base64 marker here at all " * 100
+    a = brotli_tpu.compress(plain_doc, quality=5, base64_mode=True)
+    b = brotli_tpu.compress(plain_doc, quality=5)
+    # (the native path is bypassed under base64_mode; both must decode)
+    assert brotli_tpu.decompress(a) == plain_doc
+    assert brotli_tpu.decompress(b) == plain_doc
