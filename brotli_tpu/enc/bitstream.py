@@ -122,12 +122,12 @@ def initial_ring() -> np.ndarray:
 def ring_after(dists, flags, ring=None) -> np.ndarray:
     """Distance ring state after a command sequence, without
     serializing it (used to seed parallel shard encoders: the decoder's
-    ring crosses shard seams). Static-dict words (flag 2) never push;
+    ring crosses shard seams). Static-dict words (flag >= 2) never push;
     consecutive equal distances collapse to one push."""
     if ring is None:
         ring = initial_ring()
     ring = np.asarray(ring, dtype=np.int64)
-    cd = np.asarray(dists, dtype=np.int64)[np.asarray(flags) != 2]
+    cd = np.asarray(dists, dtype=np.int64)[np.asarray(flags) < 2]
     cd = cd[cd > 0]
     if len(cd) == 0:
         return ring.copy()
@@ -218,14 +218,19 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     icode, iextra, ibits = _encode_values(ins, prefix.INSERT_BASE,
                                           prefix.INSERT_EXTRA)
     final_insert = (cpy == 0) & (dist == 0)
-    ccode, cextra, cbits = _encode_values(np.where(final_insert, 2, cpy),
-                                          prefix.COPY_BASE,
-                                          prefix.COPY_EXTRA)
+    cut = np.maximum(np.asarray(dict_flag if dict_flag is not None
+                                 else np.zeros(n, np.int64)) - 2, 0)
+    eff_cpy = cpy + cut  # dict cutoffs: emitted copy len = word len
+    ccode, cextra, cbits = _encode_values(
+        np.where(final_insert, 2, eff_cpy), prefix.COPY_BASE,
+        prefix.COPY_EXTRA)
     if dict_flag is None:
         dict_flag = np.zeros(n, dtype=np.int64)
     # flag semantics: 0 = LZ, 1 = compound-dict ref (pushes the ring,
-    # decode.c:1598), 2 = static-dict word (never touches the ring)
-    is_dict = dict_flag == 2
+    # decode.c:1598), >= 2 = static-dict word (never touches the ring;
+    # flag - 2 = omit-last cutoff, so the copy CODE spans the full base
+    # word while the input advance is `cpy`)
+    is_dict = dict_flag >= 2
     if ring is None:
         ring = initial_ring()
     ring = np.asarray(ring, dtype=np.int64)

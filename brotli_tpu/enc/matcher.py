@@ -175,13 +175,14 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         best_dist[:npos] = np.where(better, dist, best_dist[:npos])
 
     is_dict = np.zeros(n, bool)
+    dict_cut = np.zeros(n, np.int64)
     if use_dict:
         from . import static_dict
         cand_pos = np.flatnonzero(best_len[:npos] < 12)
         if len(cand_pos):
-            dlen, didx, dtr = static_dict.probe(data, cand_pos)
-            ddist = static_dict.dict_distance(cand_pos + base, dlen, didx,
-                                              max_distance, dtr)
+            dlen, dwlen, didx, dtr = static_dict.probe(data, cand_pos)
+            ddist = static_dict.dict_distance(cand_pos + base, dwlen,
+                                              didx, max_distance, dtr)
             gate = np.where(ddist >= (1 << 18), 7,
                             np.where(ddist >= (1 << 12), 6, 5))
             good = (dlen >= gate) & \
@@ -189,6 +190,7 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
             gp = cand_pos[good]
             best_len[gp] = dlen[good].astype(np.int32)
             best_dist[gp] = ddist[good]
+            dict_cut[gp] = (dwlen - dlen)[good]
             is_dict[gp] = True
 
     if cost_model is None:
@@ -227,7 +229,9 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     m = sel[take[sel]]
     lens = best_len[m].astype(np.int64)
     dists = best_dist[m]
-    flags = is_dict[m].astype(np.int64) * 2  # 2 = static dict, no push
+    # flag >= 2 = static dict, no ring push; the omit-last cutoff
+    # rides in the flag (copy code = advance + cut)
+    flags = is_dict[m].astype(np.int64) * 2 + dict_cut[m] * is_dict[m]
     return _extend_capped(data, m, lens, dists, flags, CAP, max_match)
 
 
@@ -296,9 +300,9 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     cand = np.flatnonzero(in_gap)
     if len(cand) == 0:
         return m, lens, dists, flags
-    dlen, didx, dtr = static_dict.probe(data, cand)
+    dlen, dwlen, didx, dtr = static_dict.probe(data, cand)
     abs_pos = cand + base
-    ddist = static_dict.dict_distance(abs_pos, dlen, didx, max_distance,
+    ddist = static_dict.dict_distance(abs_pos, dwlen, didx, max_distance,
                                       dtr)
     gate = np.where(ddist >= (1 << 18), 7,
                     np.where(ddist >= (1 << 12), 6, 5))
@@ -323,7 +327,7 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     nm = np.concatenate([m, cand[sel]])
     nl = np.concatenate([lens, dlen[sel]])
     nd = np.concatenate([dists, ddist[sel]])
-    nf = np.concatenate([flags, np.full(len(sel), 2, np.int64)])
+    nf = np.concatenate([flags, 2 + (dwlen - dlen)[sel]])
     order = np.argsort(nm, kind="stable")
     return nm[order], nl[order], nd[order], nf[order]
 

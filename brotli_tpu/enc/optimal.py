@@ -116,7 +116,7 @@ def _ring_history(m, dists, flags, n):
     Mirrors the decoder ring: dictionary words never push; consecutive
     equal distances collapse (a reuse emits dist code 0, no push)."""
     cache = np.zeros((4, n), np.int64)
-    push = flags != 2
+    push = flags < 2
     pm, pd = m[push], dists[push]
     if len(pm) == 0:
         return cache
@@ -166,6 +166,15 @@ class CostModel:
         self.litq = np.minimum(
             (bits[cid, data.astype(np.int64)] * QB), 24 * QB
         ).astype(np.int64)
+        # blend in the windowed position-in-UTF8-codepoint model
+        # (literal_cost.c role): the global context model misses local
+        # statistic shifts; the average of the two guides the parse
+        # best on text (measured; binary inputs skip the blend)
+        from .literal_cost import estimate_literal_bits, is_mostly_utf8
+        if is_mostly_utf8(data):
+            u = estimate_literal_bits(np.asarray(data))
+            uq = np.minimum(u * QB, 24 * QB).astype(np.int64)
+            self.litq = (self.litq + uq) // 2
 
         # copy-code cost: marginal copy-code bits plus the *measured*
         # insert-side share of the joint command symbol (joint entropy
@@ -340,14 +349,16 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
     cand_len, cand_dist = candidates_topk(data, max_distance, nc)
     # static-dictionary probe at every position (vectorized)
     pos_all = np.arange(max(n - MIN_MATCH, 0), dtype=np.int64)
-    dlen, didx, dtr = static_dict.probe(data, pos_all)
-    ddist = static_dict.dict_distance(pos_all + base, dlen, didx,
+    dlen, dwlen, didx, dtr = static_dict.probe(data, pos_all)
+    ddist = static_dict.dict_distance(pos_all + base, dwlen, didx,
                                       max_distance, dtr)
     dict_len = np.zeros(n, np.int32)
     dict_dist = np.zeros(n, np.int64)
+    dict_cut = np.zeros(n, np.int64)
     dict_len[:len(pos_all)] = np.where(dlen >= 4, dlen, 0).astype(
         np.int32)
     dict_dist[:len(pos_all)] = ddist
+    dict_cut[:len(pos_all)] = dwlen - dlen
 
     seed_len = np.zeros(n, np.int32)
     seed_dist = np.zeros(n, np.int64)
@@ -382,7 +393,7 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
         # limit): the honest way long matches enter the DP -- candidate
         # and cache edges are length-capped. Accumulated across
         # iterations so a later parse never loses an earlier option.
-        lz = flags != 2
+        lz = flags < 2
         keep_new = np.minimum(lens[lz], MAX_EDGE) > seed_len[m[lz]]
         upd = m[lz][keep_new]
         seed_len[upd] = np.minimum(lens[lz][keep_new],
@@ -409,7 +420,7 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
             d[sel] = cache_dist[s, p[sel]]
         sel = slot == SLOT_DICT
         d[sel] = dict_dist[p[sel]]
-        f[sel] = 2
+        f[sel] = 2 + dict_cut[p[sel]]
         sel = slot == SLOT_SEED
         d[sel] = seed_dist[p[sel]]
         m, lens, dists, flags = _coalesce(p, ln, d, f)

@@ -73,15 +73,23 @@ def word_matrix():
 
 UPPERCASE_FIRST_ID = 9  # bare UPPERCASE_FIRST in the RFC transform set
 
+# omit-last-k identity transforms by cutoff length (parity:
+# kCutoffTransforms, c/enc/hash.h:67-70 / static_dict.c:130-133):
+# a length-L word matching only its first L-k bytes still matches,
+# through transform OMIT_LAST_k
+CUTOFF_TRANSFORM_IDS = np.array([0, 12, 27, 23, 42, 63, 56, 48, 59, 64],
+                                np.int64)
+
 
 def probe(data: np.ndarray, positions: np.ndarray):
     """Vectorized dictionary probe at the given positions.
 
     Returns (word_len int64, word_idx int64, transform int64) per
-    position; word_len 0 when nothing matches. Besides identity,
-    ASCII-capitalized occurrences match via the bare UPPERCASE_FIRST
-    transform (the most common transformed reference in text; parity:
-    BrotliFindAllStaticDictionaryMatches' transform identification).
+    position; word_len is the OUTPUT length (0 = no match). Matching
+    forms: identity, omit-last-1..9 cutoffs of longer words (parity:
+    kCutoffTransforms, hash.h:67-70), and bare UPPERCASE_FIRST for
+    ASCII-capitalized occurrences (parity:
+    BrotliFindAllStaticDictionaryMatches).
     """
     keys, lens, idxs = prefix_table()
     mat = word_matrix()
@@ -91,7 +99,8 @@ def probe(data: np.ndarray, positions: np.ndarray):
     padded = np.concatenate([data, np.zeros(24, np.uint8)])
     win = padded[p[:, None] + np.arange(24)]
     remaining = n - p
-    best_len = np.zeros(len(p), np.int64)
+    best_len = np.zeros(len(p), np.int64)   # output length
+    best_wlen = np.zeros(len(p), np.int64)  # base word length
     best_idx = np.zeros(len(p), np.int64)
     best_tr = np.zeros(len(p), np.int64)
 
@@ -112,16 +121,31 @@ def probe(data: np.ndarray, positions: np.ndarray):
             cand = np.minimum(lo + probe_i, len(keys) - 1)
             ok = keys[cand] == w4
             L = lens[cand].astype(np.int64)
-            ok &= L <= remaining
             if transform:
                 ok &= is_upper
             eq = (w == mat[cand]) | (np.arange(24) >= L[:, None])
-            full = eq.all(axis=1) & ok
+            full = eq.all(axis=1) & ok & (L <= remaining)
             better = full & (L > best_len)
             best_len = np.where(better, L, best_len)
+            best_wlen = np.where(better, L, best_wlen)
             best_idx = np.where(better, idxs[cand], best_idx)
             best_tr = np.where(better, tid, best_tr)
-    return best_len, best_idx, best_tr
+            if transform == 0:
+                # cutoff forms: the word matches only its first cp
+                # bytes -> OMIT_LAST_(L-cp) (hash.h kCutoffTransforms)
+                cp = np.argmin(eq, axis=1)
+                cp = np.where(eq.all(axis=1), 24, cp)
+                cp = np.minimum(cp, np.minimum(L, remaining))
+                cut = L - cp
+                cut_ok = ok & (cut >= 1) & (cut <= 9) & (cp >= 4)
+                better = cut_ok & (cp > best_len)
+                if np.any(better):
+                    tr = CUTOFF_TRANSFORM_IDS[np.clip(cut, 0, 9)]
+                    best_len = np.where(better, cp, best_len)
+                    best_wlen = np.where(better, L, best_wlen)
+                    best_idx = np.where(better, idxs[cand], best_idx)
+                    best_tr = np.where(better, tr, best_tr)
+    return best_len, best_wlen, best_idx, best_tr
 
 
 def dict_distance(pos, word_len, word_idx, max_backward, transform=0):

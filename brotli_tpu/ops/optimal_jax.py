@@ -431,7 +431,7 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                                      [seed, prev]):
                 start = np.maximum(qm, lo)
                 end = np.minimum(qm + ql, hi)
-                in_seg = (end - start >= 2) & (qf != 2)
+                in_seg = (end - start >= 2) & (qf < 2)
                 spos_parts.append((start[in_seg] - lo).astype(np.int32))
                 slen_parts.append((end - start)[in_seg].astype(np.int32))
                 sdist_parts.append(qd[in_seg].astype(np.int32))

@@ -314,3 +314,58 @@ def test_base64_mode(ref_cli, monkeypatch):
     # (the native path is bypassed under base64_mode; both must decode)
     assert brotli_tpu.decompress(a) == plain_doc
     assert brotli_tpu.decompress(b) == plain_doc
+
+
+def test_utf8_literal_cost_model(testdata):
+    """Position-in-UTF8-codepoint literal cost (literal_cost.c role):
+    class assignment matches a serial port of UTF8Position, and the
+    windowed cost ranks frequent bytes cheaper."""
+    from brotli_tpu.enc import literal_cost as LC
+
+    data = np.frombuffer(
+        (testdata / "cp852-utf8").read_bytes(), np.uint8)
+
+    def utf8_position(last, c, clamp):
+        if c < 128:
+            return 0
+        if c >= 192:
+            return min(1, clamp)
+        return 0 if last < 0xE0 else min(2, clamp)
+
+    got = LC.utf8_positions(data, 2)
+    last_c = c = 0
+    for i in range(min(len(data), 3000)):
+        assert got[i] == utf8_position(last_c, c, 2), i
+        last_c, c = c, int(data[i])
+
+    cost = LC.estimate_literal_bits(data)
+    assert cost.shape == (len(data),)
+    assert np.all(cost > 0) and np.all(cost <= 24 + 1)
+    # frequent ASCII letters must be cheaper than rare control bytes
+    freq = np.bincount(data, minlength=256)
+    common = int(np.argmax(freq))
+    sel_common = data == common
+    assert cost[sel_common].mean() < cost.mean()
+
+
+def test_cutoff_transform_matching(ref_cli, monkeypatch):
+    """Encoder-side omit-last cutoff transforms (kCutoffTransforms,
+    hash.h:67-70): truncated dictionary words must match through
+    OMIT_LAST_k and decode bit-exactly via the reference CLI."""
+    from brotli_tpu.enc import static_dict as SD
+
+    monkeypatch.setenv("BROTLI_TPU_ENCODER", "python")
+    # probe unit: truncated words resolve to cutoff transforms
+    data = np.frombuffer(b"informatio# and developmen# xyz", np.uint8)
+    out, wlen, idx, tr = SD.probe(data, np.array([0, 15]))
+    assert out[0] >= 4 and tr[0] in SD.CUTOFF_TRANSFORM_IDS[1:]
+    assert wlen[0] > out[0]
+
+    # end-to-end: text whose dictionary words appear truncated
+    doc = (b"The administratio# considered the informatio# from the "
+           b"developmen# departmen# as internationa# significanc# " * 8)
+    for q in (5, 11):
+        comp = brotli_tpu.compress(doc, quality=q)
+        rc, got = ref_decompress(ref_cli, comp)
+        assert rc == 0 and got == doc, q
+        assert brotli_tpu.decompress(comp) == doc
