@@ -37,8 +37,14 @@ def _build():
 def get_lib():
     global _lib
     if _lib is None:
-        _build()
-        lib = ctypes.CDLL(str(_LIB))
+        override = os.environ.get("BROTLI_TPU_NATIVE_LIB")
+        if override:
+            # pre-built library (e.g. the sanitizer harness,
+            # scripts/sanitize.sh); no rebuild
+            lib = ctypes.CDLL(override)
+        else:
+            _build()
+            lib = ctypes.CDLL(str(_LIB))
         lib.btpu_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_void_p),
