@@ -50,7 +50,33 @@ def _build_parser():
     p.add_argument("--comment", metavar="STR",
                    help="compress: embed STR as a metadata block; "
                         "decompress: verify the stream carries STR")
+    p.add_argument("-s", "--squash", action="store_true",
+                   help="discard output larger than input (keep source)")
+    p.add_argument("--base64", action="store_true",
+                   help="detect base64 payload regions (flat 6-bit code)")
     return p
+
+
+_SIMPLE_FLAGS = set("cdtfkKvVZnjs")
+
+
+def _expand_argv(argv):
+    """Coalesced simple options + digit quality shorthand (parity:
+    c/tools/brotli.c:334 'Simple / coalesced options', e.g. '-9kf' ==
+    '-q 9 -k -f')."""
+    out = []
+    for a in argv:
+        if (len(a) > 1 and a[0] == "-" and a[1] != "-" and
+                all(ch.isdigit() or ch in _SIMPLE_FLAGS
+                    for ch in a[1:]) and
+                (any(ch.isdigit() for ch in a[1:]) or len(a) > 2)):
+            digits = "".join(ch for ch in a[1:] if ch.isdigit())
+            if digits:
+                out += ["-q", digits]
+            out += [f"-{ch}" for ch in a[1:] if not ch.isdigit()]
+        else:
+            out.append(a)
+    return out
 
 
 def _process(data: bytes, args) -> bytes:
@@ -78,7 +104,8 @@ def _process(data: bytes, args) -> bytes:
         return out + c.finish()
     return compress(data, quality=11 if args.best else args.quality,
                     lgwin=lgwin, dictionary=raw_dict,
-                    large_window=bool(args.large_window))
+                    large_window=bool(args.large_window),
+                    base64_mode=args.base64)
 
 
 def _verify_comment(data: bytes, comment: str) -> None:
@@ -92,7 +119,12 @@ def _verify_comment(data: bytes, comment: str) -> None:
 
 
 def main(argv=None) -> int:
-    args = _build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = _build_parser().parse_args(_expand_argv(list(argv)))
+    if args.squash and args.stdout:
+        print("--squash cannot combine with --stdout", file=sys.stderr)
+        return 1
     if args.version:
         from . import __version__
         print(f"brotli_tpu {__version__}")
@@ -139,6 +171,13 @@ def main(argv=None) -> int:
                 print(f"{dst} already exists (use -f to overwrite)",
                       file=sys.stderr)
                 rc = 1
+                continue
+            if args.squash and not args.decompress and \
+                    len(out) >= len(data):
+                # reject_uncompressible: keep the source, no output
+                if args.verbose:
+                    print(f"{path}: output larger than input, skipped",
+                          file=sys.stderr)
                 continue
             with open(dst, "wb") as f:
                 f.write(out)
