@@ -178,8 +178,10 @@ class Decompressor:
     """
 
     def __init__(self, dictionary=None):
-        from .dec.decoder import IncrementalDecoder
-        self._inc = IncrementalDecoder(dictionary=dictionary)
+        # suspend-anywhere streaming core (dec/stream.py): any-bit
+        # suspension + window-bounded memory
+        from .dec.stream import StreamDecoder
+        self._inc = StreamDecoder(dictionary=dictionary)
         self._pending = bytearray()
 
     def process(self, string=b"", output_buffer_limit=None) -> bytes:
