@@ -94,42 +94,49 @@ def probe(data: np.ndarray, positions: np.ndarray):
     keys, lens, idxs = prefix_table()
     mat = word_matrix()
     n = len(data)
-    p = positions
-    # data window of 24 bytes at each position (zero-padded at the end)
+    p = np.asarray(positions, np.int64)
     padded = np.concatenate([data, np.zeros(24, np.uint8)])
-    win = padded[p[:, None] + np.arange(24)]
-    remaining = n - p
     best_len = np.zeros(len(p), np.int64)   # output length
     best_wlen = np.zeros(len(p), np.int64)  # base word length
     best_idx = np.zeros(len(p), np.int64)
     best_tr = np.zeros(len(p), np.int64)
 
-    first = win[:, 0]
+    # phase 1: cheap 4-byte key per position; the expensive 24-byte
+    # windows materialize only for key hits (typically a small
+    # fraction of positions)
+    b = [padded[p + i].astype(np.uint32) for i in range(4)]
+    first = b[0]
     is_upper = (first >= 0x41) & (first <= 0x5A)
     for transform, tid in ((0, 0), (1, UPPERCASE_FIRST_ID)):
-        w = win.copy()
+        f0 = np.where(is_upper, first | 0x20, first) if transform \
+            else first
+        w4_all = f0 | b[1] << 8 | b[2] << 16 | b[3] << 24
+        lo_all = np.searchsorted(keys, w4_all, side="left")
+        hit = keys[np.minimum(lo_all, len(keys) - 1)] == w4_all
         if transform:
-            # lowercase the first byte: the probe then looks the word
-            # up as stored; only positions starting A-Z are eligible
-            w[:, 0] = np.where(is_upper, first | 0x20, first)
-        w4 = (w[:, 0].astype(np.uint32)
-              | w[:, 1].astype(np.uint32) << 8
-              | w[:, 2].astype(np.uint32) << 16
-              | w[:, 3].astype(np.uint32) << 24)
-        lo = np.searchsorted(keys, w4, side="left")
+            hit &= is_upper
+        sub = np.flatnonzero(hit)
+        if len(sub) == 0:
+            continue
+        ps = p[sub]
+        win = padded[ps[:, None] + np.arange(24)]
+        w = win if not transform else win.copy()
+        if transform:
+            w[:, 0] = (w[:, 0] | 0x20)
+        w4 = w4_all[sub]
+        lo = lo_all[sub]
+        remaining = n - ps
         for probe_i in range(MAX_PROBE):
             cand = np.minimum(lo + probe_i, len(keys) - 1)
             ok = keys[cand] == w4
             L = lens[cand].astype(np.int64)
-            if transform:
-                ok &= is_upper
             eq = (w == mat[cand]) | (np.arange(24) >= L[:, None])
             full = eq.all(axis=1) & ok & (L <= remaining)
-            better = full & (L > best_len)
-            best_len = np.where(better, L, best_len)
-            best_wlen = np.where(better, L, best_wlen)
-            best_idx = np.where(better, idxs[cand], best_idx)
-            best_tr = np.where(better, tid, best_tr)
+            better = full & (L > best_len[sub])
+            best_len[sub[better]] = L[better]
+            best_wlen[sub[better]] = L[better]
+            best_idx[sub[better]] = idxs[cand[better]]
+            best_tr[sub[better]] = tid
             if transform == 0:
                 # cutoff forms: the word matches only its first cp
                 # bytes -> OMIT_LAST_(L-cp) (hash.h kCutoffTransforms)
@@ -138,13 +145,13 @@ def probe(data: np.ndarray, positions: np.ndarray):
                 cp = np.minimum(cp, np.minimum(L, remaining))
                 cut = L - cp
                 cut_ok = ok & (cut >= 1) & (cut <= 9) & (cp >= 4)
-                better = cut_ok & (cp > best_len)
+                better = cut_ok & (cp > best_len[sub])
                 if np.any(better):
                     tr = CUTOFF_TRANSFORM_IDS[np.clip(cut, 0, 9)]
-                    best_len = np.where(better, cp, best_len)
-                    best_wlen = np.where(better, L, best_wlen)
-                    best_idx = np.where(better, idxs[cand], best_idx)
-                    best_tr = np.where(better, tr, best_tr)
+                    best_len[sub[better]] = cp[better]
+                    best_wlen[sub[better]] = L[better]
+                    best_idx[sub[better]] = idxs[cand[better]]
+                    best_tr[sub[better]] = tr[better]
     return best_len, best_wlen, best_idx, best_tr
 
 

@@ -361,13 +361,13 @@ def _cost_tables(data: np.ndarray, seed):
     # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1 takes
     # only a handful of values -- weight each by P(lut1[p2] | p1) over
     # adjacent byte pairs (sampled: the mix is stable)
-    samp = data[:1 << 22]
+    samp = data[:1 << 20]  # the p1/p2 mix is stable at 1MB
     l1v = lut[1][samp[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
     p1v = samp[1:].astype(np.int64)
     vals = np.unique(lut[1])
     wt = np.zeros((256, len(vals)), np.float64)
     for j, v in enumerate(vals):
-        np.add.at(wt[:, j], p1v[l1v == v], 1)
+        wt[:, j] = np.bincount(p1v[l1v == v], minlength=256)
     wt /= np.maximum(wt.sum(axis=1, keepdims=True), 1)
     tab = np.zeros((256, 256), np.float64)
     l0 = lut[0][np.arange(256)].astype(np.int64)
