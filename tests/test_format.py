@@ -120,3 +120,30 @@ def test_transform_word_semantics():
         tid = transforms.CUTOFF_TRANSFORMS[k]
         assert transforms.transform_word(b"abcdefghijkl", tid) == \
             b"abcdefghijkl"[:-k]
+
+
+def test_params_surface():
+    """Validated parameter bundle (BrotliEncoderParameter role)."""
+    import pytest as _pytest
+    import brotli_tpu
+    from brotli_tpu.params import (EncoderParams, EncoderParameter,
+                                   Mode, compress_with)
+
+    p = EncoderParams(quality=5, lgwin=18).validate()
+    data = b"the quick brown fox " * 200
+    comp = compress_with(p, data)
+    assert brotli_tpu.decompress(comp) == data
+
+    for bad in (EncoderParams(quality=12), EncoderParams(quality=-1),
+                EncoderParams(lgwin=25),  # needs large_window
+                EncoderParams(mode=7)):
+        with _pytest.raises(ValueError):
+            bad.validate()
+    EncoderParams(lgwin=28, large_window=True).validate()
+    # sanitize clamps instead of raising
+    s = EncoderParams(quality=5, lgwin=9).sanitize()
+    assert s.lgwin >= 10
+    # enum vocabulary matches the reference's numbering
+    assert EncoderParameter.QUALITY == 1
+    assert EncoderParameter.LARGE_WINDOW == 6
+    assert Mode.FONT == 2
