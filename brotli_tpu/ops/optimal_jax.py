@@ -361,13 +361,19 @@ def _cost_tables(data: np.ndarray, seed):
     # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1 takes
     # only a handful of values -- weight each by P(lut1[p2] | p1) over
     # adjacent byte pairs (sampled: the mix is stable)
-    samp = data[:1 << 20]  # the p1/p2 mix is stable at 1MB
+    # sample must span the input's byte repertoire: a p1 value absent
+    # from the sample would get all-zero weights -> zero literal cost
+    # -> the DP re-literalizes whole regions (round-2 regression when
+    # this briefly sampled 1MB of a text prefix)
+    samp = data[:1 << 22]
     l1v = lut[1][samp[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
     p1v = samp[1:].astype(np.int64)
     vals = np.unique(lut[1])
     wt = np.zeros((256, len(vals)), np.float64)
     for j, v in enumerate(vals):
         wt[:, j] = np.bincount(p1v[l1v == v], minlength=256)
+    unseen = wt.sum(axis=1) == 0
+    wt[unseen] = 1.0  # uniform prior for p1 bytes outside the sample
     wt /= np.maximum(wt.sum(axis=1, keepdims=True), 1)
     tab = np.zeros((256, 256), np.float64)
     l0 = lut[0][np.arange(256)].astype(np.int64)

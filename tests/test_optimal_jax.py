@@ -55,3 +55,25 @@ def test_device_dp_parse_roundtrip(small_segments, testdata, ref_cli):
     ref = subprocess.run([ref_cli, "-c", "-q", "11", "-w", "22"],
                          input=data, capture_output=True).stdout
     assert len(comp) <= len(ref) * 1.10
+
+
+def test_cost_tables_cover_unseen_bytes(testdata):
+    """Literal-cost marginalization must price EVERY [p1, byte] row
+    positively, even for p1 values outside the sampled prefix
+    (regression: zero-cost literals re-literalized whole regions)."""
+    from brotli_tpu.ops import optimal_jax as OJ
+    from brotli_tpu.enc.matcher import find_matches_vectorized
+    # text prefix + binary tail beyond any plausible sample prefix cut
+    text = (testdata / "alice29.txt").read_bytes()
+    rng = np.random.default_rng(0)
+    binary = rng.integers(0, 256, 1 << 16).astype(np.uint8).tobytes()
+    data = np.frombuffer(text + binary, np.uint8)
+    seed = find_matches_vectorized(data, C.max_backward_distance(22),
+                                   num_candidates=2, use_dict=False)
+    litbits_q, copyq, dist_bits_q = OJ._cost_tables(data, seed)
+    assert litbits_q.shape == (256, 256)
+    # every row must carry real cost (>= ~1 bit quantized)
+    assert litbits_q.min() >= 0
+    assert (litbits_q.max(axis=1) > 0).all()
+    row_mean = litbits_q.mean(axis=1)
+    assert (row_mean > OJ.QB).all(), row_mean.min()
