@@ -41,19 +41,24 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
              large_window=False, base64_mode=False) -> bytes:
     """One-shot compression. `large_window` allows lgwin up to 30
     (non-RFC extension; the receiver must opt in too). `dictionary`
-    may be raw LZ77 bytes or a serialized shared dictionary (its raw
-    prefix is used; custom word matching is a planned extension)."""
+    may be raw LZ77 bytes or a serialized shared dictionary (raw
+    prefixes attach as compound data; custom word lists are matched
+    by the encoder for non-context-based dictionaries)."""
     from .enc.encoder import encode
+    shared = None
     if dictionary and bytes(dictionary[:2]) == b"\x91\x00":
         from .format import shared_dictionary as shd
         sd = shd.parse(bytes(dictionary))
         dictionary = b"".join(sd.prefixes) or None
+        if sd.word_lists and not sd.context_based:
+            shared = sd  # custom-word matching in the encoder
     if _on_start is not None:
         _on_start("compress", len(string))
     try:
         out = encode(bytes(string), quality=quality, lgwin=lgwin,
                      lgblock=lgblock, mode=mode, dictionary=dictionary,
-                     large_window=large_window, base64_mode=base64_mode)
+                     large_window=large_window, base64_mode=base64_mode,
+                     shared=shared)
     except ValueError as e:
         raise error(str(e)) from e
     if _on_finish is not None:

@@ -218,9 +218,15 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     icode, iextra, ibits = _encode_values(ins, prefix.INSERT_BASE,
                                           prefix.INSERT_EXTRA)
     final_insert = (cpy == 0) & (dist == 0)
-    cut = np.maximum(np.asarray(dict_flag if dict_flag is not None
-                                 else np.zeros(n, np.int64)) - 2, 0)
-    eff_cpy = cpy + cut  # dict cutoffs: emitted copy len = word len
+    fl = np.asarray(dict_flag if dict_flag is not None
+                    else np.zeros(n, np.int64))
+    # builtin-dict cutoffs ride the flag as 2+cut (copy len = advance
+    # + cut); custom shared-dict words carry the emitted copy length
+    # directly (flag = 1000 + word_len), since custom transforms may
+    # lengthen or shorten the output
+    custom = fl >= 1000
+    cut = np.where(custom, 0, np.maximum(fl - 2, 0))
+    eff_cpy = np.where(custom, fl - 1000, cpy + cut)
     ccode, cextra, cbits = _encode_values(
         np.where(final_insert, 2, eff_cpy), prefix.COPY_BASE,
         prefix.COPY_EXTRA)

@@ -1,0 +1,121 @@
+"""Encoder-side custom-word matching for serialized shared
+dictionaries (role parity: BrotliInitCustomSharedEncoderDictionary +
+ComputeDictionary, c/enc/encoder_dict.c:508-594 BROTLI_EXPERIMENTAL).
+
+All (word x transform) outputs of the attached word list materialize
+once into a prefix-keyed index; matching probes parse gaps whose
+4-byte window hits the index. Non-context-based dictionaries only
+(the common case; a context-based dict would constrain every word by
+the preceding output's literal context).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..format import shared_dictionary as shd
+
+MAX_INDEX_ENTRIES = 1 << 20
+MIN_OUT = 4
+
+
+def build_index(sd: "shd.SharedDictionary"):
+    """{transformed_bytes: (copy_len, word_idx, transform_idx)} for
+    dictionary 0, plus the set of 4-byte prefixes. None when the dict
+    has no custom word list or is context-based."""
+    if sd.context_based or not sd.dictionaries:
+        return None
+    words, tlist = sd.dictionaries[0]
+    if words is None:
+        return None
+    index = {}
+    prefixes = set()
+    ntr = len(tlist.triples) if tlist is not None else 121
+    size_bits = words.size_bits
+    for L in range(len(size_bits)):
+        nbits = int(size_bits[L])
+        if nbits == 0 or L < 1:
+            continue
+        for idx in range(1 << nbits):
+            w = words.word(L, idx)
+            if len(w) != L:
+                continue
+            for tr in range(ntr):
+                if tlist is not None:
+                    pid, typ, sid = tlist.triples[tr]
+                    out = shd.apply_transform(
+                        w, (tlist.stringlets[pid], typ,
+                            tlist.stringlets[sid]),
+                        tlist.params[tr])
+                else:
+                    from ..format import transforms as T
+                    out = w if tr == T.IDENTITY_TRANSFORM else \
+                        T.transform_word(w, tr)
+                if not out or len(out) < MIN_OUT:
+                    continue
+                # first writer wins: earlier transform ids cost fewer
+                # distance bits
+                if out not in index:
+                    index[out] = (L, idx, tr, nbits)
+                    prefixes.add(out[:4])
+                if len(index) >= MAX_INDEX_ENTRIES:
+                    break
+    if not index:
+        return None
+    lengths = sorted({len(k) for k in index}, reverse=True)
+    return {"map": index, "prefixes": prefixes, "lengths": lengths}
+
+
+def add_custom_matches(data: np.ndarray, matches, index, max_backward,
+                       csize: int):
+    """Insert custom-word references into parse gaps.
+
+    Match flags encode the emitted copy length directly
+    (flag = 1000 + copy_len): custom transforms may lengthen OR
+    shorten the word, so the builtin cutoff encoding (flag = 2 + cut)
+    cannot carry them. Distances address past the compound region
+    (`csize`), matching decode_reference's address split."""
+    m, lens, dists, flags = matches
+    n = len(data)
+    covered = np.zeros(n + 1, np.int32)
+    np.add.at(covered, np.minimum(m, n), 1)
+    np.add.at(covered, np.minimum(m + lens, n), -1)
+    in_gap = np.cumsum(covered[:n], dtype=np.int32) == 0
+    blob = data.tobytes()
+    cand = np.flatnonzero(in_gap[:max(n - MIN_OUT, 0)])
+    if len(cand) == 0:
+        return matches
+    # prefix gate
+    hits = [p for p in cand.tolist()
+            if blob[p:p + 4] in index["prefixes"]]
+    new = []
+    imap = index["map"]
+    last_end = -1
+    for p in hits:
+        if p < last_end:
+            continue
+        for L_out in index["lengths"]:
+            if p + L_out > n:
+                continue
+            ent = imap.get(blob[p:p + L_out])
+            if ent is None:
+                continue
+            # whole output must stay inside this gap
+            seg = in_gap[p:p + L_out]
+            if not seg.all():
+                continue
+            wlen, widx, tr, nbits = ent
+            maxd = min(p, max_backward)
+            dist = maxd + 1 + csize + ((tr << nbits) | widx)
+            new.append((p, L_out, dist, 1000 + wlen))
+            last_end = p + L_out
+            break
+    if not new:
+        return matches
+    a = np.array(new, np.int64)
+    nm = np.concatenate([m, a[:, 0]])
+    order = np.argsort(nm, kind="stable")
+    return (nm[order],
+            np.concatenate([lens, a[:, 1]])[order],
+            np.concatenate([dists, a[:, 2]])[order],
+            np.concatenate([flags, a[:, 3]])[order])

@@ -85,7 +85,8 @@ def find_matches(arr, max_distance, quality, large=False):
 
 def encode(data: bytes, quality: int = 11, lgwin: int = 22,
            lgblock: int = 0, mode: int = 0, dictionary=None,
-           large_window: bool = False, base64_mode: bool = False) -> bytes:
+           large_window: bool = False, base64_mode: bool = False,
+           shared=None) -> bytes:
     """One-shot encode. `dictionary`: optional raw LZ77 (compound)
     dictionary -- matches may reach into it via beyond-window distances
     (parity: BrotliEncoderPrepareDictionary RAW +
@@ -103,8 +104,8 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     # the sharded multi-chip path.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
     if (enc_sel != "python" and quality <= 9 and not large_window
-            and dictionary is None and mode == 0 and not base64_mode
-            and len(data) > 0):
+            and dictionary is None and shared is None and mode == 0
+            and not base64_mode and len(data) > 0):
         try:
             from .. import native
             return native.encode(bytes(data), quality, lgwin)
@@ -127,6 +128,25 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     matches = find_matches(arr, maxback, quality, large=large)
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
+    if shared is not None:
+        # custom word lists of an attached serialized dictionary
+        # (encoder_dict.c BROTLI_EXPERIMENTAL role)
+        from .custom_dict import build_index, add_custom_matches
+        idx = build_index(shared)
+        if idx is not None:
+            m0, l0, d0, f0 = matches
+            # a custom word list REPLACES dictionary 0: builtin
+            # static-dict references (flags 2..11) would address the
+            # wrong word space at decode -- drop them, their spans
+            # become gaps the custom pass can fill
+            keep = (f0 < 2) | (f0 >= 1000)
+            matches = (m0[keep], l0[keep], d0[keep], f0[keep])
+            m0, l0, d0, f0 = matches
+            # work in stream coordinates for gap/dist math
+            matches = add_custom_matches(arr[D:], (m0 - D, l0, d0, f0),
+                                         idx, maxback, D)
+            m0, l0, d0, f0 = matches
+            matches = (m0 + D, l0, d0, f0)
     b64_mask = None
     if base64_mode:
         from . import base64_mode as b64

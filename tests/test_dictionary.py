@@ -172,3 +172,41 @@ def test_sharded_encode_mesh(testdata, ref_cli):
     rc, out = ref_decompress(ref_cli, comp)
     assert rc == 0 and out == data
     assert brotli_tpu.decompress(comp) == data
+
+
+def test_custom_word_encoding(monkeypatch):
+    """Encoder-side custom-word matching for serialized shared
+    dictionaries (role: BrotliInitCustomSharedEncoderDictionary,
+    encoder_dict.c BROTLI_EXPERIMENTAL): words from the attached list
+    become dictionary references, and transformed forms match too."""
+    import numpy as np
+    from brotli_tpu.format import shared_dictionary as shd
+
+    rng = np.random.default_rng(9)
+    base_words = [bytes(rng.integers(33, 127, 8).astype(np.uint8))
+                  for _ in range(256)]
+    data_words = b"".join(base_words)
+    wl = shd.WordList([0] * 8 + [8] + [0] * 16,
+                      [0] * 8 + [0] + [len(data_words)] * 16, data_words)
+    tl = shd.TransformList([b"<", b">", b""],
+                           [(2, shd.T_IDENTITY, 2),
+                            (0, shd.T_IDENTITY, 1)],  # "<word>"
+                           [0, 0])
+    blob = shd.serialize(word_lists=[wl], transform_lists=[tl],
+                         dictionaries=[(0, 0)])
+
+    pieces = []
+    for i in range(256):
+        w = base_words[i]
+        pieces.append(w if i % 2 else b"<" + w + b">")
+        pieces.append(bytes(rng.integers(65, 91,
+                                         rng.integers(3, 10))
+                            .astype(np.uint8)))
+    payload = b" ".join(pieces)
+    for q in (5, 9, 11):
+        with_d = brotli_tpu.compress(payload, quality=q,
+                                     dictionary=blob)
+        plain = brotli_tpu.compress(payload, quality=q)
+        assert brotli_tpu.decompress(with_d, dictionary=blob) == payload
+        assert len(with_d) < len(plain) * 0.85, (q, len(with_d),
+                                                 len(plain))
