@@ -1,11 +1,9 @@
 """RFC 7932 bitstream assembly: stream header + metablock serialization.
 
 Fully vectorized: command fields and literal runs are interleaved into a
-single (value, nbits) stream with cumsum/scatter array surgery -- the
-same contract as the device bit-pack kernel (brotli_tpu/ops/bitpack.py).
-Round-1 writer uses single block types and trivial context maps
-("StoreMetaBlockTrivial" semantics, parity anchor
-c/enc/brotli_bit_stream.c:43-74).
+single (value, nbits) stream with cumsum/scatter array surgery
+(parity anchor: c/enc/brotli_bit_stream.c BrotliStoreMetaBlock and
+write_bits.h).
 """
 
 import numpy as np

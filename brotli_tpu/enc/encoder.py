@@ -124,8 +124,10 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
                         dtype=np.uint8)
     maxback = C.max_backward_distance(lgwin)
 
+    from ..utils import trace
     large = lgwin > C.MAX_WINDOW_BITS
-    matches = find_matches(arr, maxback, quality, large=large)
+    with trace.stage("match-find"):
+        matches = find_matches(arr, maxback, quality, large=large)
     if D:
         matches = _lift_dictionary_matches(matches, D, maxback)
     if shared is not None:
@@ -191,6 +193,7 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
                   context_mode=None, b64_mask=None):
     """Serialize region [lo, hi) as metablocks; returns the distance
     ring state after the last block."""
+    from ..utils import trace
     mb_size = 1 << lgblock
     boundaries = list(range(lo + mb_size, hi, mb_size)) + [hi]
     m, lens, dists, flags = matcher.split_matches_at(*matches, boundaries)
@@ -198,10 +201,11 @@ def _write_blocks(bw, arr, lo, hi, matches, lgblock, is_last,
     for bi, b in enumerate(boundaries):
         block_last = is_last and bi == len(boundaries) - 1
         cmds = matcher.matches_to_commands(m, lens, dists, flags, pos, b)
-        ring = bitstream.store_metablock(
-            bw, arr, pos, b - pos, cmds, block_last, ring,
-            quality=quality, ctx_floor=ctx_floor, large=large,
-            context_mode=context_mode, b64_mask=b64_mask)
+        with trace.stage("serialize"):
+            ring = bitstream.store_metablock(
+                bw, arr, pos, b - pos, cmds, block_last, ring,
+                quality=quality, ctx_floor=ctx_floor, large=large,
+                context_mode=context_mode, b64_mask=b64_mask)
         pos = b
     return ring
 

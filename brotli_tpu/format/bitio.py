@@ -2,9 +2,9 @@
 
 The reader keeps a 64-bit-ish accumulator over a NumPy view of the input;
 the writer accumulates (value, nbits) pairs and packs them in one
-vectorized pass -- the same exclusive-scan + scatter-add contract as the
-TPU bit-pack kernel in ``brotli_tpu.ops.bitpack`` (parity anchors:
-c/dec/bit_reader.h, c/enc/write_bits.h).
+vectorized pass (exclusive scan of the lengths + scatter-OR into an
+int64 word stream; parity anchors: c/dec/bit_reader.h,
+c/enc/write_bits.h).
 """
 
 import numpy as np

@@ -406,18 +406,21 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         # a second cost-refinement pass measures out neutral-to-worse
         # on this corpus family; the knob stays for experiments
         iterations = 1
+    from ..utils import trace
     n = len(data)
     arr = np.asarray(data)
     # seed: greedy device parse, no dictionary probing (the post-pass
     # below probes the final parse's gaps once)
-    seed = find_matches_jax(arr, max_distance, quality=5, base=base,
-                            use_dict=False)
+    with trace.stage("dp.seed"):
+        seed = find_matches_jax(arr, max_distance, quality=5, base=base,
+                                use_dict=False)
     sm, sl, sd, sf = seed
     m = lens = dists = None
     for it in range(iterations):
         prev = seed if it == 0 else (m, lens, dists,
                                      np.zeros(len(m), np.int64))
-        tables = _cost_tables(arr, prev)
+        with trace.stage("dp.cost-tables"):
+            tables = _cost_tables(arr, prev)
         dev_tables = [jnp.asarray(t) for t in tables]
         handles = []
         for lo in range(0, n, SEG):
@@ -484,5 +487,6 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         m, lens, dists, _f = _coalesce(m, lens, dists,
                                        np.zeros(len(m), np.int64))
     flags = np.zeros(len(m), np.int64)
-    return add_dictionary_matches(arr, m, lens, dists, flags,
-                                  max_distance, base)
+    with trace.stage("dp.dict-post"):
+        return add_dictionary_matches(arr, m, lens, dists, flags,
+                                      max_distance, base)
