@@ -439,15 +439,20 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
             for (qm, ql, qd, qf) in ([seed] if it == 0 else
                                      [seed, prev]):
                 start = np.maximum(qm, lo)
+                # continuation edges only add value for matches the
+                # segment-local candidates cannot reproduce: longer
+                # runs and cross-boundary sources. Short seeds are
+                # redundant and their H2D upload (3MB/segment through
+                # the tunnel) was a measurable stall.
                 end = np.minimum(qm + ql, hi)
-                in_seg = (end - start >= 2) & (qf < 2)
+                in_seg = (end - start >= 16) & (qf < 2)
                 spos_parts.append((start[in_seg] - lo).astype(np.int32))
                 slen_parts.append((end - start)[in_seg].astype(np.int32))
                 sdist_parts.append(qd[in_seg].astype(np.int32))
             spos = np.concatenate(spos_parts)
             slen = np.concatenate(slen_parts)
             sdist = np.concatenate(sdist_parts)
-            cap = SEG // 8
+            cap = SEG // 32
             if len(spos) > cap:  # keep the longest seeds
                 keep = np.argsort(slen)[::-1][:cap]
                 keep.sort()
