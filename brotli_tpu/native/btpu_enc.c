@@ -1274,7 +1274,7 @@ static void cfg_for_quality(MatchCfg* cfg, int q) {
   cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : q <= 7 ? 17 : 18;
   /* q5 depth 8: +40% throughput for ~1% size on the 16MB corpus
      (still 8-9% smaller than reference q5 output) */
-  cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 8 : q <= 7 ? 32 : 96;
+  cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 8 : q <= 7 ? 32 : 48;
   cfg->lazy = q >= 2;
   cfg->use_dict = q >= 5;
   cfg->min_len = 4;
