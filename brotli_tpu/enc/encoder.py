@@ -126,6 +126,21 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
 
     from ..utils import trace
     large = lgwin > C.MAX_WINDOW_BITS
+    # pipelined q11 device path: serialization of finished metablocks
+    # overlaps later segments' device compute
+    if (quality >= 10 and n >= (1 << 18) and D == 0 and shared is None
+            and not base64_mode and not large and mode == 0
+            and os.environ.get("BROTLI_TPU_BACKEND", "auto") != "numpy"):
+        try:
+            import jax
+            if jax.default_backend() != "cpu":
+                out = _encode_q11_streamed(bw, arr, n, maxback, quality,
+                                           lgblock)
+                if len(out) >= n + 4:
+                    return _store_uncompressed(arr, lgwin)
+                return out
+        except ImportError:
+            pass
     with trace.stage("match-find"):
         matches = find_matches(arr, maxback, quality, large=large)
     if D:
@@ -168,6 +183,56 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     if len(out) >= n + 4:
         return _store_uncompressed(arr[D:], lgwin)
     return out
+
+
+def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
+    """Producer/consumer q11 encode: the device DP streams finished
+    metablock spans (ops/optimal_jax._stream_blocks) into a
+    serialization worker, hiding the host writer under device time."""
+    import queue
+    import threading
+
+    from ..ops.optimal_jax import find_matches_optimal_jax
+    from ..utils import trace
+
+    q = queue.Queue(maxsize=4)
+    err = []
+    state = {"ring": None}
+
+    def worker():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                lo, hi, matches = item
+                cmds = matcher.matches_to_commands(*matches, lo, hi)
+                with trace.stage("serialize"):
+                    state["ring"] = bitstream.store_metablock(
+                        bw, arr, lo, hi - lo, cmds, hi >= n,
+                        state["ring"], quality=quality)
+        except BaseException as e:  # surfaced on the producer thread
+            err.append(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+
+    def on_block(lo, hi, matches):
+        if err:
+            raise err[0]
+        q.put((lo, hi, matches))
+
+    try:
+        find_matches_optimal_jax(arr, maxback, quality,
+                                 on_block=on_block,
+                                 mb_size=1 << lgblock)
+    finally:
+        q.put(None)
+        t.join()
+    if err:
+        raise err[0]
+    bw.align_to_byte()
+    return bw.getvalue()
 
 
 def _lift_dictionary_matches(matches, D, maxback):

@@ -393,11 +393,18 @@ def _cost_tables(data: np.ndarray, seed):
 
 def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                              quality: int = 11, base: int = 0,
-                             iterations: int = None):
+                             iterations: int = None, on_block=None,
+                             mb_size: int = None):
     """Device q10/q11 parse: greedy device seed -> host cost tables ->
     device DP per segment (iterated: the DP's own parse refines the
     cost model and contributes seed edges) -> coalesce + dictionary
-    post-pass."""
+    post-pass.
+
+    Streaming mode: with `on_block(mb_lo, mb_hi, matches)` set (and
+    `mb_size`), finished metablock spans emit as soon as their
+    segments collect -- the caller serializes them while later
+    segments are still computing on device. Returns None in that
+    mode."""
     from .matcher_jax import find_matches_jax
     from ..enc.optimal import _coalesce
     from ..enc.matcher import add_dictionary_matches
@@ -468,21 +475,18 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                 jnp.asarray(spos), jnp.asarray(slen),
                 jnp.asarray(sdist))))
 
+        if on_block is not None:
+            assert iterations == 1 and mb_size is not None
+            _stream_blocks(arr, handles, n, mb_size, max_distance,
+                           base, on_block)
+            return None
         all_m, all_l, all_d = [], [], []
         for lo, (count, out) in handles:
-            cnt = int(np.asarray(count))
-            if cnt == 0:
-                continue
-            k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
-            k = min(k, out.shape[1])
-            host = np.asarray(out[:, :k])
-            mm = host[0, :cnt].astype(np.int64)
-            pay = host[1, :cnt]
-            ml = (pay >> 25).astype(np.int64)
-            md = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
-            all_m.append(mm + lo)
-            all_l.append(ml)
-            all_d.append(md)
+            mm, ml, md = _collect_segment(lo, count, out)
+            if len(mm):
+                all_m.append(mm)
+                all_l.append(ml)
+                all_d.append(md)
         if not all_m:
             z = np.zeros(0, np.int64)
             return z, z, z, z
@@ -495,3 +499,59 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     with trace.stage("dp.dict-post"):
         return add_dictionary_matches(arr, m, lens, dists, flags,
                                       max_distance, base)
+
+
+def _collect_segment(lo, count, out):
+    """Read back one DP segment's compacted matches (blocking)."""
+    cnt = int(np.asarray(count))
+    z = np.zeros(0, np.int64)
+    if cnt == 0:
+        return z, z, z
+    k = 1 << max(int(np.ceil(np.log2(cnt))), 10)
+    k = min(k, out.shape[1])
+    host = np.asarray(out[:, :k])
+    mm = host[0, :cnt].astype(np.int64) + lo
+    pay = host[1, :cnt]
+    ml = (pay >> 25).astype(np.int64)
+    md = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
+    return mm, ml, md
+
+
+def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
+                   on_block):
+    """Collect segments in order, emitting each finished metablock span
+    to `on_block` so serialization overlaps later segments' device
+    compute. Matches crossing a span boundary split here (metablock
+    serialization splits them anyway); the dictionary post-pass runs
+    per span."""
+    from ..enc.optimal import _coalesce
+    from ..enc.matcher import add_dictionary_matches, split_matches_at
+
+    z = np.zeros(0, np.int64)
+    pm, pl, pd = z, z, z    # pending matches (coalesced)
+    emitted = 0
+    covered = 0
+    for lo, (count, out) in handles:
+        mm, ml, md = _collect_segment(lo, count, out)
+        covered = min(lo + SEG, n)
+        if len(mm):
+            pm = np.concatenate([pm, mm])
+            pl = np.concatenate([pl, ml])
+            pd = np.concatenate([pd, md])
+            pm, pl, pd, _ = _coalesce(pm, pl, pd,
+                                      np.zeros(len(pm), np.int64))
+        while emitted < n:
+            mb_hi = min(emitted + mb_size, n)
+            if covered < mb_hi:
+                break
+            pm, pl, pd, _pf = split_matches_at(
+                pm, pl, pd, np.zeros(len(pm), np.int64), [mb_hi, n + 1])
+            take = pm < mb_hi
+            bm, bl, bd = pm[take], pl[take], pd[take]
+            pm, pl, pd = pm[~take], pl[~take], pd[~take]
+            bf = np.zeros(len(bm), np.int64)
+            bm, bl, bd, bf = add_dictionary_matches(
+                arr[:mb_hi], bm, bl, bd, bf, max_distance, base,
+                active_from=emitted)
+            on_block(emitted, mb_hi, (bm, bl, bd, bf))
+            emitted = mb_hi

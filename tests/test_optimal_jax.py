@@ -77,3 +77,29 @@ def test_cost_tables_cover_unseen_bytes(testdata):
     assert (litbits_q.max(axis=1) > 0).all()
     row_mean = litbits_q.mean(axis=1)
     assert (row_mean > OJ.QB).all(), row_mean.min()
+
+
+def test_streamed_q11_matches_batch(small_segments, testdata, ref_cli):
+    """The pipelined q11 encode (serialization overlapped with device
+    compute) must produce byte-identical output to the batch path."""
+    import subprocess
+    from brotli_tpu.enc import bitstream, encoder as E
+    from brotli_tpu.format.bitio import BitWriter
+    OJ = small_segments
+    data = (testdata / "alice29.txt").read_bytes() + \
+        (testdata / "asyoulik.txt").read_bytes()
+    arr = np.frombuffer(data, np.uint8)
+    maxback = C.max_backward_distance(22)
+    bw = BitWriter()
+    bitstream.write_stream_header(bw, 22)
+    comp = E._encode_q11_streamed(bw, arr, len(arr), maxback, 11, 17)
+    r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    m = OJ.find_matches_optimal_jax(arr, maxback, 11)
+    bw2 = BitWriter()
+    bitstream.write_stream_header(bw2, 22)
+    E._write_blocks(bw2, arr, 0, len(arr), m, 17, is_last=True,
+                    ring=None, quality=11, ctx_floor=0)
+    bw2.align_to_byte()
+    assert comp == bw2.getvalue()
