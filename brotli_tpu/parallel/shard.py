@@ -8,8 +8,9 @@ serializes each shard as whole byte-aligned metablock sequences that
 concatenate into ONE valid stream (non-last shards end with an empty
 metadata block, the byte-aligning trick behind FLUSH).
 
-Window lookback is shard-local in this round; cross-shard halo windows
-(ppermute of window bytes over ICI) are the planned extension.
+Mesh-path shards carry the previous shard's tail as window history
+(halo), so matches reach across shard seams; the stitched stream's
+decoder window is continuous, which makes those distances valid.
 """
 
 import concurrent.futures as futures
@@ -154,29 +155,42 @@ def _find_matches_mesh(arr, bounds, max_distance, quality):
 
     n_shards = len(bounds) - 1
     sizes = [int(bounds[i + 1] - bounds[i]) for i in range(n_shards)]
-    bucket = _bucket(max(sizes))
+    # halo: each shard carries preceding input as window history
+    # (match_block's `start` prefix), so matches reach across shard
+    # seams up to the full LZ window -- the decoder's window is
+    # continuous over the stitched stream, making those distances
+    # valid. The bucket doubles to make room for the halo.
+    bucket = _bucket(2 * max(sizes))
     if bucket < max(sizes):  # shard exceeds the largest kernel bucket
         raise ValueError("shard too large for the mesh matcher")
+    halos = [min(int(max_distance), int(bounds[i]), bucket - sizes[i])
+             for i in range(n_shards)]
     batch = np.zeros((n_shards, bucket), np.uint8)
     nposv = np.zeros(n_shards, np.int32)
+    startv = np.zeros(n_shards, np.int32)
     for si in range(n_shards):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
-        batch[si, :hi - lo] = arr[lo:hi]
-        nposv[si] = max(hi - lo - 3, 0)
+        h = halos[si]
+        batch[si, :h + hi - lo] = arr[lo - h:hi]
+        nposv[si] = max(h + hi - lo - 3, 0)
+        startv[si] = h
 
     ncand = 4 if quality >= 5 else 2
     mesh = Mesh(np.array(jax.devices()[:n_shards]), axis_names=("data",))
 
-    def shard_step(chunk, npos):
+    def shard_step(chunk, npos, start):
         count, packed = match_block(chunk[0], npos[0],
                                     jnp.int32(max_distance),
-                                    num_candidates=ncand)
+                                    num_candidates=ncand,
+                                    start=start[0])
         return count[None], packed[None]
 
     step = jax.jit(shard_map(
-        shard_step, mesh=mesh, in_specs=(P("data"), P("data")),
+        shard_step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
         out_specs=(P("data"), P("data")), check_vma=False))
-    counts, packed = step(jnp.asarray(batch), jnp.asarray(nposv))
+    counts, packed = step(jnp.asarray(batch), jnp.asarray(nposv),
+                          jnp.asarray(startv))
     counts = np.asarray(counts)
     packed = np.asarray(packed)
 
@@ -184,17 +198,20 @@ def _find_matches_mesh(arr, bounds, max_distance, quality):
     out = []
     for si in range(n_shards):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
+        h = halos[si]
         cnt = int(counts[si])
         m = packed[si, 0, :cnt].astype(np.int64)
         pay = packed[si, 1, :cnt]
         lens = (pay >> 25).astype(np.int64)
         dists = (pay & np.uint32((1 << 25) - 1)).astype(np.int64)
         flags = np.zeros(cnt, np.int64)
-        shard = arr[lo:hi]
-        m, lens, dists, flags = _extend_capped(shard, m, lens, dists,
+        buf = arr[lo - h:hi]
+        m, lens, dists, flags = _extend_capped(buf, m, lens, dists,
                                                flags, CAP, 1 << 24)
         if use_dict:
             m, lens, dists, flags = add_dictionary_matches(
-                shard, m, lens, dists, flags, max_distance, lo)
-        out.append((m, lens, dists, flags))
+                buf, m, lens, dists, flags, max_distance, lo - h,
+                active_from=h)
+        keep = m >= h
+        out.append((m[keep] - h, lens[keep], dists[keep], flags[keep]))
     return out

@@ -210,3 +210,22 @@ def test_custom_word_encoding(monkeypatch):
         assert brotli_tpu.decompress(with_d, dictionary=blob) == payload
         assert len(with_d) < len(plain) * 0.85, (q, len(with_d),
                                                  len(plain))
+
+
+def test_sharded_mesh_halo_window(ref_cli):
+    """Cross-shard halo: repeats whose source lies in the PREVIOUS
+    shard must still compress (matches reach across seams through the
+    halo history)."""
+    import numpy as np
+    from brotli_tpu.parallel import shard as sh
+
+    rng = np.random.default_rng(12)
+    unique = rng.integers(32, 127, 1 << 19).astype(np.uint8).tobytes()
+    # second half repeats the first -> every shard seam splits repeats
+    data = unique + unique
+    comp = sh.compress_sharded(data, quality=5, n_shards=8)
+    rc, out = ref_decompress(ref_cli, comp)
+    assert rc == 0 and out == data
+    # without cross-seam reach the second half would be incompressible;
+    # with halos it should compress far below 2x the unique half
+    assert len(comp) < len(unique) * 1.35, len(comp)
