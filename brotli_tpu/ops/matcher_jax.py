@@ -30,10 +30,9 @@ import numpy as np
 from ..enc.matcher import MIN_MATCH, _extend_capped
 
 HASH_MUL = np.uint32(0x1E35A7BD)
-CAP = 8   # parallel match-length cap (bytes); host extends cap-hits
-          # (8 = 2 carried words: the dominant cost is the variadic
-          # sort, and dropping 16->8 bytes cuts two operands from it;
-          # extension is exact on host either way)
+CAP = 16  # parallel match-length cap (bytes); host extends cap-hits
+          # (16 = 4 carried words; 8 was tried to slim the sort but
+          # the flood of cap-hits moved the cost to host extension)
 
 # pad buckets: one XLA compilation per bucket size
 # two bucket shapes only: every distinct padded shape compiles its
@@ -78,11 +77,13 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     """
     n = data.shape[0]
     d32 = data.astype(jnp.uint32)
-    # 8 data bytes at every position as 2 little-endian words (rolls
+    # 16 data bytes at every position as 4 little-endian words (rolls
     # are contiguous shuffles, not gathers)
     w0 = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
         jnp.roll(d32, -3) << 24
     w1 = jnp.roll(w0, -4)
+    w2 = jnp.roll(w0, -8)
+    w3 = jnp.roll(w0, -12)
     h = (w0 * HASH_MUL) >> jnp.uint32(15)  # 17-bit hash
     pos = jnp.arange(n, dtype=jnp.int32)
     # single packed sort key (hash | coarse pos): 2-key variadic sorts
@@ -92,8 +93,8 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
     key = jnp.where(pos < npos,
                     (h << 14) | (pos.astype(jnp.uint32) >> 9),
                     jnp.uint32(1 << 31) | pos.astype(jnp.uint32))
-    key_s, pos_u, w0s, w1s = jax.lax.sort(
-        (key, pos.astype(jnp.uint32), w0, w1), num_keys=1)
+    key_s, pos_u, w0s, w1s, w2s, w3s = jax.lax.sort(
+        (key, pos.astype(jnp.uint32), w0, w1, w2, w3), num_keys=1)
     h_s = key_s >> 14
     pos_s = pos_u.astype(jnp.int32)
 
@@ -107,7 +108,7 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
         # capped common-prefix length via carried-word compares
         mlen = jnp.zeros(n, jnp.int32)
         alive = valid
-        for w in (w0s, w1s):
+        for w in (w0s, w1s, w2s, w3s):
             x = w ^ _shift_up(w, k, jnp.uint32(0))
             tz = _tz_bytes_u32(x)
             mlen = mlen + jnp.where(alive, tz, 0)
