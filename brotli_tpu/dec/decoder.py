@@ -258,6 +258,10 @@ class Decoder:
         # c/include/brotli/decode.h:398): called with each metadata
         # block's content bytes
         self.metadata_callback = None
+        # structural-anatomy hook (dissector): when a list, each
+        # metablock appends a dict of header fields (mlen, block
+        # types, npostfix/ndirect, tree counts, header bit span)
+        self.structure = None
 
     def decompress(self, data) -> bytes:
         out, _ = self._decompress_impl(data, allow_trailing=False)
@@ -346,6 +350,7 @@ class Decoder:
 
     def _metablock(self, br, out, mlen, max_backward, dist_rb, rb_idx,
                    is_large) -> int:
+        hdr_bit0 = br.bitpos
         blocks = [_BlockState(br) for _ in range(3)]  # L, I, D
         npostfix = br.take(2)
         ndirect = br.take(4) << npostfix
@@ -363,6 +368,17 @@ class Decoder:
         dist_alpha = C.distance_alphabet_size(npostfix, ndirect, maxnbits)
         dist_trees = [read_huffman_code(br, dist_alpha)
                       for _ in range(n_dist_trees)]
+        if self.structure is not None:
+            self.structure.append({
+                "mlen": mlen,
+                "nbltypes": [b.num_types for b in blocks],
+                "npostfix": npostfix, "ndirect": ndirect,
+                "context_modes": context_modes,
+                "n_lit_trees": n_lit_trees,
+                "n_dist_trees": n_dist_trees,
+                "header_bits": br.bitpos - hdr_bit0,
+                "data_bit0": br.bitpos,
+            })
         dist_extra, dist_offset = prefix.distance_lut(
             npostfix, ndirect, maxnbits)
         cmd_lut = prefix.cmd_lut()

@@ -21,7 +21,14 @@ def dissect(blob: bytes, verbose: bool = False, out=sys.stdout):
 
     d = Decoder()
     d.trace = []
+    d.structure = []
     data = d.decompress(blob)
+    for i, mb in enumerate(d.structure):
+        print(f"metablock {i}: mlen {mb['mlen']}  "
+              f"NBLTYPES L/I/D {mb['nbltypes']}  "
+              f"NPOSTFIX {mb['npostfix']} NDIRECT {mb['ndirect']}  "
+              f"trees lit/dist {mb['n_lit_trees']}/{mb['n_dist_trees']}  "
+              f"header {mb['header_bits']} bits", file=out)
     tr = d.trace
     ins = np.array([t[0] for t in tr], np.int64)
     cpy = np.array([t[1] for t in tr], np.int64)
