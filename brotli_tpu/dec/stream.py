@@ -243,3 +243,17 @@ class StreamDecoder:
         if self._error is not None:
             raise self._error
         return self._out.take_new() if self._out is not None else b""
+
+    def close(self) -> None:
+        """Release the worker thread without validating termination
+        (abandoned streams; idempotent)."""
+        if self._started and not self.finished:
+            self._br.push(b"", closed=True)
+            self._thread.join()
+            self.finished = True
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -32,15 +32,23 @@ def build_index(sd: "shd.SharedDictionary"):
     prefixes = set()
     ntr = len(tlist.triples) if tlist is not None else 121
     size_bits = words.size_bits
+    full = False
     for L in range(len(size_bits)):
+        if full:
+            break
         nbits = int(size_bits[L])
         if nbits == 0 or L < 1:
             continue
         for idx in range(1 << nbits):
+            if full:
+                break
             w = words.word(L, idx)
             if len(w) != L:
                 continue
             for tr in range(ntr):
+                if len(index) >= MAX_INDEX_ENTRIES:
+                    full = True
+                    break
                 if tlist is not None:
                     pid, typ, sid = tlist.triples[tr]
                     out = shd.apply_transform(
@@ -58,8 +66,6 @@ def build_index(sd: "shd.SharedDictionary"):
                 if out not in index:
                     index[out] = (L, idx, tr, nbits)
                     prefixes.add(out[:4])
-                if len(index) >= MAX_INDEX_ENTRIES:
-                    break
     if not index:
         return None
     lengths = sorted({len(k) for k in index}, reverse=True)

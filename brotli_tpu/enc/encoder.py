@@ -109,7 +109,8 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
         try:
             from .. import native
             return native.encode(bytes(data), quality, lgwin)
-        except (ImportError, OSError, ValueError):
+        except (ImportError, OSError, ValueError,
+                __import__("subprocess").CalledProcessError):
             if enc_sel == "native":
                 raise
     bw = BitWriter()
@@ -213,6 +214,11 @@ def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
                         state["ring"], quality=quality)
         except BaseException as e:  # surfaced on the producer thread
             err.append(e)
+            # keep draining so a blocked producer can always make
+            # progress (a dead consumer + full queue would deadlock)
+            while True:
+                if q.get() is None:
+                    return
 
     t = threading.Thread(target=worker)
     t.start()
@@ -320,7 +326,8 @@ class StreamingEncoder:
                 from .. import native
                 self._native = native.StreamEncoder(self.params[0],
                                                     self.params[1])
-            except (ImportError, OSError, ValueError):
+            except (ImportError, OSError, ValueError,
+                    __import__("subprocess").CalledProcessError):
                 if enc_sel == "native":
                     raise
                 self._native = None

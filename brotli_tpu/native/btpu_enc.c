@@ -88,6 +88,12 @@ static int bw_flush_align(BW* b) {
 
 static size_t bw_bitlen(const BW* b) { return b->len * 8 + b->nacc; }
 
+#include <pthread.h>
+
+/* Shared mutable init (dictionary index, xlogx table) is guarded: the
+   ctypes boundary releases the GIL, so concurrent encodes are real. */
+static pthread_mutex_t g_init_lock = PTHREAD_MUTEX_INITIALIZER;
+
 /* ---------- package-merge: optimal depth-limited code lengths -------- */
 
 typedef struct {
@@ -97,11 +103,10 @@ typedef struct {
   uint32_t* sw;    /* sorted weights */
 } PmScratch;
 
-static int pm_cmp_ctx_n;
-static const uint32_t* pm_cmp_freq;
-static int pm_cmp(const void* a, const void* b) {
+static int pm_cmp_r(const void* a, const void* b, void* ctx) {
+  const uint32_t* freq = (const uint32_t*)ctx;
   int ia = *(const int*)a, ib = *(const int*)b;
-  uint32_t fa = pm_cmp_freq[ia], fb = pm_cmp_freq[ib];
+  uint32_t fa = freq[ia], fb = freq[ib];
   if (fa != fb) return fa < fb ? -1 : 1;
   return ia - ib;
 }
@@ -119,9 +124,7 @@ static void pm_lengths(const uint32_t* freq, int n, int maxlen,
     out[used[0]] = 1;
     return;
   }
-  pm_cmp_ctx_n = nu;
-  pm_cmp_freq = freq;
-  qsort(used, (size_t)nu, sizeof(int), pm_cmp);
+  qsort_r(used, (size_t)nu, sizeof(int), pm_cmp_r, (void*)freq);
   /* level lists: lists[l] has cnt[l] nodes (weights + leaf flags).
      lists[0] = leaves; lists[l] = merge(leaves, pairs of lists[l-1]). */
   int stride = 2 * nu;
@@ -385,7 +388,7 @@ static double hist_entropy(const uint32_t* h, int n) {
 
 /* fast x*log2(x) with a small-value table */
 static double g_xlogx[4096];
-static int g_xlogx_ready = 0;
+static volatile int g_xlogx_ready = 0;
 static inline double xlogx(uint64_t x) {
   if (x < 4096) return g_xlogx[x];
   return (double)x * log2((double)x);
@@ -423,11 +426,16 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
   double cost[64];
   int alive[64];
   int group_of[64];
-  static double gain[64][64];
+  double gain[64][64];
   if (!g_xlogx_ready) {
-    g_xlogx[0] = 0.0;
-    for (int i = 1; i < 4096; i++) g_xlogx[i] = (double)i * log2((double)i);
-    g_xlogx_ready = 1;
+    pthread_mutex_lock(&g_init_lock);
+    if (!g_xlogx_ready) {
+      g_xlogx[0] = 0.0;
+      for (int i = 1; i < 4096; i++)
+        g_xlogx[i] = (double)i * log2((double)i);
+      g_xlogx_ready = 1;
+    }
+    pthread_mutex_unlock(&g_init_lock);
   }
   for (int i = 0; i < k; i++) {
     cost[i] = hist_cost(hists + (size_t)i * n, n);
@@ -615,7 +623,16 @@ static inline uint32_t dict_hash4(const uint8_t* p) {
   return (uint32_t)((v * 0x9E3779B1u) >> (32 - DICT_HBITS));
 }
 
+static int dict_index_init_locked(const uint8_t* blob);
+
 static int dict_index_init(const uint8_t* blob) {
+  pthread_mutex_lock(&g_init_lock);
+  int rc = dict_index_init_locked(blob);
+  pthread_mutex_unlock(&g_init_lock);
+  return rc;
+}
+
+static int dict_index_init_locked(const uint8_t* blob) {
   if (g_dict.ready && g_dict.blob == blob) return 0;
   free(g_dict.entries);
   memset(&g_dict, 0, sizeof(g_dict));
