@@ -19,6 +19,7 @@
  */
 
 #include <math.h>
+#define _GNU_SOURCE  /* qsort_r */
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -1288,7 +1289,7 @@ static void put_stream_header(BW* bw, int wbits) {
 
 /* quality -> matcher parameters */
 static void cfg_for_quality(MatchCfg* cfg, int q) {
-  cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : q <= 7 ? 17 : 18;
+  cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : 18;
   /* q5 depth 8: +40% throughput for ~1% size on the 16MB corpus
      (still 8-9% smaller than reference q5 output) */
   cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 8 : q <= 7 ? 32 : 48;
