@@ -18,8 +18,8 @@
  * Build: cc -O2 -shared -fPIC -o libbtpu.so btpu_dec.c btpu_enc.c
  */
 
-#include <math.h>
 #define _GNU_SOURCE  /* qsort_r */
+#include <math.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
