@@ -50,7 +50,7 @@ def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
         from .format import shared_dictionary as shd
         sd = shd.parse(bytes(dictionary))
         dictionary = b"".join(sd.prefixes) or None
-        if sd.word_lists and not sd.context_based:
+        if sd.word_lists:
             shared = sd  # custom-word matching in the encoder
     if _on_start is not None:
         _on_start("compress", len(string))

@@ -2,11 +2,12 @@
 dictionaries (role parity: BrotliInitCustomSharedEncoderDictionary +
 ComputeDictionary, c/enc/encoder_dict.c:508-594 BROTLI_EXPERIMENTAL).
 
-All (word x transform) outputs of the attached word list materialize
-once into a prefix-keyed index; matching probes parse gaps whose
-4-byte window hits the index. Non-context-based dictionaries only
-(the common case; a context-based dict would constrain every word by
-the preceding output's literal context).
+All (word x transform) outputs of each attached word list materialize
+once into prefix-keyed indexes; matching probes parse gaps whose
+4-byte window hits an index. Context-based dictionaries select the
+index by the literal context of the two preceding bytes -- the
+encoder's input IS the decoder's output, so the context is known
+exactly at every position.
 """
 
 from functools import lru_cache
@@ -20,12 +21,23 @@ MIN_OUT = 4
 
 
 def build_index(sd: "shd.SharedDictionary"):
-    """{transformed_bytes: (copy_len, word_idx, transform_idx)} for
-    dictionary 0, plus the set of 4-byte prefixes. None when the dict
-    has no custom word list or is context-based."""
-    if sd.context_based or not sd.dictionaries:
+    """Per-dictionary {transformed_bytes: (copy_len, word_idx,
+    transform_idx, nbits)} indexes plus 4-byte prefix sets, and (for
+    context-based dictionaries) the context -> dictionary map. None
+    when no attached dictionary has a custom word list."""
+    if not sd.dictionaries:
         return None
-    words, tlist = sd.dictionaries[0]
+    indexes = [_index_one(words, tlist)
+               for words, tlist in sd.dictionaries]
+    if all(ix is None for ix in indexes):
+        return None
+    out = {"dicts": indexes}
+    if sd.context_based:
+        out["context_map"] = np.asarray(sd.context_map, np.int64)
+    return out
+
+
+def _index_one(words, tlist):
     if words is None:
         return None
     index = {}
@@ -91,16 +103,29 @@ def add_custom_matches(data: np.ndarray, matches, index, max_backward,
     cand = np.flatnonzero(in_gap[:max(n - MIN_OUT, 0)])
     if len(cand) == 0:
         return matches
-    # prefix gate
-    hits = [p for p in cand.tolist()
-            if blob[p:p + 4] in index["prefixes"]]
+    cmap = index.get("context_map")
+    dicts = index["dicts"]
+    if cmap is not None:
+        # literal context of the two PRECEDING bytes selects the
+        # dictionary (decode.c:2234 role); the encoder's input is the
+        # decoder's output, so the context is exact
+        from ..format import context as ctx
+        lut = ctx.context_lut(2)
+        p1 = data[np.maximum(cand - 1, 0)].astype(np.int64)
+        p2 = data[np.maximum(cand - 2, 0)].astype(np.int64)
+        which = cmap[(lut[0][p1] | lut[1][p2]).astype(np.int64)]
+    else:
+        which = np.zeros(len(cand), np.int64)
     new = []
-    imap = index["map"]
     last_end = -1
-    for p in hits:
+    for p, di in zip(cand.tolist(), which.tolist()):
         if p < last_end:
             continue
-        for L_out in index["lengths"]:
+        sub = dicts[di] if di < len(dicts) else None
+        if sub is None or blob[p:p + 4] not in sub["prefixes"]:
+            continue
+        imap = sub["map"]
+        for L_out in sub["lengths"]:
             if p + L_out > n:
                 continue
             ent = imap.get(blob[p:p + L_out])

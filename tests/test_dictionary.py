@@ -229,3 +229,40 @@ def test_sharded_mesh_halo_window(ref_cli):
     # without cross-seam reach the second half would be incompressible;
     # with halos it should compress far below 2x the unique half
     assert len(comp) < len(unique) * 1.35, len(comp)
+
+
+def test_custom_word_encoding_context_based():
+    """Context-based serialized dictionaries: the encoder selects the
+    word list by the literal context of the preceding bytes (role:
+    contextual.context_map in encoder_dict.c)."""
+    import numpy as np
+    from brotli_tpu.format import context as ctx
+    from brotli_tpu.format import shared_dictionary as shd
+
+    rng = np.random.default_rng(15)
+    words = [bytes(rng.integers(33, 127, 8).astype(np.uint8))
+             for _ in range(64)]
+    data_words = b"".join(words)
+    wl = shd.WordList([0] * 8 + [6] + [0] * 16,
+                      [0] * 8 + [0] + [len(data_words)] * 16, data_words)
+    tl = shd.TransformList([b""], [(0, shd.T_IDENTITY, 0)], [0])
+    # context map: every context -> dictionary 0 (the custom list);
+    # exercises the context-based address selection end to end
+    blob = shd.serialize(word_lists=[wl], transform_lists=[tl],
+                         dictionaries=[(0, 0)], context_based=True,
+                         context_map=[0] * 64)
+    sd = shd.parse(blob)
+    assert sd.context_based
+
+    pieces = []
+    for i in range(64):
+        pieces.append(words[i])
+        pieces.append(bytes(rng.integers(65, 91, rng.integers(3, 9))
+                            .astype(np.uint8)))
+    payload = b" ".join(pieces)
+    for q in (5, 11):
+        with_d = brotli_tpu.compress(payload, quality=q,
+                                     dictionary=blob)
+        plain = brotli_tpu.compress(payload, quality=q)
+        assert brotli_tpu.decompress(with_d, dictionary=blob) == payload
+        assert len(with_d) < len(plain), (q, len(with_d), len(plain))
