@@ -195,3 +195,14 @@ def test_api_streaming_uses_native(testdata):
     blob = c.process(data) + c.flush() + c.process(data[:1000]) + \
         c.finish()
     assert brotli_tpu.decompress(blob) == data + data[:1000]
+
+
+def test_quality_ladder_monotone(lib, testdata):
+    """Sizes must not regress as quality rises (the round-1 ladder
+    barely differentiated q5-q9; the per-quality depth/hash policy
+    now must buy something at each tier)."""
+    data = (testdata / "lcet10.txt").read_bytes()
+    sizes = [len(lib.encode(data, q, 22)) for q in (1, 3, 5, 7, 9)]
+    for a, b in zip(sizes, sizes[1:]):
+        assert b <= a * 1.002, sizes  # allow jitter, forbid regressions
+    assert sizes[-1] < sizes[0] * 0.9  # the ladder spans real ground
