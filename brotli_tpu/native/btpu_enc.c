@@ -1318,6 +1318,8 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
                 const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
   if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24 || n == 0)
     return EERR_PARAM;
+  /* hash-chain positions are stored as uint32 pos+1 */
+  if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
   /* padded input copy: match finding may read up to 8 bytes past the
      end (zero padding keeps the reads in-bounds and harmless) */
   uint8_t* data = (uint8_t*)malloc(n + 16);
@@ -1794,6 +1796,9 @@ int btpu_enc_chunk(void* p, const uint8_t* in, size_t in_len, int op,
   *out = NULL;
   *out_len = 0;
   if (!S || S->finished) return EERR_PARAM;
+  /* hash-chain positions are stored as uint32 pos+1 */
+  if (S->base + S->len + in_len > ((size_t)1 << 32) - 32)
+    return EERR_PARAM;
   if (in_len) {
     if (S->len + in_len + SPAD > S->cap) {
       size_t nc = S->cap ? S->cap : (1 << 16);
