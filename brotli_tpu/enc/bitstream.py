@@ -401,11 +401,13 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     `ring`: 4-slot decoder distance ring entering the block (newest
     first; None = stream start). Returns the updated ring.
     """
+    from .quality import policy
+    pol = policy(quality)
     ins, cpy, dist, dflag = _as_arrays(cmds)
     plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag)
     # NPOSTFIX/NDIRECT search (q>=10, parity: metablock.c:301-334).
     npostfix = ndirect = 0
-    if quality >= 10 and len(plan["expl_dists"]) >= 128:
+    if pol.dist_param_search and len(plan["expl_dists"]) >= 128:
         npostfix, ndirect = choose_distance_params(plan["expl_dists"])
         if (npostfix, ndirect) != (0, 0):
             plan, new_ring = plan_commands(ins, cpy, dist, ring, dflag,
@@ -428,9 +430,10 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     # --- block splitting per category (RFC 6)
     from . import block_split
     split = None
-    if quality >= 9 and nlit >= 4096:
+    if pol.literal_split and nlit >= pol.min_split_literals:
         split = block_split.split_symbols(literals,
-                                          C.NUM_LITERAL_SYMBOLS)
+                                          C.NUM_LITERAL_SYMBOLS,
+                                          chunk=pol.split_chunk)
     if split is not None:
         run_types, block_lengths, type_of_lit = split
         ntypes = int(run_types.max()) + 1
@@ -461,10 +464,10 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             run_types = type_of_lit[bounds[:-1]]
 
     cmd_split = dist_split = None
-    if quality >= 9 and ncmd >= 2048:
+    if pol.cmd_dist_split and ncmd >= pol.min_split_cmds:
         cmd_split = block_split.split_symbols(
             cmd_syms, C.NUM_COMMAND_SYMBOLS, chunk=256, max_types=6)
-    if quality >= 9 and len(dsyms_sub) >= 2048:
+    if pol.cmd_dist_split and len(dsyms_sub) >= pol.min_split_cmds:
         dist_split = block_split.split_symbols(
             dsyms_sub, dist_alpha, chunk=256, max_types=4)
     if cmd_split is not None:
@@ -481,7 +484,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
         type_of_dsym = np.zeros(len(dsyms_sub), np.int64)
 
     # --- literal context modeling + clustering
-    use_context = quality >= 5 and nlit >= 1024
+    use_context = pol.context_modeling and nlit >= pol.min_ctx_literals
     from . import context_model as cm
     if use_context:
         mode = cm.choose_context_mode(data) if context_mode is None \
@@ -502,7 +505,7 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             hists[b64_type * 64:(b64_type + 1) * 64] = 0
         if use_context:
             assign, merged = cm.cluster_histograms(
-                hists, max_trees=48 if quality >= 10 else 12)
+                hists, max_trees=pol.max_lit_trees)
         else:  # per-type trees, constant over contexts
             assign = np.repeat(np.arange(ntypes, dtype=np.int64),
                                C.NUM_LITERAL_CONTEXTS)
@@ -536,7 +539,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
     dctx_tab = prefix.cmd_lut()["dist_context"].astype(np.int64)
     dctx = dctx_tab[cmd_syms[has]]
     dgroup = (type_of_dsym << C.DISTANCE_CONTEXT_BITS) | dctx
-    use_dist_map = quality >= 9 and len(dsyms_sub) >= 512
+    use_dist_map = pol.dist_context_map and \
+        len(dsyms_sub) >= pol.min_dist_syms
     if use_dist_map or ntypes_d > 1:
         dhists = cm.context_histograms(
             dsyms_sub, dgroup, ntypes_d * 4, dist_alpha)

@@ -32,16 +32,19 @@ import os  # noqa: E402
 
 
 def find_matches(arr, max_distance, quality, large=False):
-    """Quality-dispatched match finder over the full buffer."""
+    """Quality-dispatched match finder over the full buffer (policy
+    table: enc/quality.py, the quality.h role)."""
+    from .quality import policy
+    pol = policy(quality)
     backend = os.environ.get("BROTLI_TPU_BACKEND", "auto")
     if large:
         # device paths pack distances in 24/25 bits; beyond-RFC windows
         # take the int64 host pipeline
         return matcher.find_matches_vectorized(
-            arr, max_distance, num_candidates=4,
-            use_dict=quality >= 5)
-    ncand = 4 if quality >= 5 else 2
-    if quality >= 10 and len(arr) >= (1 << 18) and backend != "numpy":
+            arr, max_distance, num_candidates=pol.num_candidates,
+            use_dict=pol.use_dict)
+    ncand = pol.num_candidates
+    if pol.optimal_parse and len(arr) >= (1 << 18) and backend != "numpy":
         try:
             import jax
             if jax.default_backend() != "cpu":
@@ -52,12 +55,12 @@ def find_matches(arr, max_distance, quality, large=False):
                                                 quality)
         except ImportError:
             pass
-    if quality >= 10 and (1 << 10) <= len(arr) <= (8 << 20):
+    if pol.optimal_parse and (1 << 10) <= len(arr) <= (8 << 20):
         # blocked optimal-parse DP (zopfli role, batched across blocks)
         from .optimal import find_matches_optimal
         return find_matches_optimal(arr, max_distance,
-                                    nc=32 if quality >= 11 else 8)
-    if quality >= 10 and len(arr) > (8 << 20):
+                                    nc=pol.dp_candidates)
+    if pol.optimal_parse and len(arr) > (8 << 20):
         # very large inputs: iterated cost-model parse until the
         # device DP path covers this size class
         return matcher.find_matches_costmodel(
@@ -70,14 +73,14 @@ def find_matches(arr, max_distance, quality, large=False):
             pass
         return matcher.find_matches_vectorized(arr, max_distance,
                                                num_candidates=ncand,
-                                               use_dict=quality >= 5)
+                                               use_dict=pol.use_dict)
     if len(arr) >= _VECTOR_THRESHOLD:
         return matcher.find_matches_vectorized(arr, max_distance,
                                                num_candidates=ncand,
-                                               use_dict=quality >= 5)
+                                               use_dict=pol.use_dict)
     m, lens, dists = matcher.find_matches_greedy(arr, max_distance)
     flags = np.zeros(len(m), np.int64)
-    if quality >= 5 and len(arr) >= 8:
+    if pol.use_dict and len(arr) >= 8:
         return matcher.add_dictionary_matches(arr, m, lens, dists, flags,
                                               max_distance)
     return m, lens, dists, flags
