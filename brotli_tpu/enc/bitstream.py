@@ -218,13 +218,17 @@ def plan_commands(ins: np.ndarray, cpy: np.ndarray, dist: np.ndarray,
     final_insert = (cpy == 0) & (dist == 0)
     fl = np.asarray(dict_flag if dict_flag is not None
                     else np.zeros(n, np.int64))
-    # builtin-dict cutoffs ride the flag as 2+cut (copy len = advance
-    # + cut); custom shared-dict words carry the emitted copy length
-    # directly (flag = 1000 + word_len), since custom transforms may
-    # lengthen or shorten the output
-    custom = fl >= 1000
-    cut = np.where(custom, 0, np.maximum(fl - 2, 0))
-    eff_cpy = np.where(custom, fl - 1000, cpy + cut)
+    # dict-word flags carry the emitted copy length (the base word
+    # length, i.e. the RFC length-bucket selector): 1000 + len for
+    # custom shared-dict words, 2000 + len for builtin static-dict
+    # words, since transforms may lengthen or shorten the output
+    # relative to the input advance `cpy`. Legacy 2..999 encodes a
+    # builtin omit-last cutoff as 2 + cut (copy len = advance + cut).
+    builtin_gen = fl >= 2000
+    custom = (fl >= 1000) & ~builtin_gen
+    cut = np.where(custom | builtin_gen, 0, np.maximum(fl - 2, 0))
+    eff_cpy = np.where(builtin_gen, fl - 2000,
+                       np.where(custom, fl - 1000, cpy + cut))
     ccode, cextra, cbits = _encode_values(
         np.where(final_insert, 2, eff_cpy), prefix.COPY_BASE,
         prefix.COPY_EXTRA)

@@ -157,10 +157,11 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
         if idx is not None:
             m0, l0, d0, f0 = matches
             # a custom word list REPLACES dictionary 0: builtin
-            # static-dict references (flags 2..11) would address the
-            # wrong word space at decode -- drop them, their spans
-            # become gaps the custom pass can fill
-            keep = (f0 < 2) | (f0 >= 1000)
+            # static-dict references (flags 2..999 legacy cutoffs and
+            # 2000+ general transforms) would address the wrong word
+            # space at decode -- drop them, their spans become gaps
+            # the custom pass can fill
+            keep = (f0 < 2) | ((f0 >= 1000) & (f0 < 2000))
             matches = (m0[keep], l0[keep], d0[keep], f0[keep])
             m0, l0, d0, f0 = matches
             # work in stream coordinates for gap/dist math

@@ -175,7 +175,7 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
         best_dist[:npos] = np.where(better, dist, best_dist[:npos])
 
     is_dict = np.zeros(n, bool)
-    dict_cut = np.zeros(n, np.int64)
+    dict_wlen = np.zeros(n, np.int64)
     if use_dict:
         from . import static_dict
         cand_pos = np.flatnonzero(best_len[:npos] < 12)
@@ -190,7 +190,7 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
             gp = cand_pos[good]
             best_len[gp] = dlen[good].astype(np.int32)
             best_dist[gp] = ddist[good]
-            dict_cut[gp] = (dwlen - dlen)[good]
+            dict_wlen[gp] = dwlen[good]
             is_dict[gp] = True
 
     if cost_model is None:
@@ -229,9 +229,10 @@ def find_matches_vectorized(data: np.ndarray, max_distance: int,
     m = sel[take[sel]]
     lens = best_len[m].astype(np.int64)
     dists = best_dist[m]
-    # flag >= 2 = static dict, no ring push; the omit-last cutoff
-    # rides in the flag (copy code = advance + cut)
-    flags = is_dict[m].astype(np.int64) * 2 + dict_cut[m] * is_dict[m]
+    # flag >= 2 = static dict, no ring push; 2000 + word_len carries
+    # the emitted copy code (the word's length bucket) since the
+    # transformed output length may differ from it either way
+    flags = np.where(is_dict[m], 2000 + dict_wlen[m], 0)
     return _extend_capped(data, m, lens, dists, flags, CAP, max_match)
 
 
@@ -327,7 +328,7 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     nm = np.concatenate([m, cand[sel]])
     nl = np.concatenate([lens, dlen[sel]])
     nd = np.concatenate([dists, ddist[sel]])
-    nf = np.concatenate([flags, 2 + (dwlen - dlen)[sel]])
+    nf = np.concatenate([flags, 2000 + dwlen[sel]])
     order = np.argsort(nm, kind="stable")
     return nm[order], nl[order], nd[order], nf[order]
 

@@ -31,6 +31,13 @@ from .matcher import (HASH_MUL, MIN_MATCH, hash4, _extend_capped,
                       _tz_bytes)
 
 CAPQ = 32          # candidate/cache edge-length cap
+NCACHE = 4         # ring-cache probes (slots of the previous parse)
+# DP discounts (bits) on ring edges: 0 measured best -- pricing ring
+# edges below their explicit-symbol cost chases short codes the
+# emission ring cannot realize (the cache belongs to the PREVIOUS
+# parse; +13% size at full short-code optimism, +0.7% at 3 bits)
+CACHE_DISC_RING = 0.0
+CACHE_DISC_NEAR = 0.0
 B = 8192           # DP block size (hard parse boundary)
 QB = 16            # cost quantization: 1/16 bit
 CMD_BASE_Q = 1 * QB  # floor cost per command beyond modeled parts
@@ -95,13 +102,13 @@ def candidates_topk(data: np.ndarray, max_distance: int, nc: int):
 def cache_probes(data: np.ndarray, cache_dist: np.ndarray):
     """Match lengths at the previous parse's ring distances.
 
-    cache_dist: int64[4, n] per-position candidate distances (0 = none).
-    Returns int32[4, n] capped lengths."""
+    cache_dist: int64[k, n] per-position candidate distances (0 = none).
+    Returns int32[k, n] capped lengths."""
     n = len(data)
     w8 = _w8(data)
     pos = np.arange(n, dtype=np.int64)
-    out = np.zeros((4, n), np.int32)
-    for s in range(4):
+    out = np.zeros(cache_dist.shape, np.int32)
+    for s in range(cache_dist.shape[0]):
         d = cache_dist[s]
         valid = (d > 0) & (d <= pos)
         mlen = _capped_len(w8, pos, pos - d, valid)
@@ -201,11 +208,18 @@ class CostModel:
         self.copyq = self.copy_cost_q(np.arange(CAPQ + 1))
         self.copyq[:2] = 1 << 30
 
-        # explicit-distance symbol cost from this parse's histogram
-        expl = (flags == 0) | (flags == 1)
-        if np.any(expl):
-            dsym, _ = _dist_sym_extra(np.maximum(dists[expl], 1))
-            dh = np.bincount(dsym, minlength=16 + 48).astype(np.float64)
+        # distance-symbol cost from this parse's ACTUAL emission (ring
+        # codes included): replay the parse through plan_commands so
+        # short codes 0-15 carry learned costs, which lets the DP see
+        # ring-cache edges as the bargains they are (ZopfliCostModel
+        # role, backward_references_hq.c)
+        from .matcher import matches_to_commands
+        from . import bitstream
+        if len(m):
+            cmds = matches_to_commands(m, lens, dists, flags, 0, n)
+            plan, _ = bitstream.plan_commands(*cmds[:3], None, cmds[3])
+            dsym = plan["dist_syms"][plan["has_dist"]]
+            dh = np.bincount(dsym, minlength=64).astype(np.float64)
         else:
             dh = np.zeros(64, np.float64)
         dh += 0.2
@@ -343,8 +357,9 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
                                        num_candidates=4, use_dict=True,
                                        base=base)
     m, lens, dists, flags = seed
-    SLOT_CACHE, SLOT_DICT, SLOT_SEED = nc, nc + 4, nc + 5
-    nslots = nc + 6
+    SLOT_CACHE = nc
+    SLOT_DICT, SLOT_SEED = nc + NCACHE, nc + NCACHE + 1
+    nslots = nc + NCACHE + 2
 
     cand_len, cand_dist = candidates_topk(data, max_distance, nc)
     # static-dictionary probe at every position (vectorized)
@@ -354,17 +369,25 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
                                       max_distance, dtr)
     dict_len = np.zeros(n, np.int32)
     dict_dist = np.zeros(n, np.int64)
-    dict_cut = np.zeros(n, np.int64)
+    dict_wlen = np.zeros(n, np.int64)
     dict_len[:len(pos_all)] = np.where(dlen >= 4, dlen, 0).astype(
         np.int32)
     dict_dist[:len(pos_all)] = ddist
-    dict_cut[:len(pos_all)] = dwlen - dlen
+    dict_wlen[:len(pos_all)] = dwlen
 
     seed_len = np.zeros(n, np.int32)
     seed_dist = np.zeros(n, np.int64)
     for it in range(iterations):
         cm = CostModel(data, m, lens, dists, flags)
-        cache_dist = _ring_history(m, dists, flags, n)
+        ring4 = _ring_history(m, dists, flags, n)
+        # short-code probe set: ring slots 0-3 (codes 0-3) and
+        # ring-top +/- 1..3 (codes 4-9), all extra-bit-free
+        cache_dist = np.zeros((NCACHE, n), np.int64)
+        cache_dist[:4] = ring4
+        for s, off in enumerate((-1, 1, -2, 2, -3, 3), start=4):
+            if s >= NCACHE:
+                break
+            cache_dist[s] = np.where(ring4[0] > 0, ring4[0] + off, 0)
         cache_len = cache_probes(data, cache_dist)
 
         edge_len = np.zeros((nslots, n), np.int32)
@@ -375,20 +398,29 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
             dc = cm.dist_cost_q(cand_dist[k])
             edge_cost[k] = (cm.copyq[np.minimum(el, CAPQ)] + dc +
                             CMD_BASE_Q)
-        for s in range(4):
+        for s in range(NCACHE):
             el = np.minimum(cache_len[s], CAPQ)
             edge_len[SLOT_CACHE + s] = el
-            # priced as explicit distances: the DP's own parse decides
-            # the real ring, so short-code savings are opportunistic
-            # (realized by plan_commands when they do line up)
+            # a ring edge realizes short code s only when the emission
+            # ring (simulated exactly by plan_commands) lines up, and
+            # this parse's ring will differ from the previous parse's
+            # that produced cache_dist -- so price as the explicit
+            # symbol with a bounded short-code discount, not at the
+            # full learned short-code cost (phantom-ring optimism
+            # measured +13% size on text)
+            expl = cm.dist_cost_q(np.maximum(cache_dist[s], 1))
+            disc = int((CACHE_DISC_RING if s < 4 else CACHE_DISC_NEAR)
+                       * QB)
             edge_cost[SLOT_CACHE + s] = (
                 cm.copyq[np.minimum(el, CAPQ)] +
-                cm.dist_cost_q(np.maximum(cache_dist[s], 1)) + CMD_BASE_Q)
-        dl = np.minimum(dict_len, CAPQ)  # dict words are 4..24 bytes
-        edge_len[SLOT_DICT] = np.where(dict_len <= CAPQ, dict_len, 0)
-        edge_cost[SLOT_DICT] = (cm.copyq[dl] +
-                                cm.dist_cost_q(np.maximum(dict_dist, 1)) +
-                                CMD_BASE_Q)
+                np.maximum(expl - disc, QB) + CMD_BASE_Q)
+        # edge length = transformed OUTPUT length (prefix/suffix forms
+        # may exceed the base word length); the copy CODE spans the
+        # base word length, so that is what the command-symbol costs
+        edge_len[SLOT_DICT] = np.minimum(dict_len, MAX_EDGE)
+        edge_cost[SLOT_DICT] = (
+            cm.copy_cost_q(np.maximum(dict_wlen, 2)) +
+            cm.dist_cost_q(np.maximum(dict_dist, 1)) + CMD_BASE_Q)
         # previous parses' LZ matches at full length (up to the packing
         # limit): the honest way long matches enter the DP -- candidate
         # and cache edges are length-capped. Accumulated across
@@ -415,12 +447,12 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
         for k in range(nc):
             sel = slot == k
             d[sel] = cand_dist[k, p[sel]]
-        for s in range(4):
+        for s in range(NCACHE):
             sel = slot == SLOT_CACHE + s
             d[sel] = cache_dist[s, p[sel]]
         sel = slot == SLOT_DICT
         d[sel] = dict_dist[p[sel]]
-        f[sel] = 2 + dict_cut[p[sel]]
+        f[sel] = 2000 + dict_wlen[p[sel]]
         sel = slot == SLOT_SEED
         d[sel] = seed_dist[p[sel]]
         m, lens, dists, flags = _coalesce(p, ln, d, f)

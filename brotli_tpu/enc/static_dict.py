@@ -1,11 +1,19 @@
-"""Encoder-side static dictionary matching (RFC 8, identity transform).
+"""Encoder-side static dictionary matching over the FULL transform set.
 
 A sorted (4-byte-prefix, length, index) table over all 13,504 RFC
 Appendix A words supports fully vectorized probing: positions gather
 their 4-byte word, binary-search the table, and verify whole-word
-equality with batched byte compares. (Re-design of the reference's
-generated bucket LUT, c/enc/static_dict_lut.c + dictionary_hash.c --
-the table here is derived from the dictionary blob at import time.)
+equality with batched byte compares. On top of the base-word match,
+the full RFC Appendix B transform repertoire is composed table-driven:
+prefix/suffix forms (identity, uppercase-first, uppercase-all variants
+with their prefixes and suffixes), omit-last cutoffs (with suffixes),
+and omit-first forms via auxiliary shifted-key tables.
+
+Re-design of the reference's generated bucket LUT + hand-written
+suffix if-chain (c/enc/static_dict.c:36-335, static_dict_lut.c,
+dictionary_hash.c) -- here every matching form is derived from the
+normative transform table at import time, so the coverage is the
+whole 121-transform set rather than a curated subset.
 """
 
 from functools import lru_cache
@@ -14,16 +22,53 @@ import numpy as np
 
 from ..format import constants as C
 from ..format import dictionary as dict_mod
+from ..format import transforms as tf
 
-MAX_PROBE = 8  # candidates examined per position
+MAX_PROBE = 8  # candidates examined per position per key group
+
+# legacy alias kept for external callers/tests
+UPPERCASE_FIRST_ID = 9
+
+# omit-last-k identity transforms by cutoff length (parity:
+# kCutoffTransforms, c/enc/hash.h:67-70 / static_dict.c:130-133)
+CUTOFF_TRANSFORM_IDS = np.array(tf.CUTOFF_TRANSFORMS, np.int64)
+
+_VARIANTS = {"IDENTITY": 0, "UPPERCASE_FIRST": 1, "UPPERCASE_ALL": 2}
+
+
+def _transform_groups():
+    """Parse TRANSFORMS into vectorizable match groups.
+
+    Returns (prefix_groups, omit_last, omit_first):
+      prefix_groups: {(variant, prefix): [(tid, suffix), ...]}
+      omit_last:     [(tid, k, suffix), ...]   (identity body, no prefix)
+      omit_first:    [(tid, k), ...]           (identity body, bare)
+    """
+    prefix_groups = {}
+    omit_last, omit_first = [], []
+    for tid, (pre, op, suf) in enumerate(tf.TRANSFORMS):
+        if op in _VARIANTS:
+            key = (_VARIANTS[op], pre)
+            prefix_groups.setdefault(key, []).append((tid, suf))
+        elif op.startswith("OMIT_LAST_"):
+            assert pre == b""
+            omit_last.append((tid, int(op[10:]), suf))
+        else:
+            assert op.startswith("OMIT_FIRST_") and pre == b"" \
+                and suf == b""
+            omit_first.append((tid, int(op[11:])))
+    return prefix_groups, omit_last, omit_first
+
+
+_PREFIX_GROUPS, _OMIT_LAST, _OMIT_FIRST = _transform_groups()
 
 
 @lru_cache(maxsize=1)
-def prefix_table():
-    """Sorted arrays (key4 uint32, length int8, word_idx int16) over all
-    dictionary words of length 4..24."""
+def _all_words():
+    """(lens int16[N], words uint8[N, 24]) over every dictionary word,
+    in (length-bucket, index) order."""
     blob = dict_mod.dictionary_array()
-    keys, lens, idxs = [], [], []
+    lens, mats, idxs = [], [], []
     for L in range(C.MIN_DICTIONARY_WORD_LENGTH,
                    C.MAX_DICTIONARY_WORD_LENGTH + 1):
         nbits = dict_mod.SIZE_BITS_BY_LENGTH[L]
@@ -32,127 +77,213 @@ def prefix_table():
         count = 1 << nbits
         off = dict_mod.OFFSETS_BY_LENGTH[L]
         words = blob[off:off + count * L].reshape(count, L)
-        key = (words[:, 0].astype(np.uint32)
-               | words[:, 1].astype(np.uint32) << 8
-               | words[:, 2].astype(np.uint32) << 16
-               | words[:, 3].astype(np.uint32) << 24)
-        keys.append(key)
-        lens.append(np.full(count, L, np.int8))
+        m = np.zeros((count, C.MAX_DICTIONARY_WORD_LENGTH), np.uint8)
+        m[:, :L] = words
+        mats.append(m)
+        lens.append(np.full(count, L, np.int16))
         idxs.append(np.arange(count, dtype=np.int32))
-    keys = np.concatenate(keys)
-    lens = np.concatenate(lens)
-    idxs = np.concatenate(idxs)
-    # sort by (key, -length): longest word first within a prefix group
-    order = np.lexsort((-lens.astype(np.int32), keys))
-    out = keys[order], lens[order], idxs[order]
+    return (np.concatenate(lens), np.concatenate(mats),
+            np.concatenate(idxs))
+
+
+def _sorted_tables(words24: np.ndarray, lens: np.ndarray,
+                   idxs: np.ndarray):
+    """Sort rows by (first-4-byte key, -length); longest word first
+    within a key group. Returns (keys u32, lens i16, idxs i32, mat)."""
+    key = (words24[:, 0].astype(np.uint32)
+           | words24[:, 1].astype(np.uint32) << 8
+           | words24[:, 2].astype(np.uint32) << 16
+           | words24[:, 3].astype(np.uint32) << 24)
+    order = np.lexsort((-lens.astype(np.int32), key))
+    out = (key[order], lens[order], idxs[order], words24[order])
     for a in out:
         a.setflags(write=False)
     return out
 
 
-@lru_cache(maxsize=1)
-def word_matrix():
-    """All words padded to 24 bytes: uint8[NWORDS_TOTAL, 24] aligned with
-    prefix_table() order, for batched verification."""
-    keys, lens, idxs = prefix_table()
-    blob = dict_mod.dictionary_array()
-    n = len(keys)
-    mat = np.zeros((n, C.MAX_DICTIONARY_WORD_LENGTH), np.uint8)
-    for L in range(C.MIN_DICTIONARY_WORD_LENGTH,
-                   C.MAX_DICTIONARY_WORD_LENGTH + 1):
-        rows = np.flatnonzero(lens == L)
+@lru_cache(maxsize=4)
+def case_tables(variant: int):
+    """Sorted probe tables for a case variant (0 identity, 1
+    uppercase-first, 2 uppercase-all): rows hold the TRANSFORMED word
+    bytes, so input windows compare directly against decode output."""
+    lens, mat, idxs = _all_words()
+    if variant == 0:
+        return _sorted_tables(mat, lens, idxs)
+    out = mat.copy()
+    # vectorized ASCII fast path covers almost every word; rows with
+    # any non-ASCII byte go through the exact rune-wise transform
+    letters = (out >= 0x61) & (out <= 0x7A) & \
+        (np.arange(24) < lens[:, None])
+    ascii_rows = ~(out >= 0x80).any(axis=1)
+    if variant == 1:
+        flip = letters & (np.arange(24) == 0)
+    else:
+        flip = letters
+    out[ascii_rows] ^= np.where(flip[ascii_rows], 32, 0).astype(np.uint8)
+    hard = np.flatnonzero(~ascii_rows)
+    op_tid = 9 if variant == 1 else 44  # bare ucfirst / ucall ids
+    for r in hard:
+        L = int(lens[r])
+        w = tf.transform_word(mat[r, :L].tobytes(), op_tid)[:L]
+        out[r, :L] = np.frombuffer(w.ljust(L, b"\0"), np.uint8)[:L]
+    return _sorted_tables(out, lens, idxs)
+
+
+@lru_cache(maxsize=16)
+def omit_first_tables(k: int):
+    """Sorted probe tables keyed on word[k:k+4]; rows hold the word
+    SHIFTED left by k (the omit-first body). Words shorter than k+4
+    are excluded (a 4-byte key is required)."""
+    lens, mat, idxs = _all_words()
+    keep = lens >= k + 4
+    body = np.zeros_like(mat[keep])
+    body[:, :24 - k] = mat[keep][:, k:]
+    return _sorted_tables(body, (lens[keep] - k).astype(np.int16),
+                          idxs[keep])
+
+
+def _match_prefix_len(win: np.ndarray, mat: np.ndarray,
+                      L: np.ndarray) -> np.ndarray:
+    """Common-prefix length of each 24-byte input window vs its
+    candidate word row, capped at the word length."""
+    eq = (win == mat) | (np.arange(24) >= L[:, None])
+    cp = np.argmin(eq, axis=1)
+    return np.where(eq.all(axis=1), 24, cp)
+
+
+class _Best:
+    """Per-position best candidate: longest output, then smallest
+    transform id (smaller ids sit lower in the distance address
+    space, costing fewer distance extra bits)."""
+
+    def __init__(self, n):
+        self.out = np.zeros(n, np.int64)
+        self.wlen = np.zeros(n, np.int64)
+        self.idx = np.zeros(n, np.int64)
+        self.tr = np.full(n, 1 << 30, np.int64)
+
+    def update(self, rows, out, wlen, idx, tid):
         if len(rows) == 0:
-            continue
-        off = dict_mod.OFFSETS_BY_LENGTH[L]
-        words = blob[off:off + (1 << dict_mod.SIZE_BITS_BY_LENGTH[L]) * L]
-        words = words.reshape(-1, L)
-        mat[rows, :L] = words[idxs[rows]]
-    mat.setflags(write=False)
-    return mat
+            return
+        cur_o, cur_t = self.out[rows], self.tr[rows]
+        better = (out > cur_o) | ((out == cur_o) & (tid < cur_t))
+        r = rows[better]
+        self.out[r] = out[better] if np.ndim(out) else out
+        self.wlen[r] = wlen[better]
+        self.idx[r] = idx[better]
+        self.tr[r] = tid
 
 
-UPPERCASE_FIRST_ID = 9  # bare UPPERCASE_FIRST in the RFC transform set
+def probe(data: np.ndarray, positions: np.ndarray,
+          max_probe: int = MAX_PROBE):
+    """Vectorized full-transform dictionary probe.
 
-# omit-last-k identity transforms by cutoff length (parity:
-# kCutoffTransforms, c/enc/hash.h:67-70 / static_dict.c:130-133):
-# a length-L word matching only its first L-k bytes still matches,
-# through transform OMIT_LAST_k
-CUTOFF_TRANSFORM_IDS = np.array([0, 12, 27, 23, 42, 63, 56, 48, 59, 64],
-                                np.int64)
-
-
-def probe(data: np.ndarray, positions: np.ndarray):
-    """Vectorized dictionary probe at the given positions.
-
-    Returns (word_len int64, word_idx int64, transform int64) per
-    position; word_len is the OUTPUT length (0 = no match). Matching
-    forms: identity, omit-last-1..9 cutoffs of longer words (parity:
-    kCutoffTransforms, hash.h:67-70), and bare UPPERCASE_FIRST for
-    ASCII-capitalized occurrences (parity:
-    BrotliFindAllStaticDictionaryMatches).
+    Returns per position (out_len, word_len, word_idx, transform):
+    out_len is the transformed OUTPUT length (0 = no match), word_len
+    the base word length (the command's copy code). Parity:
+    BrotliFindAllStaticDictionaryMatches (c/enc/static_dict.c) -- but
+    table-driven over all 121 transforms instead of a hand if-chain.
     """
-    keys, lens, idxs = prefix_table()
-    mat = word_matrix()
     n = len(data)
     p = np.asarray(positions, np.int64)
-    padded = np.concatenate([data, np.zeros(24, np.uint8)])
-    best_len = np.zeros(len(p), np.int64)   # output length
-    best_wlen = np.zeros(len(p), np.int64)  # base word length
-    best_idx = np.zeros(len(p), np.int64)
-    best_tr = np.zeros(len(p), np.int64)
+    best = _Best(len(p))
+    if n < 4 or len(p) == 0:
+        z = np.zeros(len(p), np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    padded = np.concatenate([data, np.zeros(40, np.uint8)])
 
-    # phase 1: cheap 4-byte key per position; the expensive 24-byte
-    # windows materialize only for key hits (typically a small
-    # fraction of positions)
-    b = [padded[p + i].astype(np.uint32) for i in range(4)]
-    first = b[0]
-    is_upper = (first >= 0x41) & (first <= 0x5A)
-    for transform, tid in ((0, 0), (1, UPPERCASE_FIRST_ID)):
-        f0 = np.where(is_upper, first | 0x20, first) if transform \
-            else first
-        w4_all = f0 | b[1] << 8 | b[2] << 16 | b[3] << 24
-        lo_all = np.searchsorted(keys, w4_all, side="left")
-        hit = keys[np.minimum(lo_all, len(keys) - 1)] == w4_all
-        if transform:
-            hit &= is_upper
+    for (variant, pre), tlist in _PREFIX_GROUPS.items():
+        lp = len(pre)
+        ok = p + lp + 4 <= n
+        for j, b in enumerate(pre):
+            ok &= padded[np.minimum(p + j, n)] == b
+        sel = np.flatnonzero(ok)
+        if len(sel) == 0:
+            continue
+        q = p[sel] + lp
+        keys, lens_t, idxs_t, mat_t = case_tables(variant)
+        w4 = (padded[q].astype(np.uint32)
+              | padded[q + 1].astype(np.uint32) << 8
+              | padded[q + 2].astype(np.uint32) << 16
+              | padded[q + 3].astype(np.uint32) << 24)
+        lo = np.searchsorted(keys, w4, side="left")
+        hit = keys[np.minimum(lo, len(keys) - 1)] == w4
         sub = np.flatnonzero(hit)
         if len(sub) == 0:
             continue
-        ps = p[sub]
-        win = padded[ps[:, None] + np.arange(24)]
-        w = win if not transform else win.copy()
-        if transform:
-            w[:, 0] = (w[:, 0] | 0x20)
-        w4 = w4_all[sub]
-        lo = lo_all[sub]
-        remaining = n - ps
-        for probe_i in range(MAX_PROBE):
+        sel, q, lo, w4 = sel[sub], q[sub], lo[sub], w4[sub]
+        win = padded[q[:, None] + np.arange(24)]
+        remaining = n - q
+        is_omit_group = variant == 0 and lp == 0
+        for probe_i in range(max_probe):
             cand = np.minimum(lo + probe_i, len(keys) - 1)
-            ok = keys[cand] == w4
-            L = lens[cand].astype(np.int64)
-            eq = (w == mat[cand]) | (np.arange(24) >= L[:, None])
-            full = eq.all(axis=1) & ok & (L <= remaining)
-            better = full & (L > best_len[sub])
-            best_len[sub[better]] = L[better]
-            best_wlen[sub[better]] = L[better]
-            best_idx[sub[better]] = idxs[cand[better]]
-            best_tr[sub[better]] = tid
-            if transform == 0:
-                # cutoff forms: the word matches only its first cp
-                # bytes -> OMIT_LAST_(L-cp) (hash.h kCutoffTransforms)
-                cp = np.argmin(eq, axis=1)
-                cp = np.where(eq.all(axis=1), 24, cp)
-                cp = np.minimum(cp, np.minimum(L, remaining))
-                cut = L - cp
-                cut_ok = ok & (cut >= 1) & (cut <= 9) & (cp >= 4)
-                better = cut_ok & (cp > best_len[sub])
-                if np.any(better):
-                    tr = CUTOFF_TRANSFORM_IDS[np.clip(cut, 0, 9)]
-                    best_len[sub[better]] = cp[better]
-                    best_wlen[sub[better]] = L[better]
-                    best_idx[sub[better]] = idxs[cand[better]]
-                    best_tr[sub[better]] = tr[better]
-    return best_len, best_wlen, best_idx, best_tr
+            okc = keys[cand] == w4
+            L = lens_t[cand].astype(np.int64)
+            cp = _match_prefix_len(win, mat_t[cand], L)
+            cp = np.minimum(cp, remaining)
+            full = okc & (cp >= L)
+            rows = np.flatnonzero(full)
+            if len(rows):
+                qL = q[rows] + L[rows]
+                rem = n - qL
+                for tid, suf in tlist:
+                    ls = len(suf)
+                    good = rem >= ls
+                    for j, b in enumerate(suf):
+                        good &= padded[np.minimum(qL + j, n)] == b
+                    g = np.flatnonzero(good)
+                    best.update(sel[rows[g]], lp + L[rows[g]] + ls,
+                                L[rows[g]], idxs_t[cand[rows[g]]], tid)
+            if is_omit_group:
+                for tid, k, suf in _OMIT_LAST:
+                    body = L - k
+                    base_ok = okc & (body >= 2) & (cp >= body) & (k >= 1)
+                    rows = np.flatnonzero(base_ok)
+                    if len(rows) == 0:
+                        continue
+                    qB = q[rows] + body[rows]
+                    ls = len(suf)
+                    good = n - qB >= ls
+                    for j, b in enumerate(suf):
+                        good &= padded[np.minimum(qB + j, n)] == b
+                    g = np.flatnonzero(good)
+                    best.update(sel[rows[g]], body[rows[g]] + ls,
+                                L[rows[g]], idxs_t[cand[rows[g]]], tid)
+
+    # omit-first forms: separate tables keyed on word[k:k+4]
+    ok0 = p + 4 <= n
+    sel0 = np.flatnonzero(ok0)
+    if len(sel0):
+        q0 = p[sel0]
+        w4_0 = (padded[q0].astype(np.uint32)
+                | padded[q0 + 1].astype(np.uint32) << 8
+                | padded[q0 + 2].astype(np.uint32) << 16
+                | padded[q0 + 3].astype(np.uint32) << 24)
+        win0 = None
+        for tid, k in _OMIT_FIRST:
+            keys, blens, idxs_t, mat_t = omit_first_tables(k)
+            lo = np.searchsorted(keys, w4_0, side="left")
+            hit = keys[np.minimum(lo, len(keys) - 1)] == w4_0
+            sub = np.flatnonzero(hit)
+            if len(sub) == 0:
+                continue
+            if win0 is None:
+                win0 = padded[q0[:, None] + np.arange(24)]
+            q, loh, w4h = q0[sub], lo[sub], w4_0[sub]
+            rem = n - q
+            for probe_i in range(max_probe):
+                cand = np.minimum(loh + probe_i, len(keys) - 1)
+                okc = keys[cand] == w4h
+                B = blens[cand].astype(np.int64)
+                cp = _match_prefix_len(win0[sub], mat_t[cand], B)
+                full = okc & (np.minimum(cp, rem) >= B)
+                rows = np.flatnonzero(full)
+                best.update(sel0[sub[rows]], B[rows], B[rows] + k,
+                            idxs_t[cand[rows]], tid)
+
+    found = best.out > 0
+    tr = np.where(found, best.tr, 0)
+    return best.out, best.wlen, best.idx, tr
 
 
 def dict_distance(pos, word_len, word_idx, max_backward, transform=0):
