@@ -42,6 +42,11 @@ B = 8192           # DP block size (hard parse boundary)
 QB = 16            # cost quantization: 1/16 bit
 CMD_BASE_Q = 1 * QB  # floor cost per command beyond modeled parts
 MAX_EDGE = 2047    # packed-length field limit (backtrack payload)
+# copy-length stops relaxed per edge besides the full length: any
+# prefix of a match is itself a match, and stopping early lets the
+# parse land exactly on a later match start (all-lengths relaxation of
+# the zopfli DP, reduced to a geometric stop set)
+_TRUNC_STOPS = (MAX_EDGE, 4, 6, 9, 14, 22)
 
 
 def _w8(data: np.ndarray) -> np.ndarray:
@@ -52,8 +57,9 @@ def _w8(data: np.ndarray) -> np.ndarray:
     return w8
 
 
-def _capped_len(w8, pos, cand, valid, cap=CAPQ):
+def _capped_len(w8, pos, cand, valid, cap=None):
     """Common-prefix length (<= cap) of data[pos:] vs data[cand:]."""
+    cap = CAPQ if cap is None else cap
     n = len(w8)
     mlen = np.zeros(len(pos), np.int32)
     alive = valid.copy()
@@ -68,34 +74,62 @@ def _capped_len(w8, pos, cand, valid, cap=CAPQ):
     return np.minimum(mlen, cap)
 
 
-def candidates_topk(data: np.ndarray, max_distance: int, nc: int):
-    """Per-position nearest `nc` same-hash prior occurrences.
+# hierarchical candidate levels: (prefix bytes, slots, length cap).
+# Common 4-grams flood a single-hash nearest-k list and hide long
+# matches farther back; longer-prefix levels guarantee any length-P
+# match is dominated by a level-P candidate unless > k same-prefix
+# occurrences intervene (the binary-tree hasher's longest-match role,
+# c/enc/hash_to_binary_tree_inc.h, as sorted batch lookups). Slot
+# count None = the caller's nc.
+_CAND_LEVELS = ((4, None, 16), (8, 12, 48), (16, 6, 192))
+_MUL1 = np.uint64(0x9E3779B97F4A7C15)
+_MUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    Returns (cand_len int32[nc, n], cand_dist int64[nc, n]); slot k is
-    the (k+1)-nearest, so distances grow with k and any prefix length
-    is realizable at the smallest listed distance that covers it.
+
+def candidates_topk(data: np.ndarray, max_distance: int, nc: int):
+    """Per-position nearest same-prefix prior occurrences, tiered by
+    prefix length (see _CAND_LEVELS).
+
+    Returns (cand_len int32[S, n], cand_dist int64[S, n]); within a
+    level, slot k is the (k+1)-nearest, so distances grow with k and
+    any prefix length is realizable at the smallest listed distance
+    that covers it.
     """
     n = len(data)
-    cand_len = np.zeros((nc, n), np.int32)
-    cand_dist = np.zeros((nc, n), np.int64)
-    if n < 8:
+    nslots = sum(nc if k is None else k for _, k, _ in _CAND_LEVELS)
+    cand_len = np.zeros((nslots, n), np.int32)
+    cand_dist = np.zeros((nslots, n), np.int64)
+    if n < 24:
         return cand_len, cand_dist
-    npos = n - 3
-    h = hash4(data, 18)
-    order = np.argsort(h, kind="stable").astype(np.int64)
-    h_s = h[order]
     w8 = _w8(data)
-    pos_idx = np.arange(npos, dtype=np.int64)
-    for k in range(1, nc + 1):
-        cand = np.full(npos, -1, np.int64)
-        same = h_s[k:] == h_s[:-k]
-        cand[order[k:]] = np.where(same, order[:-k], -1)
-        dist = pos_idx - cand
-        valid = (cand >= 0) & (dist <= max_distance)
-        mlen = _capped_len(w8, pos_idx, cand, valid)
-        mlen = np.minimum(mlen, (n - pos_idx).astype(np.int32))
-        cand_len[k - 1, :npos] = np.where(valid, mlen, 0)
-        cand_dist[k - 1, :npos] = np.where(valid, dist, 0)
+    row = 0
+    for plen, k, cap in _CAND_LEVELS:
+        k = nc if k is None else k
+        npos = n - (plen - 1) - 1
+        if npos <= 0:
+            row += k
+            continue
+        if plen == 4:
+            h = hash4(data, 18)[:npos]
+        elif plen == 8:
+            h = ((w8[:npos] * _MUL1) >> np.uint64(44)).astype(np.int64)
+        else:
+            h = (((w8[:npos] * _MUL1) ^ (w8[8:npos + 8] * _MUL2))
+                 >> np.uint64(44)).astype(np.int64)
+        order = np.argsort(h, kind="stable").astype(np.int64)
+        h_s = h[order]
+        pos_idx = np.arange(npos, dtype=np.int64)
+        for j in range(1, k + 1):
+            cand = np.full(npos, -1, np.int64)
+            same = h_s[j:] == h_s[:-j]
+            cand[order[j:]] = np.where(same, order[:-j], -1)
+            dist = pos_idx - cand
+            valid = (cand >= 0) & (dist <= max_distance)
+            mlen = _capped_len(w8, pos_idx, cand, valid, cap)
+            mlen = np.minimum(mlen, (n - pos_idx).astype(np.int32))
+            cand_len[row, :npos] = np.where(valid, mlen, 0)
+            cand_dist[row, :npos] = np.where(valid, dist, 0)
+            row += 1
     return cand_len, cand_dist
 
 
@@ -183,28 +217,36 @@ class CostModel:
             uq = np.minimum(u * QB, 24 * QB).astype(np.int64)
             self.litq = (self.litq + uq) // 2
 
-        # copy-code cost: marginal copy-code bits plus the *measured*
-        # insert-side share of the joint command symbol (joint entropy
-        # minus copy-marginal entropy over this parse's actual commands)
+        # per-copy-code command cost: marginal copy-code bits plus the
+        # measured insert-side share of the joint command symbol (joint
+        # entropy minus copy-marginal entropy over this parse's actual
+        # commands). An exact insert-run-aware joint table was tried
+        # and measured WORSE realized sizes (+3.5% on plrabn12): the
+        # writer's block splitting and clustering reward parses the
+        # joint model penalizes, so the flat insert share calibrates
+        # better against what actually emits.
         from . import bitstream
         ccode, _, cbits = bitstream._encode_values(
             np.maximum(lens, 2), prefix.COPY_BASE, prefix.COPY_EXTRA)
         cc_hist = np.bincount(ccode, minlength=24).astype(np.float64) + 0.2
         cc_p = cc_hist / cc_hist.sum()
-        ins_share = 3.0
+        jh = np.zeros((24, 24), np.float64)
         if len(m) > 16:
             prev_end = np.concatenate([[0], (m + lens)[:-1]])
             ins_lens = np.maximum(m - prev_end, 0)
             icode, _, _ = bitstream._encode_values(
                 ins_lens, prefix.INSERT_BASE, prefix.INSERT_EXTRA)
-            syms = bitstream._combine_codes(
-                icode, ccode, np.zeros(len(m), bool))
-            jh = np.bincount(syms, minlength=704).astype(np.float64)
-            jp = jh / jh.sum()
-            joint_avg = float(-(jp[jh > 0] * np.log2(jp[jh > 0])).sum())
-            copy_avg = float(-(cc_p * np.log2(cc_p)).sum())
-            ins_share = max(joint_avg - copy_avg, 0.5)
-        self.cc_bits = -np.log2(cc_p) + ins_share
+            np.add.at(jh, (icode, ccode), 1.0)
+        ic_hist = jh.sum(axis=1) + 0.2
+        ic_p = ic_hist / ic_hist.sum()
+        jp = (jh + 8.0 * np.outer(ic_p, cc_p)) / (jh.sum() + 8.0)
+        joint_bits = -np.log2(jp)
+        self.cc_bits = -np.log2(cc_p) + float(
+            (joint_bits * jp).sum() - -(cc_p * np.log2(cc_p)).sum())
+        # command cost per copy code, extras + per-command floor
+        # included (indexed by the code of the possibly-truncated edge)
+        self.cq = ((self.cc_bits + np.asarray(prefix.COPY_EXTRA)) *
+                   QB).astype(np.int64) + CMD_BASE_Q
         self.copyq = self.copy_cost_q(np.arange(CAPQ + 1))
         self.copyq[:2] = 1 << 30
 
@@ -238,14 +280,24 @@ class CostModel:
                 QB).astype(np.int64)
 
 
-def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic):
+def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic,
+                edge_ccode, cq):
     """Lock-step DP over ceil(n/B) independent blocks.
 
-    edge_len: int32[nslots, n], edge_cost_q: int64[nslots, n] (cost of
-    taking the full edge; truncation re-costs by copy length delta are
-    ignored -- the copy table is monotone enough), edge_atomic:
-    bool[nslots] (edge may not be truncated at a block boundary).
-    Returns packed int64[nb, B+1] backtrack array: (len << 7) | slot.
+    edge_len: int32[nslots, n], edge_cost_q: int64[nslots, n] (distance
+    cost of the edge; the command-symbol part is added per relaxed
+    length from `cq`), edge_atomic: bool[nslots] (edge may not be
+    truncated), edge_ccode: int64[nslots, n] copy code override for
+    atomic (dictionary) edges whose emitted code differs from the
+    output span, cq: int64[24] command cost per copy code (symbol +
+    copy extras + floor).
+
+    Besides the full edge, each edge is re-relaxed at the truncation
+    stops in _TRUNC_STOPS -- any prefix of a match is a valid match,
+    and stopping early lets the parse land exactly on a later match
+    start (the all-lengths relaxation of the reference zopfli DP,
+    c/enc/backward_references_hq.c UpdateNodes, reduced to a geometric
+    stop set). Returns packed int64[nb, B+1]: (len << 7) | slot.
     """
     nslots = edge_len.shape[0]
     assert nslots <= 128 and MAX_EDGE < (1 << 11)
@@ -258,12 +310,23 @@ def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic):
     elen[:, :n] = edge_len[:, :n]
     ecost = np.full((nslots, npad), 1 << 40, np.int64)
     ecost[:, :n] = edge_cost_q[:, :n]
+    eccode = np.zeros((nslots, npad), np.int64)
+    eccode[:, :n] = edge_ccode[:, :n]
+    # copy length -> copy code LUT (lengths clamp at the table top)
+    ccode_lut = (np.searchsorted(
+        prefix.COPY_BASE, np.arange(MAX_EDGE + 1, dtype=np.int64),
+        side="right") - 1).astype(np.int64)
+    ccode_lut[0] = ccode_lut[1] = 0
     INF = np.int64(1) << 62
     # node value: (cost << 18) | (len << 7) | slot ; literal step has
     # len 0 (slot unused)
     val = np.full((nb, B + 1), INF, np.int64)
     val[:, 0] = 0
+    valf = val.ravel()
     bidx = np.arange(nb, dtype=np.int64)
+    slot_id = np.arange(nslots, dtype=np.int64)[:, None]
+    row_base = (bidx * (B + 1))[None, :]
+    atom = edge_atomic[:, None]
     for i in range(B):
         cur = val[:, i]
         cost = cur >> 18
@@ -273,22 +336,34 @@ def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic):
         val[:, i + 1] = np.minimum(val[:, i + 1],
                                    np.where(reachable, lv, INF))
         gpos = bidx * B + i
-        for s in range(nslots):
-            l = elen[s, gpos].astype(np.int64)
-            lim = B - i
-            if edge_atomic[s]:
-                l = np.where(l > lim, 0, l)
-            else:
-                l = np.minimum(l, lim)
-            ok = reachable & (l >= 2)
+        lim = B - i
+        L = elen[:, gpos].astype(np.int64)           # (nslots, nb)
+        L = np.where(atom & (L > lim), 0, np.minimum(L, lim))
+        base = cost[None, :] + ecost[:, gpos]
+        # relax the full edge plus truncated stops: a shorter copy of
+        # the same match is valid and lets the parse land exactly on a
+        # later match start (the all-lengths relaxation of the
+        # reference zopfli DP, reduced to a geometric stop set)
+        for t in _TRUNC_STOPS:
+            l = np.minimum(L, t)
+            ok = reachable[None, :] & (l >= 2)
+            if t is not _TRUNC_STOPS[0]:
+                # only re-relax when actually shorter than full
+                ok &= (L > t) & ~atom
             if not ok.any():
                 continue
+            # dictionary rows: the copy CODE is the base word length
+            # (carried in edge_ccode), not the transformed output span
+            if t is _TRUNC_STOPS[0]:
+                cc = np.where(atom, eccode[:, gpos], ccode_lut[l])
+            else:
+                cc = ccode_lut[l]
+            cmdq = cq[cc]
             tgt = i + np.where(ok, l, 1)
             v = np.where(ok,
-                         ((cost + ecost[s, gpos]) << 18) | (l << 7) | s,
+                         ((base + cmdq) << 18) | (l << 7) | slot_id,
                          INF)
-            old = val[bidx, tgt]
-            val[bidx, tgt] = np.minimum(old, v)
+            np.minimum.at(valf, row_base + tgt, v)
     return val
 
 
@@ -357,11 +432,11 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
                                        num_candidates=4, use_dict=True,
                                        base=base)
     m, lens, dists, flags = seed
-    SLOT_CACHE = nc
-    SLOT_DICT, SLOT_SEED = nc + NCACHE, nc + NCACHE + 1
-    nslots = nc + NCACHE + 2
-
     cand_len, cand_dist = candidates_topk(data, max_distance, nc)
+    ncs = cand_len.shape[0]
+    SLOT_CACHE = ncs
+    SLOT_DICT, SLOT_SEED = ncs + NCACHE, ncs + NCACHE + 1
+    nslots = ncs + NCACHE + 2
     # static-dictionary probe at every position (vectorized)
     pos_all = np.arange(max(n - MIN_MATCH, 0), dtype=np.int64)
     dlen, dwlen, didx, dtr = static_dict.probe(data, pos_all)
@@ -390,17 +465,26 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
             cache_dist[s] = np.where(ring4[0] > 0, ring4[0] + off, 0)
         cache_len = cache_probes(data, cache_dist)
 
+        def _ccode(lens_):
+            return (np.searchsorted(prefix.COPY_BASE,
+                                    np.maximum(lens_, 2),
+                                    side="right") - 1).astype(np.int64)
+
+        # edge costs carry the DISTANCE side only; the command-symbol
+        # cost (joint insert x copy code + extras) is added inside the
+        # DP from the tracked insert run
         edge_len = np.zeros((nslots, n), np.int32)
         edge_cost = np.full((nslots, n), 1 << 40, np.int64)
-        for k in range(nc):
-            el = np.minimum(cand_len[k], CAPQ)
+        edge_ccode = np.zeros((nslots, n), np.int64)
+        for k in range(ncs):
+            el = np.minimum(cand_len[k], MAX_EDGE)
             edge_len[k] = el
-            dc = cm.dist_cost_q(cand_dist[k])
-            edge_cost[k] = (cm.copyq[np.minimum(el, CAPQ)] + dc +
-                            CMD_BASE_Q)
+            edge_ccode[k] = _ccode(el)
+            edge_cost[k] = cm.dist_cost_q(cand_dist[k])
         for s in range(NCACHE):
             el = np.minimum(cache_len[s], CAPQ)
             edge_len[SLOT_CACHE + s] = el
+            edge_ccode[SLOT_CACHE + s] = _ccode(el)
             # a ring edge realizes short code s only when the emission
             # ring (simulated exactly by plan_commands) lines up, and
             # this parse's ring will differ from the previous parse's
@@ -411,16 +495,13 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
             expl = cm.dist_cost_q(np.maximum(cache_dist[s], 1))
             disc = int((CACHE_DISC_RING if s < 4 else CACHE_DISC_NEAR)
                        * QB)
-            edge_cost[SLOT_CACHE + s] = (
-                cm.copyq[np.minimum(el, CAPQ)] +
-                np.maximum(expl - disc, QB) + CMD_BASE_Q)
+            edge_cost[SLOT_CACHE + s] = np.maximum(expl - disc, QB)
         # edge length = transformed OUTPUT length (prefix/suffix forms
         # may exceed the base word length); the copy CODE spans the
         # base word length, so that is what the command-symbol costs
         edge_len[SLOT_DICT] = np.minimum(dict_len, MAX_EDGE)
-        edge_cost[SLOT_DICT] = (
-            cm.copy_cost_q(np.maximum(dict_wlen, 2)) +
-            cm.dist_cost_q(np.maximum(dict_dist, 1)) + CMD_BASE_Q)
+        edge_ccode[SLOT_DICT] = _ccode(dict_wlen)
+        edge_cost[SLOT_DICT] = cm.dist_cost_q(np.maximum(dict_dist, 1))
         # previous parses' LZ matches at full length (up to the packing
         # limit): the honest way long matches enter the DP -- candidate
         # and cache edges are length-capped. Accumulated across
@@ -432,19 +513,19 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
                                    MAX_EDGE).astype(np.int32)
         seed_dist[upd] = dists[lz][keep_new]
         edge_len[SLOT_SEED] = seed_len
-        edge_cost[SLOT_SEED] = (
-            cm.copy_cost_q(np.maximum(seed_len, 2)) +
-            cm.dist_cost_q(np.maximum(seed_dist, 1)) + CMD_BASE_Q)
+        edge_ccode[SLOT_SEED] = _ccode(seed_len)
+        edge_cost[SLOT_SEED] = cm.dist_cost_q(np.maximum(seed_dist, 1))
         atomic = np.zeros(nslots, bool)
         atomic[SLOT_DICT] = True
 
-        val = _blocked_dp(n, cm.litq, edge_len, edge_cost, atomic)
+        val = _blocked_dp(n, cm.litq, edge_len, edge_cost, atomic,
+                          edge_ccode, cm.cq)
         p, ln, slot = _backtrack(val, n)
 
         # resolve slot -> distance/flag
         d = np.zeros(len(p), np.int64)
         f = np.zeros(len(p), np.int64)
-        for k in range(nc):
+        for k in range(ncs):
             sel = slot == k
             d[sel] = cand_dist[k, p[sel]]
         for s in range(NCACHE):
