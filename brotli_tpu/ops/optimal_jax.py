@@ -4,14 +4,16 @@ The host DP in enc/optimal.py is the semantics reference; this is the
 same blocked wavefront mapped to XLA primitives so the whole parse
 stays on device:
 
-  * candidates come from one multi-operand sort (sort-carry, like
-    ops/matcher_jax.py) -- positions plus 32 bytes of data ride the
-    sort, so the k nearest prior same-hash occurrences and their capped
-    match lengths are shifted-vector compares, no gathers;
+  * candidates come from tiered multi-operand sorts (sort-carry, like
+    ops/matcher_jax.py) -- positions plus 32 bytes of data ride each
+    sort, so the k nearest prior occurrences sharing a 4/8/16-byte
+    prefix and their capped match lengths are shifted-vector compares,
+    no gathers (see LEVELS);
   * the DP is a lax.scan over in-block position i with the block axis
     as the vector dimension. All edges are <= W-1 long, so relaxation
     targets live in a rolling (nb, W) cost window carried through the
-    scan; per-slot updates are one-hot masks over W -- pure VPU work,
+    scan; per-slot updates are length-range masks over W (every prefix
+    of a match relaxes, priced per landed length) -- pure VPU work,
     zero scatter/gather in the loop;
   * long matches enter as *continuation* edges: every position inside a
     previous-parse match gets an edge (min(W-1, end-i), dist). Chunks
@@ -36,10 +38,17 @@ ensure_cache()
 import numpy as np
 
 HASH_MUL = np.uint32(0x1E35A7BD)
+HASH_MUL2 = np.uint32(0x9E3779B1)
 CAPD = 32         # candidate match-length cap (8 carried words)
 W = 64            # DP window: max edge length W-1
 B = 4096          # DP block size (hard parse boundary)
-NCD = 32          # device candidate slots
+NCD = 16          # device candidate slots, 4-byte-prefix level
+# hierarchical candidate levels (prefix bytes, slots): common 4-grams
+# flood a single-hash nearest-k list and hide longer matches farther
+# back; longer-prefix levels guarantee any length-P match survives
+# unless > k same-prefix occurrences intervene (mirrors the host DP's
+# _CAND_LEVELS / the reference binary-tree hasher's longest-match role)
+LEVELS = ((4, NCD), (8, 8), (16, 4))
 QB = 16           # cost quantization (1/16 bit), matches host DP
 SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
                   # (expensive) kernel compile count at one; long-range
@@ -82,37 +91,28 @@ def _dist_cost_q(dist, dist_sym_bits_q):
     return dist_sym_bits_q[sym] + nbits * QB
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates",))
-def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
-                  dist_sym_bits_q, seed_pos, seed_len, seed_dist,
-                  num_candidates: int = NCD):
-    """Candidates (sort-carry) + continuation edges + literal costs,
-    emitted in blocked (B, nslots, nb) layout for the DP scan."""
-    n = data.shape[0]
-    d32 = data.astype(jnp.uint32)
-    nw = CAPD // 4
-    w = [None] * nw
-    w[0] = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
-        jnp.roll(d32, -3) << 24
-    for r in range(1, nw):
-        w[r] = jnp.roll(w[0], -4 * r)
+def _level_candidates(w, pos, npos, max_distance, nslots, hval):
+    """One prefix level's nearest-k candidates via sort-carry.
+
+    hval: uint32 hash of this level's prefix (17 significant bits).
+    Returns a list of nslots packed (len<<25 | dist) arrays in
+    position order."""
+    n = pos.shape[0]
+    nw = len(w)
     # single packed sort key: 17-bit hash | coarse position. Variadic
     # 2-key sorts compile ~20x slower on this backend, and coarse
     # in-bucket ordering only shuffles which k a neighbor lands at
     # (validity is re-checked with dist > 0).
-    h = (w[0] * HASH_MUL) >> jnp.uint32(15)
-    pos = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(pos < npos,
-                    (h << 14) | (pos.astype(jnp.uint32) >> 9),
+                    (hval << 14) | (pos.astype(jnp.uint32) >> 9),
                     jnp.uint32(1 << 31) | pos.astype(jnp.uint32))
     key_s, pos_u, *w_s = jax.lax.sort(
         (key, pos.astype(jnp.uint32)) + tuple(w), num_keys=1)
     h_s = key_s >> 14  # padding rows keep the high bit -> never equal
     pos_s = pos_u.astype(jnp.int32)
 
-    # per-candidate (len, dist) packed u32, in sorted order
     packed_s = []
-    for k in range(1, num_candidates + 1):
+    for k in range(1, nslots + 1):
         same = (h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))) & \
             (key_s < (jnp.uint32(1) << 31))
         dist = pos_s - _shift_up(pos_s, k, jnp.int32(-1))
@@ -136,6 +136,39 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
         back = jax.lax.sort((pos_u,) + tuple(packed_s[j:j + 8]),
                             num_keys=1)
         cand_packed.extend(back[1:])
+    return cand_packed
+
+
+@jax.jit
+def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
+                  dist_sym_bits_q, seed_pos, seed_len, seed_dist):
+    """Candidates (tiered sort-carry levels) + continuation edges +
+    literal costs, emitted in blocked (B, nslots, nb) layout for the
+    DP scan."""
+    n = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    nw = CAPD // 4
+    w = [None] * nw
+    w[0] = d32 | jnp.roll(d32, -1) << 8 | jnp.roll(d32, -2) << 16 | \
+        jnp.roll(d32, -3) << 24
+    for r in range(1, nw):
+        w[r] = jnp.roll(w[0], -4 * r)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cand_packed = []
+    for plen, k in LEVELS:
+        if plen == 4:
+            hval = (w[0] * HASH_MUL) >> jnp.uint32(15)
+        elif plen == 8:
+            hval = ((w[0] * HASH_MUL) ^ (w[1] * HASH_MUL2)) >> \
+                jnp.uint32(15)
+        else:
+            hval = ((w[0] * HASH_MUL) ^ (w[1] * HASH_MUL2) ^
+                    (w[2] * jnp.uint32(0x85EBCA77)) ^
+                    (w[3] * jnp.uint32(0xC2B2AE3D))) >> jnp.uint32(15)
+        lvl_npos = jnp.maximum(npos - (plen - 4), 0)
+        cand_packed.extend(_level_candidates(
+            w, pos, lvl_npos, max_distance, k, hval))
+    num_candidates = len(cand_packed)
 
     # continuation edges from seed matches: scatter (end, dist) at each
     # match start, then forward-fill over the interior. Seed matches
@@ -160,9 +193,12 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
     litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
 
-    # per-slot edge (len, costq), flat (nslots, n); one transpose to
-    # the scan's (B, nslots, nb) layout at the end (layout passes choke
-    # on many small per-slot transposes)
+    # per-slot edge (len, dist-costq), flat (nslots, n); one transpose
+    # to the scan's (B, nslots, nb) layout at the end (layout passes
+    # choke on many small per-slot transposes). The copy-code side of
+    # the command cost is added per relaxed length inside the scan --
+    # the rolling W-window gives the all-length relaxation of the
+    # reference zopfli DP for free (the length axis IS the window).
     nb = n // B
     slots_len = []
     slots_cost = []
@@ -171,13 +207,13 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
         le = jnp.minimum(le, W - 1)
         di = (cand_packed[k] & jnp.uint32((1 << 25) - 1)).astype(
             jnp.int32)
-        cost = copyq[le] + _dist_cost_q(di, dist_sym_bits_q)
+        cost = _dist_cost_q(di, dist_sym_bits_q)
         slots_len.append(le)
         slots_cost.append(jnp.where(le >= 2, cost, 1 << 28))
-    # continuation slot, priced as a full command: if chunks of a long
-    # match end up adjacent they coalesce after backtracking, so the
-    # real cost is at most the modeled cost (never a broken promise)
-    ccost = copyq[cont_len] + _dist_cost_q(cont_dist, dist_sym_bits_q)
+    # continuation slot: if chunks of a long match end up adjacent they
+    # coalesce after backtracking, so the real cost is at most the
+    # modeled cost (never a broken promise)
+    ccost = _dist_cost_q(cont_dist, dist_sym_bits_q)
     slots_len.append(jnp.where(cont_dist > 0, cont_len, 0))
     slots_cost.append(jnp.where((cont_len >= 2) & (cont_dist > 0),
                                 ccost, 1 << 28))
@@ -202,14 +238,20 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
 
 
 @jax.jit
-def _scan_kernel(pd_all, cs_all, litq_b):
+def _scan_kernel(pd_all, cs_all, litq_b, copyq):
     """The DP wavefront: lax.scan over in-block position, blocks as
-    the vector axis, relaxation into a rolling (nb, W) window. Edge
-    payloads are len<<25|dist; min-reduction over a packed int64
-    (cost<<32 | payload) keeps the winning payload with the cost."""
+    the vector axis, relaxation into a rolling (nb, W) window.
+
+    Every PREFIX length 2..len of an edge relaxes in the same step: the
+    window columns are exactly the candidate lengths, so the one-hot
+    equality mask becomes a <= range mask and each column c prices as
+    dist_cost + copyq[c] (the all-length relaxation of the reference
+    zopfli UpdateNodes, exact on device). Edge payloads are
+    len<<25|dist with len = the landed column."""
     nb = litq_b.shape[1]
     INF = jnp.int32(1 << 30)
     iota_w = jnp.arange(W, dtype=jnp.int32)
+    copyq_w = copyq[jnp.minimum(iota_w, copyq.shape[0] - 1)]
 
     def step(carry, xs):
         F, P = carry  # (nb, W) cost, payload
@@ -221,17 +263,21 @@ def _scan_kernel(pd_all, cs_all, litq_b):
         upd = lv < F[:, 1]
         F = F.at[:, 1].set(jnp.where(upd, lv, F[:, 1]))
         P = P.at[:, 1].set(jnp.where(upd, 0, P[:, 1]))
-        # all slots at once: scatter each edge into its target column
-        # via a one-hot mask, min-reduce cost over the slot axis, then
-        # recover the winner's payload with a second masked reduction
-        # (no int64: x64 mode is off)
+        # all slots at once: each edge relaxes every window column up
+        # to its length (range mask), min-reduce cost over the slot
+        # axis, then recover the winner's payload with a second masked
+        # reduction (no int64: x64 mode is off)
         ls = pd >> 25                                 # (nslots, nb)
+        di = pd & jnp.int32((1 << 25) - 1)
         v = cost_i[None, :] + cs                      # (nslots, nb)
-        hit = iota_w[None, None, :] == ls[:, :, None]  # (nslots, nb, W)
-        M = jnp.where(hit, v[:, :, None], INF)
+        hit = (iota_w[None, None, :] <= ls[:, :, None]) & \
+            (iota_w[None, None, :] >= 2)              # (nslots, nb, W)
+        M = jnp.where(hit, v[:, :, None] + copyq_w[None, None, :], INF)
         minv = M.min(axis=0)                          # (nb, W)
-        # payload sentinel must exceed any real len<<25|dist packing
-        PM = jnp.where(M == minv[None, :, :], pd[:, :, None],
+        # per-column payload: landed length | the edge's distance;
+        # sentinel must exceed any real len<<25|dist packing
+        paycol = (iota_w[None, None, :] << 25) | di[:, :, None]
+        PM = jnp.where(M == minv[None, :, :], paycol,
                        jnp.int32(0x7FFFFFFF))
         pay = PM.min(axis=0)
         better = minv < F
@@ -287,21 +333,20 @@ def _finish_kernel(paymat, npos):
 
 
 def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
-                   dist_sym_bits_q, seed_pos, seed_len, seed_dist,
-                   num_candidates: int = NCD):
+                   dist_sym_bits_q, seed_pos, seed_len, seed_dist):
     """One segment's optimal parse, entirely on device (three jits;
     intermediates never leave the chip). See module docstring."""
     pd_all, cs_all, litq_b = _edges_kernel(
         data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
-        seed_pos, seed_len, seed_dist, num_candidates=num_candidates)
-    paymat = _scan_kernel(pd_all, cs_all, litq_b)
+        seed_pos, seed_len, seed_dist)
+    paymat = _scan_kernel(pd_all, cs_all, litq_b, copyq)
     return _finish_kernel(paymat, npos)
 
 
 def _cost_tables(data: np.ndarray, seed):
     """Host-side cost tables from the seed parse (a few KB; avoids
     CostModel's per-position arrays -- the device computes those)."""
-    from ..enc.optimal import (QB as QBH, CMD_BASE_Q, _dist_sym_extra)
+    from ..enc.optimal import QB as QBH, CMD_BASE_Q
     from ..format import context as ctx
     from ..format import prefix
     from ..enc import bitstream
@@ -350,10 +395,15 @@ def _cost_tables(data: np.ndarray, seed):
         return ((cc_bits[lc] + prefix.COPY_EXTRA[lc]) * QBH).astype(
             np.int64)
     cm.copy_cost_q = copy_cost_q
-    expl = (flags == 0) | (flags == 1)
-    if np.any(expl):
-        dsym, _ = _dist_sym_extra(np.maximum(dists[expl], 1))
-        dh = np.bincount(dsym, minlength=64).astype(np.float64)
+    # distance-symbol cost from the seed parse's ACTUAL emission (ring
+    # codes included), matching the host CostModel: replay through
+    # plan_commands so short codes 0-15 carry learned costs
+    from ..enc.matcher import matches_to_commands
+    if len(m):
+        cmds = matches_to_commands(m, lens, dists, flags, 0, n)
+        plan, _ = bitstream.plan_commands(*cmds[:3], None, cmds[3])
+        dsym = plan["dist_syms"][plan["has_dist"]]
+        dh = np.bincount(dsym, minlength=64).astype(np.float64)[:64]
     else:
         dh = np.zeros(64, np.float64)
     dh += 0.2
