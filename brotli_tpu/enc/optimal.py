@@ -176,11 +176,10 @@ def _dist_sym_extra(dists: np.ndarray):
     """(dist code >= 16, extra bits) for explicit distances
     (npostfix = ndirect = 0)."""
     d = dists.astype(np.int64) - 1
-    nbits = np.zeros(len(d), np.int64)
-    tmp = (d + 4) >> 2
-    while np.any(tmp):
-        nbits += tmp > 0
-        tmp >>= 1
+    # bit_length((d+4)>>2) via the float exponent (exact: values fit
+    # a double's 53-bit mantissa)
+    nbits = np.frexp(((d + 4) >> 2).astype(np.float64))[1].astype(
+        np.int64)
     half = ((d + 4 - (np.int64(1) << (nbits + 1))) >> nbits) & 1
     return 16 + (((nbits - 1) << 1) | half), nbits
 
@@ -303,15 +302,12 @@ def _blocked_dp(n, litq, edge_len, edge_cost_q, edge_atomic,
     assert nslots <= 128 and MAX_EDGE < (1 << 11)
     nb = (n + B - 1) // B
     npad = nb * B
+    assert edge_len.shape[1] == npad, "edge arrays must be pre-padded"
     litp = np.full(npad, 1 << 20, np.int64)
     litp[:n] = litq[:n]
     litp = litp.reshape(nb, B)
-    elen = np.zeros((nslots, npad), np.int32)
-    elen[:, :n] = edge_len[:, :n]
-    ecost = np.full((nslots, npad), 1 << 40, np.int64)
-    ecost[:, :n] = edge_cost_q[:, :n]
-    eccode = np.zeros((nslots, npad), np.int64)
-    eccode[:, :n] = edge_ccode[:, :n]
+    # pre-padded views (pad region has edge_len 0 -> never relaxed)
+    elen, ecost, eccode = edge_len, edge_cost_q, edge_ccode
     # copy length -> copy code LUT (lengths clamp at the table top)
     ccode_lut = (np.searchsorted(
         prefix.COPY_BASE, np.arange(MAX_EDGE + 1, dtype=np.int64),
@@ -471,20 +467,23 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
                                     side="right") - 1).astype(np.int64)
 
         # edge costs carry the DISTANCE side only; the command-symbol
-        # cost (joint insert x copy code + extras) is added inside the
-        # DP from the tracked insert run
-        edge_len = np.zeros((nslots, n), np.int32)
-        edge_cost = np.full((nslots, n), 1 << 40, np.int64)
-        edge_ccode = np.zeros((nslots, n), np.int64)
+        # cost is added per relaxed length inside the DP. Arrays are
+        # pre-padded to the DP's block grid (int32/uint8: these are
+        # the big allocations) -- pad region keeps edge_len 0.
+        nb_ = (n + B - 1) // B
+        npad_ = nb_ * B
+        edge_len = np.zeros((nslots, npad_), np.int32)
+        edge_cost = np.zeros((nslots, npad_), np.int32)
+        edge_ccode = np.zeros((nslots, npad_), np.uint8)
         for k in range(ncs):
             el = np.minimum(cand_len[k], MAX_EDGE)
-            edge_len[k] = el
-            edge_ccode[k] = _ccode(el)
-            edge_cost[k] = cm.dist_cost_q(cand_dist[k])
+            edge_len[k, :n] = el
+            edge_ccode[k, :n] = _ccode(el)
+            edge_cost[k, :n] = cm.dist_cost_q(cand_dist[k])
         for s in range(NCACHE):
             el = np.minimum(cache_len[s], CAPQ)
-            edge_len[SLOT_CACHE + s] = el
-            edge_ccode[SLOT_CACHE + s] = _ccode(el)
+            edge_len[SLOT_CACHE + s, :n] = el
+            edge_ccode[SLOT_CACHE + s, :n] = _ccode(el)
             # a ring edge realizes short code s only when the emission
             # ring (simulated exactly by plan_commands) lines up, and
             # this parse's ring will differ from the previous parse's
@@ -495,13 +494,15 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
             expl = cm.dist_cost_q(np.maximum(cache_dist[s], 1))
             disc = int((CACHE_DISC_RING if s < 4 else CACHE_DISC_NEAR)
                        * QB)
-            edge_cost[SLOT_CACHE + s] = np.maximum(expl - disc, QB)
+            edge_cost[SLOT_CACHE + s, :n] = np.maximum(expl - disc,
+                                                         QB)
         # edge length = transformed OUTPUT length (prefix/suffix forms
         # may exceed the base word length); the copy CODE spans the
         # base word length, so that is what the command-symbol costs
-        edge_len[SLOT_DICT] = np.minimum(dict_len, MAX_EDGE)
-        edge_ccode[SLOT_DICT] = _ccode(dict_wlen)
-        edge_cost[SLOT_DICT] = cm.dist_cost_q(np.maximum(dict_dist, 1))
+        edge_len[SLOT_DICT, :n] = np.minimum(dict_len, MAX_EDGE)
+        edge_ccode[SLOT_DICT, :n] = _ccode(dict_wlen)
+        edge_cost[SLOT_DICT, :n] = cm.dist_cost_q(
+            np.maximum(dict_dist, 1))
         # previous parses' LZ matches at full length (up to the packing
         # limit): the honest way long matches enter the DP -- candidate
         # and cache edges are length-capped. Accumulated across
@@ -512,9 +513,10 @@ def find_matches_optimal(data: np.ndarray, max_distance: int,
         seed_len[upd] = np.minimum(lens[lz][keep_new],
                                    MAX_EDGE).astype(np.int32)
         seed_dist[upd] = dists[lz][keep_new]
-        edge_len[SLOT_SEED] = seed_len
-        edge_ccode[SLOT_SEED] = _ccode(seed_len)
-        edge_cost[SLOT_SEED] = cm.dist_cost_q(np.maximum(seed_dist, 1))
+        edge_len[SLOT_SEED, :n] = seed_len
+        edge_ccode[SLOT_SEED, :n] = _ccode(seed_len)
+        edge_cost[SLOT_SEED, :n] = cm.dist_cost_q(
+            np.maximum(seed_dist, 1))
         atomic = np.zeros(nslots, bool)
         atomic[SLOT_DICT] = True
 
