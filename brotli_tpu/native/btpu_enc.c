@@ -795,11 +795,16 @@ typedef struct {
 #define CMD_DICT 0x80000000u /* adv top bit: no ring push */
 
 typedef struct {
-  uint32_t* head; /* [1<<hbits] last pos+1 for hash */
-  uint32_t* prev; /* [1<<chain_bits] previous pos+1 in chain */
+  /* bucket-ring hasher (role: c/enc/hash_longest_match_inc.h H5/H6):
+     each hash owns a small ring of the last `1<<block_bits` positions,
+     stored contiguously -- the candidate walk is a linear scan of one
+     or two cache lines instead of dependent loads through a
+     window-sized chain table */
+  uint32_t* bucket; /* [1<<hbits][1<<block_bits] pos+1 ring */
+  uint32_t* num;    /* [1<<hbits] insert counter per bucket */
   int hbits;
-  uint32_t chain_mask;
-  int depth;     /* chain walk budget */
+  int block_bits;
+  int depth;     /* candidate walk budget (<= 1<<block_bits) */
   int lazy;      /* lazy matching on */
   int use_dict;  /* static dictionary probing on */
   int min_len;
@@ -867,16 +872,19 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
       }
     }
   }
-  /* hash chain walk (positions strictly decrease; stale slots from the
-     wrapped chain table terminate the walk) */
+  /* bucket-ring walk, newest to oldest (positions in a bucket only
+     grow, so distances only grow -- the window check is a break) */
   uint32_t h = hash5(p, cfg->hbits);
-  uint32_t cur = cfg->head[h];
-  int depth = cfg->depth;
+  uint32_t cnt = cfg->num[h];
+  uint32_t bmask = (1u << cfg->block_bits) - 1;
+  const uint32_t* bk = cfg->bucket + ((size_t)h << cfg->block_bits);
+  uint32_t iters = cnt < bmask + 1u ? cnt : bmask + 1u;
+  if (iters > (uint32_t)cfg->depth) iters = (uint32_t)cfg->depth;
   size_t best_len = out->len > 4 ? out->len : 3;
-  while (cur && depth-- > 0) {
-    size_t cand = (size_t)cur - 1;
+  for (uint32_t i = 1; i <= iters; i++) {
+    size_t cand = (size_t)bk[(cnt - i) & bmask] - 1;
     size_t d = pos - cand;
-    if (d == 0 || d > maxd) break;
+    if (d > maxd) break;
     const uint8_t* q = data + cand;
     if (best_len >= limit) break;
     if (q[best_len] == p[best_len]) {
@@ -891,10 +899,6 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
         }
       }
     }
-    if (cand == 0) break;
-    uint32_t nxt = cfg->prev[cand & cfg->chain_mask];
-    if (nxt >= cur) break;
-    cur = nxt;
   }
   if (out->len < (size_t)cfg->min_len) {
     out->len = 0;
@@ -906,8 +910,11 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
 static inline void insert_hash(const uint8_t* data, size_t pos,
                                const MatchCfg* cfg) {
   uint32_t h = hash5(data + pos, cfg->hbits);
-  cfg->prev[pos & cfg->chain_mask] = cfg->head[h];
-  cfg->head[h] = (uint32_t)(pos + 1);
+  uint32_t cnt = cfg->num[h];
+  cfg->bucket[((size_t)h << cfg->block_bits) +
+              (cnt & ((1u << cfg->block_bits) - 1))] =
+      (uint32_t)(pos + 1);
+  cfg->num[h] = cnt + 1;
 }
 
 /* ---------- command planning + emission ---------- */
@@ -1289,10 +1296,16 @@ static void put_stream_header(BW* bw, int wbits) {
 
 /* quality -> matcher parameters */
 static void cfg_for_quality(MatchCfg* cfg, int q) {
-  cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : 18;
+  /* hash width swept on the 16MB corpus: the 15-bit tables keep the
+     whole bucket array cache-resident (q5: 207 vs 144 MB/s for +0.5%
+     size; q9: 105 vs 93); q6-7's deeper walk prefers 16 bits */
+  cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : q <= 5 ? 15 : q <= 7 ? 16
+                                                            : 15;
   /* q5 depth 8: +40% throughput for ~1% size on the 16MB corpus
      (still 8-9% smaller than reference q5 output) */
   cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 8 : q <= 7 ? 32 : 48;
+  cfg->block_bits = q <= 1 ? 0 : q <= 3 ? 2 : q <= 5 ? 3 : q <= 7 ? 5
+                                                              : 6;
   cfg->lazy = q >= 2;
   cfg->use_dict = q >= 5;
   cfg->min_len = 4;
@@ -1345,20 +1358,13 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
     cfg.use_dict = 0;
   }
   size_t hsize = (size_t)1 << cfg.hbits;
-  size_t win = (size_t)1 << (lgwin < 22 ? lgwin : 22);
-  if (win > n) { /* shrink chain table for small inputs */
-    win = 16;
-    while (win < n) win <<= 1;
-  }
-  cfg.chain_mask = (uint32_t)(win - 1);
-  cfg.head = (uint32_t*)calloc(hsize, sizeof(uint32_t));
-  cfg.prev = cfg.depth > 1 ? (uint32_t*)calloc(win, sizeof(uint32_t))
-                           : (uint32_t*)calloc(16, sizeof(uint32_t));
-  if (cfg.depth <= 1) cfg.chain_mask = 15;
+  cfg.bucket = (uint32_t*)calloc(hsize << cfg.block_bits,
+                                 sizeof(uint32_t));
+  cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
   size_t cmd_cap = 1 << 16;
   Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * cmd_cap);
   int rc = 0;
-  if (!cfg.head || !cfg.prev || !cmds || !e.pm.w || !e.pm.leaf) {
+  if (!cfg.bucket || !cfg.num || !cmds || !e.pm.w || !e.pm.leaf) {
     rc = EERR_ALLOC;
     goto done;
   }
@@ -1547,8 +1553,8 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
   }
 
 done:
-  free(cfg.head);
-  free(cfg.prev);
+  free(cfg.bucket);
+  free(cfg.num);
   free(cmds);
   free(e.plan);
   free(e.pm.w);
@@ -1632,16 +1638,15 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
     S->cfg.use_dict = 0;
   }
   size_t hsize = (size_t)1 << S->cfg.hbits;
-  size_t win = (size_t)1 << (lgwin < 22 ? lgwin : 22);
-  S->cfg.chain_mask = (uint32_t)(win - 1);
-  S->cfg.head = (uint32_t*)calloc(hsize, sizeof(uint32_t));
-  S->cfg.prev = (uint32_t*)calloc(win, sizeof(uint32_t));
+  S->cfg.bucket = (uint32_t*)calloc(hsize << S->cfg.block_bits,
+                                    sizeof(uint32_t));
+  S->cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
   S->cmd_cap = 1 << 12;
   S->cmds = (Cmd*)malloc(sizeof(Cmd) * S->cmd_cap);
-  if (!S->e.pm.w || !S->e.pm.leaf || !S->cfg.head || !S->cfg.prev ||
+  if (!S->e.pm.w || !S->e.pm.leaf || !S->cfg.bucket || !S->cfg.num ||
       !S->cmds) {
-    free(S->e.pm.w); free(S->e.pm.leaf); free(S->cfg.head);
-    free(S->cfg.prev); free(S->cmds); free(S);
+    free(S->e.pm.w); free(S->e.pm.leaf); free(S->cfg.bucket);
+    free(S->cfg.num); free(S->cmds); free(S);
     return NULL;
   }
   return S;
@@ -1651,7 +1656,7 @@ void btpu_enc_free_stream(void* p) {
   EncStream* S = (EncStream*)p;
   if (!S) return;
   free(S->e.pm.w); free(S->e.pm.leaf); free(S->e.plan);
-  free(S->cfg.head); free(S->cfg.prev);
+  free(S->cfg.bucket); free(S->cfg.num);
   free(S->cmds); free(S->buf); free(S->e.bw.buf);
   free(S);
 }
