@@ -82,9 +82,13 @@ def cluster_histograms(hists: np.ndarray, max_trees: int,
         sub_assign = np.zeros(k, np.int64)
         sub_hists = []
         offset = 0
+        # pre-cluster budget must be < slice_sz so every level shrinks
+        # the survivor set (a budget >= slice_sz can leave all rows
+        # unmerged -> the joint call recurses on the same k forever)
+        pre_budget = min(max(max_trees, 16), slice_sz // 2)
         for lo in range(0, k, slice_sz):
             a, h = cluster_histograms(hists[lo:lo + slice_sz],
-                                      max(max_trees, 16), table_cost_bits)
+                                      pre_budget, table_cost_bits)
             sub_assign[lo:lo + slice_sz] = a + offset
             offset += len(h)
             sub_hists.append(h)

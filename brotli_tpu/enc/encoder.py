@@ -46,8 +46,8 @@ def find_matches(arr, max_distance, quality, large=False):
     ncand = pol.num_candidates
     if pol.optimal_parse and len(arr) >= (1 << 18) and backend != "numpy":
         try:
-            import jax
-            if jax.default_backend() != "cpu":
+            from ..utils.jaxcfg import backend_or_cpu
+            if backend_or_cpu() != "cpu":
                 # device DP (zopfli role): candidates + wavefront DP +
                 # backtrack all on chip (ops/optimal_jax.py)
                 from ..ops.optimal_jax import find_matches_optimal_jax
@@ -136,8 +136,8 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
             and not base64_mode and not large and mode == 0
             and os.environ.get("BROTLI_TPU_BACKEND", "auto") != "numpy"):
         try:
-            import jax
-            if jax.default_backend() != "cpu":
+            from ..utils.jaxcfg import backend_or_cpu
+            if backend_or_cpu() != "cpu":
                 out = _encode_q11_streamed(bw, arr, n, maxback, quality,
                                            lgblock)
                 if len(out) >= n + 4:

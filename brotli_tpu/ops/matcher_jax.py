@@ -141,7 +141,8 @@ def match_block(data: jax.Array, npos: jax.Array, max_distance: jax.Array,
 
     # greedy parse: serial chain walk in a Pallas kernel (see
     # ops/chain_pallas.py); selm[i] = 1 iff the chain takes a match at i
-    if jax.default_backend() == "cpu":  # tests/dry runs: no Mosaic
+    from ..utils.jaxcfg import backend_or_cpu
+    if backend_or_cpu() == "cpu":  # tests/dry runs: no Mosaic
         from .chain_pallas import chain_select_xla
         selm = chain_select_xla(skip, n, start)
     else:
@@ -193,7 +194,8 @@ def find_matches_jax(data: np.ndarray, max_distance: int, quality: int = 1,
     extend cap-hit matches on host. Returns (pos, len, dist, flag)."""
     if use_dict is None:
         use_dict = quality >= 5
-    if jax.default_backend() == "cpu":
+    from ..utils.jaxcfg import backend_or_cpu
+    if backend_or_cpu() == "cpu":
         # CPU backend (tests): no Pallas; NumPy pipeline is equivalent
         from ..enc.matcher import find_matches_vectorized
         return find_matches_vectorized(

@@ -212,7 +212,11 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
         slots_cost.append(jnp.where(le >= 2, cost, 1 << 28))
     # continuation slot: if chunks of a long match end up adjacent they
     # coalesce after backtracking, so the real cost is at most the
-    # modeled cost (never a broken promise)
+    # modeled cost (never a broken promise). Measured A/B (8MB corpus,
+    # CPU backend): pricing interior chunks at ~epsilon instead of the
+    # full explicit-distance cost is size-neutral-to-worse -- the DP
+    # already rides long seeds at full pricing because local
+    # alternatives price no better.
     ccost = _dist_cost_q(cont_dist, dist_sym_bits_q)
     slots_len.append(jnp.where(cont_dist > 0, cont_len, 0))
     slots_cost.append(jnp.where((cont_len >= 2) & (cont_dist > 0),
@@ -543,8 +547,9 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         m = np.concatenate(all_m)
         lens = np.concatenate(all_l)
         dists = np.concatenate(all_d)
-        m, lens, dists, _f = _coalesce(m, lens, dists,
-                                       np.zeros(len(m), np.int64))
+        from ..enc.optimal import bridge_matches
+        m, lens, dists, _f = bridge_matches(arr, *_coalesce(
+            m, lens, dists, np.zeros(len(m), np.int64)))
     flags = np.zeros(len(m), np.int64)
     with trace.stage("dp.dict-post"):
         return add_dictionary_matches(arr, m, lens, dists, flags,
@@ -574,7 +579,7 @@ def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
     compute. Matches crossing a span boundary split here (metablock
     serialization splits them anyway); the dictionary post-pass runs
     per span."""
-    from ..enc.optimal import _coalesce
+    from ..enc.optimal import _coalesce, bridge_matches
     from ..enc.matcher import add_dictionary_matches, split_matches_at
 
     z = np.zeros(0, np.int64)
@@ -588,8 +593,8 @@ def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
             pm = np.concatenate([pm, mm])
             pl = np.concatenate([pl, ml])
             pd = np.concatenate([pd, md])
-            pm, pl, pd, _ = _coalesce(pm, pl, pd,
-                                      np.zeros(len(pm), np.int64))
+            pm, pl, pd, _ = bridge_matches(arr, *_coalesce(
+                pm, pl, pd, np.zeros(len(pm), np.int64)))
         while emitted < n:
             mb_hi = min(emitted + mb_size, n)
             if covered < mb_hi:

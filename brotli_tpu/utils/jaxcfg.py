@@ -28,3 +28,16 @@ def ensure_cache():
                           0.5)
     except Exception:
         pass
+
+
+def backend_or_cpu() -> str:
+    """The default backend name, degraded to "cpu" when the device
+    plugin fails to initialize (e.g. the TPU tunnel is down): encode
+    paths treat that exactly like a CPU-only machine and take the host
+    pipeline instead of crashing the call."""
+    import jax
+
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        return "cpu"

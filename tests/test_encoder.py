@@ -372,3 +372,51 @@ def test_cutoff_transform_matching(ref_cli, monkeypatch):
         rc, got = ref_decompress(ref_cli, comp)
         assert rc == 0 and got == doc, q
         assert brotli_tpu.decompress(comp) == doc
+
+
+def test_bridge_matches_merges_verified_gaps():
+    """bridge_matches fuses [copy@d][gap][copy@d] only when the gap
+    bytes re-match at distance d (enc/optimal.py; kills the DP's
+    1-byte chunk-grid holes on long repeats)."""
+    from brotli_tpu.enc.optimal import bridge_matches
+    data = np.frombuffer(b"abcdefgh" * 100, np.uint8)
+    m = np.array([8, 72, 136], np.int64)
+    lens = np.array([63, 63, 60], np.int64)
+    dists = np.array([8, 8, 8], np.int64)
+    flags = np.zeros(3, np.int64)
+    bm, bl, bd, bf = bridge_matches(data, m, lens, dists, flags)
+    assert list(bm) == [8] and list(bl) == [188] and list(bd) == [8]
+    # a gap byte that mismatches at d blocks that merge (the later
+    # pair, whose gap still verifies, fuses)
+    bad = data.copy()
+    bad[71] = 255
+    bm, bl, bd, bf = bridge_matches(bad, m, lens, dists, flags)
+    assert list(bm) == [8, 72] and list(bl) == [63, 124]
+    # dictionary refs (flags >= 2) never bridge
+    f2 = np.array([0, 2000, 0], np.int64)
+    bm, bl, bd, bf = bridge_matches(data, m, lens, dists, f2)
+    assert len(bm) == 3
+
+
+def test_bridge_matches_closes_repeat_holes_end_to_end():
+    """A repeat longer than the DP window must emit (near-)whole: the
+    encoded size of data+repeat should be barely above data alone."""
+    rng = np.random.default_rng(7)
+    base = bytes(rng.integers(32, 127, 1 << 16, dtype=np.uint8))
+    once = brotli_tpu.compress(base, quality=11)
+    thrice = brotli_tpu.compress(base * 3, quality=11)
+    assert brotli_tpu.decompress(thrice) == base * 3
+    # the two repeats together should cost well under 1% of the base
+    assert len(thrice) - len(once) < len(once) * 0.01
+
+
+def test_cluster_histograms_terminates_at_every_budget():
+    """Hierarchical pre-clustering must shrink the survivor set even
+    when max_trees >= the slice size (used to recurse forever)."""
+    from brotli_tpu.enc.context_model import cluster_histograms
+    rng = np.random.default_rng(3)
+    hists = rng.integers(0, 50, size=(512, 16)).astype(np.int64)
+    for budget in (1, 8, 48, 64, 128, 512):
+        assign, merged = cluster_histograms(hists, budget)
+        assert len(merged) >= 1
+        assert assign.max() == len(merged) - 1
