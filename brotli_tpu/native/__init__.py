@@ -63,6 +63,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_encode.restype = ctypes.c_int
         lib.btpu_pm_lengths.restype = ctypes.c_int
+        lib.btpu_find_matches.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_find_matches.restype = ctypes.c_int
         lib.btpu_enc_new.argtypes = [ctypes.c_int, ctypes.c_int,
                                      ctypes.c_char_p]
         lib.btpu_enc_new.restype = ctypes.c_void_p
@@ -134,6 +140,30 @@ def encode(data: bytes, quality: int, lgwin: int) -> bytes:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:
         lib.btpu_free(out_ptr)
+
+
+def find_matches(data: bytes, quality: int, lgwin: int):
+    """Native greedy/lazy match finder (no emission, no dictionary):
+    (pos, len, dist) uint32 numpy arrays in position order. Used as the
+    DP seed parse by the device optimal-parse pipeline."""
+    import numpy as np
+    lib = get_lib()
+    n = len(data)
+    cap = n // 4 + 16
+    pos = np.empty(cap, np.uint32)
+    lens = np.empty(cap, np.uint32)
+    dist = np.empty(cap, np.uint32)
+    cnt = ctypes.c_size_t()
+    rc = lib.btpu_find_matches(
+        data, n, quality, lgwin,
+        pos.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        dist.ctypes.data_as(ctypes.c_void_p),
+        cap, ctypes.byref(cnt))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"match-find error {rc}"))
+    k = cnt.value
+    return pos[:k], lens[:k], dist[:k]
 
 
 class StreamEncoder:

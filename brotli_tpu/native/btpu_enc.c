@@ -1569,6 +1569,105 @@ done:
   return 0;
 }
 
+/* ctypes export: the match finder alone -- the device optimal-parse
+   pipeline (ops/optimal_jax.py) seeds its DP with a fast greedy/lazy
+   parse; running that seed here instead of on the accelerator frees
+   the chip for the DP itself (role: the ZopfliIterate seed parse,
+   reference backward_references_hq.c). No dictionary probing: seeds
+   only guide the DP, and the DP's own post-pass handles words.
+   out_* arrays must hold at least n/4 + 16 entries (a match advances
+   >= 4 bytes, literal runs emit nothing). */
+int btpu_find_matches(const uint8_t* raw, size_t n, int quality,
+                      int lgwin, uint32_t* out_pos, uint32_t* out_len,
+                      uint32_t* out_dist, size_t cap, size_t* out_cnt) {
+  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24 || n == 0)
+    return EERR_PARAM;
+  if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
+  uint8_t* data = (uint8_t*)malloc(n + 16);
+  if (!data) return EERR_ALLOC;
+  memcpy(data, raw, n);
+  memset(data + n, 0, 16);
+  MatchCfg cfg;
+  cfg_for_quality(&cfg, quality);
+  cfg.use_dict = 0;
+  size_t hsize = (size_t)1 << cfg.hbits;
+  cfg.bucket = (uint32_t*)calloc(hsize << cfg.block_bits,
+                                 sizeof(uint32_t));
+  cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  if (!cfg.bucket || !cfg.num) {
+    free(cfg.bucket);
+    free(cfg.num);
+    free(data);
+    return EERR_ALLOC;
+  }
+  size_t maxback = ((size_t)1 << lgwin) - 16;
+  uint32_t sim_ring[4];
+  for (int i = 0; i < 4; i++) sim_ring[i] = kInitialRing[3 - i];
+  size_t pos = 0, cnt = 0, miss_run = 0;
+  int rc = 0;
+  while (pos < n) {
+    MatchResult m;
+    find_match(data, pos, n, maxback, sim_ring, &cfg, &m);
+    if (m.len >= 4) {
+      int pos_inserted = 0;
+      if (cfg.lazy && m.len < 160) {
+        int defer = 0;
+        while (defer < 4 && pos + 1 < n) {
+          MatchResult m2;
+          insert_hash(data, pos, &cfg);
+          pos_inserted = 1;
+          find_match(data, pos + 1, n, maxback, sim_ring, &cfg, &m2);
+          if (m2.score > m.score + 130) {
+            pos += 1;
+            m = m2;
+            pos_inserted = 0;
+            defer++;
+          } else {
+            break;
+          }
+        }
+      }
+      if (cnt >= cap) {
+        rc = EERR_PARAM;
+        break;
+      }
+      out_pos[cnt] = (uint32_t)pos;
+      out_len[cnt] = (uint32_t)m.len;
+      out_dist[cnt] = (uint32_t)m.dist;
+      cnt++;
+      if (m.dist != sim_ring[0]) {
+        sim_ring[3] = sim_ring[2];
+        sim_ring[2] = sim_ring[1];
+        sim_ring[1] = sim_ring[0];
+        sim_ring[0] = (uint32_t)m.dist;
+      }
+      size_t end = pos + m.len;
+      size_t step = m.len > 256 ? 4 : 1;
+      if (!pos_inserted) insert_hash(data, pos, &cfg);
+      for (size_t p2 = pos + 1; p2 < end; p2 += step)
+        insert_hash(data, p2, &cfg);
+      pos = end;
+      miss_run = 0;
+    } else {
+      insert_hash(data, pos, &cfg);
+      miss_run++;
+      size_t step = 1;
+      if (miss_run > 512)
+        step = 4;
+      else if (miss_run > 128)
+        step = 2;
+      pos += step;
+      if (pos > n) pos = n;
+    }
+  }
+  free(cfg.bucket);
+  free(cfg.num);
+  free(data);
+  if (rc) return rc;
+  *out_cnt = cnt;
+  return 0;
+}
+
 /* ctypes export: optimal depth-limited code lengths for the Python
    serialization path (same package-merge engine the native encoder
    uses; brotli_tpu/enc/entropy.py calls this when the lib is built). */

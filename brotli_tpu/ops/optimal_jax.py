@@ -28,6 +28,7 @@ bits) are built on host from the greedy seed parse -- they are a few KB.
 """
 
 import functools
+import subprocess
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +186,11 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     dist_fill = jax.lax.associative_scan(last_nz, sdist)
     cont_len = jnp.clip(end_fill - pos, 0, W - 1)
     cont_dist = jnp.where(cont_len >= 2, dist_fill, 0)
+
+    # (measured, not kept: a ring-cache probe slot gathering match
+    # lengths at dist_fill -- the host DP's cache_probes role -- moved
+    # the cycle corpus by +3 bytes; the continuation slot already
+    # covers the distances the fill can supply)
 
     # literal cost per position: host prepares litbits_q as a
     # [p1, byte] (256 x 256) table -- the p1-driven part of the context
@@ -390,7 +396,9 @@ def _cost_tables(data: np.ndarray, seed):
         jp = jh / jh.sum()
         joint_avg = float(-(jp[jh > 0] * np.log2(jp[jh > 0])).sum())
         copy_avg = float(-(cc_p * np.log2(cc_p)).sum())
-        ins_share = max(joint_avg - copy_avg, 0.5)
+        import os as _os2
+        _iss = float(_os2.environ.get("BROTLI_TPU_INS_SCALE", "1.0"))
+        ins_share = max(joint_avg - copy_avg, 0.5) * _iss
     cc_bits = -np.log2(cc_p) + ins_share
 
     def copy_cost_q(ls):
@@ -435,14 +443,43 @@ def _cost_tables(data: np.ndarray, seed):
         tab += wt[:, j:j + 1] * bits[l0 | v]
     # mild literal surcharge: real emission pays tree quantization and
     # clustering losses the ideal entropy table does not see
-    litbits_q = np.minimum(tab * 1.1 * QBH, 24 * QBH).astype(np.int32)
+    import os as _os
+    _sur = float(_os.environ.get("BROTLI_TPU_LIT_SURCHARGE", "1.1"))
+    litbits_q = np.minimum(tab * _sur * QBH, 24 * QBH).astype(np.int32)
 
     lens_all = np.arange(W)
+    _cmdq = int(float(_os.environ.get("BROTLI_TPU_CMD_EXTRA", "1.0")) *
+                CMD_BASE_Q)
     copyq = (cm.copy_cost_q(np.maximum(lens_all, 2)) +
-             CMD_BASE_Q).astype(np.int32)
+             _cmdq).astype(np.int32)
     copyq[:2] = 1 << 28
     dist_sym_bits_q = (cm.dist_sym_bits * QBH).astype(np.int32)
     return litbits_q, copyq, dist_sym_bits_q
+
+
+def _seed_parse(arr: np.ndarray, max_distance: int, base: int):
+    """Greedy/lazy seed parse for the DP (quality-5 grade). Native C
+    matcher when the window maps to a standard lgwin (native assumes
+    base == 0 and maxback == 2^lgwin - 16); device sort-carry matcher
+    otherwise."""
+    from ..format import constants as C
+    if base == 0:
+        lgwin = int(max_distance + 16).bit_length() - 1
+        if (10 <= lgwin <= 24 and
+                C.max_backward_distance(lgwin) == max_distance):
+            try:
+                from .. import native
+                p, l, d = native.find_matches(
+                    np.ascontiguousarray(arr).tobytes(), 5, lgwin)
+                z = np.zeros(len(p), np.int64)
+                return (p.astype(np.int64), l.astype(np.int64),
+                        d.astype(np.int64), z)
+            except (ImportError, OSError, ValueError,
+                    subprocess.CalledProcessError):
+                pass
+    from .matcher_jax import find_matches_jax
+    return find_matches_jax(arr, max_distance, quality=5, base=base,
+                            use_dict=False)
 
 
 def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
@@ -459,7 +496,6 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     segments collect -- the caller serializes them while later
     segments are still computing on device. Returns None in that
     mode."""
-    from .matcher_jax import find_matches_jax
     from ..enc.optimal import _coalesce
     from ..enc.matcher import add_dictionary_matches
 
@@ -470,11 +506,12 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     from ..utils import trace
     n = len(data)
     arr = np.asarray(data)
-    # seed: greedy device parse, no dictionary probing (the post-pass
-    # below probes the final parse's gaps once)
+    # seed: greedy/lazy parse, no dictionary probing (the post-pass
+    # below probes the final parse's gaps once). The native C matcher
+    # runs it on host -- the chip stays free for the DP kernels and the
+    # seed overlaps their dispatch; device sort-carry is the fallback.
     with trace.stage("dp.seed"):
-        seed = find_matches_jax(arr, max_distance, quality=5, base=base,
-                                use_dict=False)
+        seed = _seed_parse(arr, max_distance, base)
     sm, sl, sd, sf = seed
     m = lens = dists = None
     for it in range(iterations):

@@ -206,3 +206,24 @@ def test_quality_ladder_monotone(lib, testdata):
     for a, b in zip(sizes, sizes[1:]):
         assert b <= a * 1.002, sizes  # allow jitter, forbid regressions
     assert sizes[-1] < sizes[0] * 0.9  # the ladder spans real ground
+
+
+def test_native_find_matches_exports_valid_seeds(testdata):
+    """btpu_find_matches: every (pos, len, dist) verifies byte-exact
+    and in-window (the device DP's seed parse, ops/optimal_jax.py)."""
+    from brotli_tpu import native
+    data = (testdata / "alice29.txt").read_bytes()
+    p, l, d = native.find_matches(data, 5, 22)
+    assert len(p) > 1000
+    arr = np.frombuffer(data, np.uint8)
+    assert (p[1:] > p[:-1]).all()          # position order
+    assert (l >= 4).all() and (d > 0).all()
+    assert (p.astype(np.int64) - d >= 0).all()
+    ok = np.ones(len(p), bool)
+    ml = l.astype(np.int64)
+    for off in range(int(ml.max())):
+        sel = ml > off
+        if not sel.any():
+            break
+        ok[sel] &= arr[p[sel] + off] == arr[p[sel] - d[sel] + off]
+    assert ok.all()
