@@ -61,6 +61,16 @@ SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
 # (remote compile service)
 _BUCKETS = [1 << 21]
 
+# scan v2: hoist the per-slot relaxation out of the sequential scan --
+# the edges kernel pre-reduces the slots into a (position, length)
+# suffix-min table (one massive parallel reduction over the full
+# segment), and the scan step shrinks from (nslots, nb, W) work to
+# (nb, W). Same arithmetic, moved from the 4096-step sequential loop
+# to the embarrassingly parallel axis. Env-gated until measured on
+# hardware (each variant is its own minutes-long remote compile).
+import os as _os_mod
+_V2 = _os_mod.environ.get("BROTLI_TPU_DP_V2", "0") == "1"
+
 
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
@@ -240,10 +250,38 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     cs_flat = jnp.where(ls_flat >= 2, cs_flat, 1 << 28)
     # payload = len<<25 | dist: the winning edge's distance rides the
     # DP scan, so backtracking needs no per-slot candidate gathers
+    litq_b = litq.reshape(nb, B).T
+    if _V2:
+        # suffix-min over the length axis: column c holds the cheapest
+        # edge of length >= c (its cost + the landed copy-code cost)
+        # and that edge's distance; the scan then relaxes one (nb, W)
+        # table per step instead of reducing nslots slots
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        INF = jnp.int32(1 << 28)
+        BIGD = jnp.int32(0x7FFFFFFF)
+        Mv = jnp.full((n, W), INF, jnp.int32)
+        for s in range(nslots):
+            hit = (iota_w[None, :] <= ls_flat[s][:, None]) & \
+                (iota_w[None, :] >= 2)
+            Mv = jnp.minimum(Mv, jnp.where(hit, cs_flat[s][:, None],
+                                           INF))
+        PMd = jnp.full((n, W), BIGD, jnp.int32)
+        for s in range(nslots):
+            hit = (iota_w[None, :] <= ls_flat[s][:, None]) & \
+                (iota_w[None, :] >= 2) & \
+                (cs_flat[s][:, None] == Mv)
+            PMd = jnp.minimum(PMd, jnp.where(hit, ds_flat[s][:, None],
+                                             BIGD))
+        copyq_w = copyq[jnp.minimum(iota_w, copyq.shape[0] - 1)]
+        Mv = Mv + copyq_w[None, :]
+        pay = jnp.where(PMd != BIGD, (iota_w[None, :] << 25) | PMd, 0)
+        M_all = Mv.reshape(nb, B, W).transpose(1, 0, 2)
+        P_all = pay.reshape(nb, B, W).transpose(1, 0, 2)
+        return (M_all.astype(jnp.int32), P_all.astype(jnp.int32),
+                litq_b)
     pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
     pd_all = pd_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
     cs_all = cs_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
-    litq_b = litq.reshape(nb, B).T
     return (pd_all.astype(jnp.int32), cs_all.astype(jnp.int32), litq_b)
 
 
@@ -310,6 +348,41 @@ def _scan_kernel(pd_all, cs_all, litq_b, copyq):
 
 
 @jax.jit
+def _scan_kernel_v2(M_all, P_all, litq_b):
+    """The v2 DP wavefront: the edges kernel already reduced the slots
+    into per-position (cost, payload) tables over the W columns, so a
+    step is one (nb, W) compare-update -- nslots-times less sequential
+    work than _scan_kernel."""
+    INF = jnp.int32(1 << 30)
+
+    def step(carry, xs):
+        F, P = carry
+        lq, M, PY = xs  # (nb,), (nb, W), (nb, W)
+        cost_i = F[:, 0]
+        pay_i = P[:, 0]
+        lv = cost_i + lq
+        upd = lv < F[:, 1]
+        F = F.at[:, 1].set(jnp.where(upd, lv, F[:, 1]))
+        P = P.at[:, 1].set(jnp.where(upd, 0, P[:, 1]))
+        minv = cost_i[:, None] + M
+        better = minv < F
+        F = jnp.where(better, minv, F)
+        P = jnp.where(better, PY, P)
+        F = jnp.concatenate([F[:, 1:], jnp.full((F.shape[0], 1), INF)],
+                            axis=1)
+        P = jnp.concatenate([P[:, 1:], jnp.zeros((P.shape[0], 1),
+                                                 jnp.int32)], axis=1)
+        return (F, P), pay_i
+
+    nb = litq_b.shape[1]
+    F0 = jnp.full((nb, W), INF, jnp.int32).at[:, 0].set(0)
+    P0 = jnp.zeros((nb, W), jnp.int32)
+    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0),
+                                      (litq_b, M_all, P_all))
+    return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
+
+
+@jax.jit
 def _finish_kernel(paymat, npos):
     """Backtrack every block and compact matches (the payload already
     carries len<<25|dist, so no candidate lookups are needed)."""
@@ -346,10 +419,13 @@ def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
                    dist_sym_bits_q, seed_pos, seed_len, seed_dist):
     """One segment's optimal parse, entirely on device (three jits;
     intermediates never leave the chip). See module docstring."""
-    pd_all, cs_all, litq_b = _edges_kernel(
+    a, b, litq_b = _edges_kernel(
         data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
         seed_pos, seed_len, seed_dist)
-    paymat = _scan_kernel(pd_all, cs_all, litq_b, copyq)
+    if _V2:
+        paymat = _scan_kernel_v2(a, b, litq_b)
+    else:
+        paymat = _scan_kernel(a, b, litq_b, copyq)
     return _finish_kernel(paymat, npos)
 
 
