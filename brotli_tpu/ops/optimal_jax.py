@@ -545,8 +545,12 @@ def _seed_parse(arr: np.ndarray, max_distance: int, base: int):
                 C.max_backward_distance(lgwin) == max_distance):
             try:
                 from .. import native
+                import os as _os3
+                # q7-grade seed measured best (q5 -1092B on the cycle
+                # corpus; q9 over-reaches for distance)
+                _sq = int(_os3.environ.get("BROTLI_TPU_SEED_Q", "7"))
                 p, l, d = native.find_matches(
-                    np.ascontiguousarray(arr).tobytes(), 5, lgwin)
+                    np.ascontiguousarray(arr).tobytes(), _sq, lgwin)
                 z = np.zeros(len(p), np.int64)
                 return (p.astype(np.int64), l.astype(np.int64),
                         d.astype(np.int64), z)
