@@ -101,21 +101,34 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock,
                                                large_window)
     # native fast path (role of the reference's C encoder tiers,
-    # native/btpu_enc.c): one-shot, q0-9, standard window, no custom
-    # dictionary. The JAX/device pipeline stays authoritative for
-    # q10/11 (optimal parse), compound dictionaries, large windows and
-    # the sharded multi-chip path.
+    # native/btpu_enc.c): one-shot, standard window, no custom
+    # dictionary. q0-9 always; q10/11 for small inputs (< 256 KB: the
+    # native zopfli tier beats the device DP's ratio and runs at
+    # reference-like speed where the Python host DP is ~50x slower)
+    # and as the CPU fallback for large ones. The JAX/device pipeline
+    # stays authoritative for large-input q10/11 on TPU, compound
+    # dictionaries, large windows and the sharded multi-chip path.
+    # BROTLI_TPU_ENCODER=python routes q10/11 to the ratio-max Python
+    # host DP instead.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
-    if (enc_sel != "python" and quality <= 9 and not large_window
+    if (enc_sel != "python" and not large_window
             and dictionary is None and shared is None and mode == 0
             and not base64_mode and len(data) > 0):
-        try:
-            from .. import native
-            return native.encode(bytes(data), quality, lgwin)
-        except (ImportError, OSError, ValueError,
-                __import__("subprocess").CalledProcessError):
-            if enc_sel == "native":
-                raise
+        use_native = quality <= 9
+        if quality >= 10:
+            if len(data) < (1 << 18):
+                use_native = True
+            else:
+                from ..utils.jaxcfg import backend_or_cpu
+                use_native = backend_or_cpu() == "cpu"
+        if use_native:
+            try:
+                from .. import native
+                return native.encode(bytes(data), quality, lgwin)
+            except (ImportError, OSError, ValueError,
+                    __import__("subprocess").CalledProcessError):
+                if enc_sel == "native":
+                    raise
     bw = BitWriter()
     bitstream.write_stream_header(bw, lgwin)
     raw = bytes(data)

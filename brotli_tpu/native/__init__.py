@@ -69,6 +69,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_find_matches.restype = ctypes.c_int
+        lib.btpu_opt_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_opt_parse.restype = ctypes.c_int
         lib.btpu_enc_new.argtypes = [ctypes.c_int, ctypes.c_int,
                                      ctypes.c_char_p]
         lib.btpu_enc_new.restype = ctypes.c_void_p
@@ -126,7 +132,8 @@ _ENC_ERRORS = {
 
 
 def encode(data: bytes, quality: int, lgwin: int) -> bytes:
-    """Fast native one-shot encode (quality 0-9, standard window)."""
+    """Fast native one-shot encode (quality 0-11, standard window;
+    q10/11 run the native optimal-parse tier)."""
     from ..format.dictionary import dictionary_data
     lib = get_lib()
     out_ptr = ctypes.c_void_p()
@@ -164,6 +171,35 @@ def find_matches(data: bytes, quality: int, lgwin: int):
         raise ValueError(_ENC_ERRORS.get(rc, f"match-find error {rc}"))
     k = cnt.value
     return pos[:k], lens[:k], dist[:k]
+
+
+def opt_parse(data: bytes, quality: int, lgwin: int):
+    """Native q10/11 optimal parse (seed -> calibrated cost model ->
+    shortest-path DP with dictionary and distance-cache edges): (pos,
+    len, dist, flag) int64 numpy arrays for the Python serializer
+    (flag = 2000 + base word length marks static-dict references)."""
+    import numpy as np
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    n = len(data)
+    cap = n // 4 + 16
+    pos = np.empty(cap, np.uint32)
+    lens = np.empty(cap, np.uint32)
+    dist = np.empty(cap, np.uint32)
+    flag = np.empty(cap, np.uint32)
+    cnt = ctypes.c_size_t()
+    rc = lib.btpu_opt_parse(
+        data, n, quality, lgwin, dictionary_data(),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        dist.ctypes.data_as(ctypes.c_void_p),
+        flag.ctypes.data_as(ctypes.c_void_p),
+        cap, ctypes.byref(cnt))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"opt parse error {rc}"))
+    k = cnt.value
+    return (pos[:k].astype(np.int64), lens[:k].astype(np.int64),
+            dist[:k].astype(np.int64), flag[:k].astype(np.int64))
 
 
 class StreamEncoder:

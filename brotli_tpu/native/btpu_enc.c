@@ -808,6 +808,7 @@ typedef struct {
   int lazy;      /* lazy matching on */
   int use_dict;  /* static dictionary probing on */
   int min_len;
+  int h4;        /* hash 4-byte prefixes (q10/11 DP: sees len-4 matches) */
 } MatchCfg;
 
 static inline uint64_t load64(const uint8_t* p) {
@@ -818,6 +819,11 @@ static inline uint64_t load64(const uint8_t* p) {
 
 static inline uint32_t hash5(const uint8_t* p, int hbits) {
   return (uint32_t)(((load64(p) & 0xFFFFFFFFFFull) *
+                     0x1FE35A7BD3579BD3ull) >> (64 - hbits));
+}
+
+static inline uint32_t hash4n(const uint8_t* p, int hbits) {
+  return (uint32_t)(((load64(p) & 0xFFFFFFFFull) *
                      0x1FE35A7BD3579BD3ull) >> (64 - hbits));
 }
 
@@ -874,7 +880,7 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
   }
   /* bucket-ring walk, newest to oldest (positions in a bucket only
      grow, so distances only grow -- the window check is a break) */
-  uint32_t h = hash5(p, cfg->hbits);
+  uint32_t h = cfg->h4 ? hash4n(p, cfg->hbits) : hash5(p, cfg->hbits);
   uint32_t cnt = cfg->num[h];
   uint32_t bmask = (1u << cfg->block_bits) - 1;
   const uint32_t* bk = cfg->bucket + ((size_t)h << cfg->block_bits);
@@ -909,7 +915,8 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
 
 static inline void insert_hash(const uint8_t* data, size_t pos,
                                const MatchCfg* cfg) {
-  uint32_t h = hash5(data + pos, cfg->hbits);
+  uint32_t h = cfg->h4 ? hash4n(data + pos, cfg->hbits)
+                       : hash5(data + pos, cfg->hbits);
   uint32_t cnt = cfg->num[h];
   cfg->bucket[((size_t)h << cfg->block_bits) +
               (cnt & ((1u << cfg->block_bits) - 1))] =
@@ -1309,6 +1316,7 @@ static void cfg_for_quality(MatchCfg* cfg, int q) {
   cfg->lazy = q >= 2;
   cfg->use_dict = q >= 5;
   cfg->min_len = 4;
+  cfg->h4 = 0;
 }
 
 /* incompressibility estimate: sampled literal entropy */
@@ -1327,12 +1335,735 @@ static int looks_incompressible(const uint8_t* data, size_t lo, size_t hi,
   return bits > 7.8 * (double)cnt;
 }
 
+/* ---------- native optimal parse (q10/q11) ----------
+ *
+ * Role parity: the reference zopfli tier (c/enc/backward_references_hq.c
+ * ZopfliComputeShortestPath / ZopfliCostModel). Per ~4MB metablock:
+ * a greedy seed pass calibrates the cost model (context-modeled literal
+ * bits, copy/dist symbol bits from the seed's ACTUAL emission plan,
+ * ring codes included), then a forward shortest-path DP relaxes
+ * increasing-length hasher candidates, distance-cache probes against
+ * the seed parse's ring timeline, and atomic dictionary edges. The
+ * device DP (ops/optimal_jax.py) remains the large-input path; this
+ * tier serves small inputs and CPU-only hosts at reference-like speed.
+ */
+
+/* cost-calibration defaults swept on the Canterbury texts +
+   mapsdatazrh (realized-size optimum, not entropy-ideal: the emitter's
+   clustering and block splits reward slightly literal-averse parses) */
+static double opt_lit_scale(void) {
+  const char* v = getenv("BTPU_OPT_LIT_SCALE");
+  return v ? atof(v) : 1.3;
+}
+static double opt_ins_scale(void) {
+  const char* v = getenv("BTPU_OPT_INS_SCALE");
+  return v ? atof(v) : 0.7;
+}
+static double opt_dist_scale(void) {
+  const char* v = getenv("BTPU_OPT_DIST_SCALE");
+  return v ? atof(v) : 0.9;
+}
+
+typedef struct {
+  float litc_base;     /* flat literal cost when no context model */
+  float* litc;         /* per-position literal bits (metablock) */
+  float ccost[24];     /* copy-code bits incl. insert share + cmd base */
+  float dsym[64];      /* distance symbol bits */
+} OptCost;
+
+static float opt_dist_cost(const OptCost* oc, uint32_t dist) {
+  uint64_t d = (uint64_t)dist - 1;
+  uint64_t t = (d + 4) >> 2;
+  int nbits = 0;
+  while (t) {
+    nbits++;
+    t >>= 1;
+  }
+  uint64_t rest = d + 4 - (1ull << (nbits + 1));
+  int half = (int)(rest >> nbits);
+  int sym = 16 + (((nbits - 1) << 1) | half);
+  if (sym > 63) sym = 63;
+  return oc->dsym[sym] + (float)nbits;
+}
+
+/* copy-length stops relaxed per candidate besides the full length (the
+   host DP's _TRUNC_STOPS role: landing exactly on a later match start) */
+static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
+                                346, 552, 881, 1406, 2245};
+#define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
+
+/* Build the cost model from a seed command array (costs mirror
+   ops/optimal_jax._cost_tables: +1 smoothing, 1.1 literal surcharge,
+   measured insert share, 1-bit command floor). */
+static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
+                                const Cmd* cmds, size_t ncmd,
+                                const uint32_t* ring_in, Plan* plan,
+                                OptCost* oc) {
+  uint32_t ring[4];
+  memcpy(ring, ring_in, sizeof(ring));
+  plan_cmds(cmds, ncmd, ring, plan);
+  int mode = choose_ctx_mode(data, lo, hi);
+  const uint8_t* lut0 = kContextLut[mode];
+  const uint8_t* lut1 = lut0 + 256;
+  uint32_t* lh = (uint32_t*)calloc((size_t)NUM_LIT_CTX * 256,
+                                   sizeof(uint32_t));
+  uint32_t ch[24];
+  uint32_t dh[64];
+  uint32_t jh[704];
+  memset(ch, 0, sizeof(ch));
+  memset(dh, 0, sizeof(dh));
+  memset(jh, 0, sizeof(jh));
+  size_t pos = lo;
+  for (size_t i = 0; i < ncmd; i++) {
+    const Cmd* c = &cmds[i];
+    if (lh) {
+      for (uint32_t k = 0; k < c->ins; k++) {
+        size_t pp = pos + k;
+        uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+        uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+        lh[(size_t)(lut0[p1] | lut1[p2]) * 256 + data[pp]]++;
+      }
+    }
+    pos += c->ins + (c->adv & ~CMD_DICT);
+    if (c->cpy || c->dist) {
+      ch[value_code(c->cpy, kCopyBase, 24)]++;
+      jh[plan[i].cmd_sym]++;
+      if (plan[i].has_dist) dh[plan[i].dcode]++;
+    }
+  }
+  /* literal bits per position (context-modeled, +1 smoothing, 1.1
+     surcharge, capped) */
+  double row_tot[NUM_LIT_CTX];
+  for (int cx = 0; cx < NUM_LIT_CTX; cx++) {
+    uint64_t t = 0;
+    for (int b = 0; b < 256; b++) t += lh[(size_t)cx * 256 + b];
+    row_tot[cx] = (double)t + 256.0;
+  }
+  for (size_t pp = lo; pp < hi; pp++) {
+    uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+    uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+    int cx = lut0[p1] | lut1[p2];
+    double p = (lh[(size_t)cx * 256 + data[pp]] + 1) / row_tot[cx];
+    double bits = -log2(p) * opt_lit_scale();
+    oc->litc[pp - lo] = (float)(bits > 24.0 ? 24.0 : bits);
+  }
+  free(lh);
+  /* copy-code bits + measured insert share + 1-bit command floor */
+  double ctot = 0, jtot = 0;
+  for (int i = 0; i < 24; i++) ctot += ch[i] + 0.2;
+  for (int i = 0; i < 704; i++) jtot += jh[i];
+  double copy_avg = 0, joint_avg = 0;
+  for (int i = 0; i < 24; i++) {
+    double p = (ch[i] + 0.2) / ctot;
+    copy_avg += -p * log2(p);
+  }
+  if (jtot > 16) {
+    for (int i = 0; i < 704; i++) {
+      if (!jh[i]) continue;
+      double p = jh[i] / jtot;
+      joint_avg += -p * log2(p);
+    }
+  }
+  double ins_share = joint_avg - copy_avg;
+  if (jtot <= 16 || ins_share < 0.5) ins_share = jtot <= 16 ? 3.0 : 0.5;
+  ins_share *= opt_ins_scale();
+  for (int i = 0; i < 24; i++) {
+    double p = (ch[i] + 0.2) / ctot;
+    oc->ccost[i] = (float)(-log2(p) + kCopyExtra[i] + ins_share + 1.0);
+  }
+  double dtot = 0;
+  for (int i = 0; i < 64; i++) dtot += dh[i] + 0.2;
+  for (int i = 0; i < 64; i++)
+    oc->dsym[i] = (float)(-log2((dh[i] + 0.2) / dtot) *
+                          opt_dist_scale());
+}
+
+static inline float opt_copy_cost(const OptCost* oc, uint32_t len) {
+  return oc->ccost[value_code(len, kCopyBase, 24)];
+}
+
+/* Forward shortest-path over [lo, hi): backptr arrays encode each
+   position's best incoming edge (blen 0 = literal). Candidates walk
+   the bucket ring nearest-to-farthest, so only length-extending
+   entries matter; the seed parse's ring timeline prices cache probes. */
+static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
+                           size_t hi, size_t maxback, MatchCfg* cfg,
+                           const Cmd* seed, size_t nseed,
+                           const uint32_t* ring_in, const OptCost* oc,
+                           float* dp, uint32_t* blen, uint32_t* bcpy,
+                           uint32_t* bdist, Cmd** out_cmds,
+                           size_t* out_ncmd) {
+  size_t m = hi - lo;
+  for (size_t i = 0; i <= m; i++) {
+    dp[i] = 1e30f;
+    blen[i] = 0;
+  }
+  dp[0] = 0.0f;
+  /* seed ring timeline */
+  uint32_t sring[4];
+  memcpy(sring, ring_in, sizeof(sring));
+  size_t si = 0;        /* next seed cmd */
+  size_t spos = lo;     /* input consumed by seed cmds < si */
+  for (size_t i = lo; i < hi; i++) {
+    size_t ii = i - lo;
+    if (dp[ii] >= 1e29f) { /* unreachable (cannot happen: literals) */
+      insert_hash(data, i, cfg);
+      continue;
+    }
+    /* advance the seed ring past commands ending at or before i */
+    while (si < nseed) {
+      const Cmd* sc = &seed[si];
+      size_t end = spos + sc->ins + (sc->adv & ~CMD_DICT);
+      if (end > i) break;
+      if ((sc->cpy || sc->dist) && !(sc->adv & CMD_DICT) &&
+          sc->dist != sring[0]) {
+        sring[3] = sring[2];
+        sring[2] = sring[1];
+        sring[1] = sring[0];
+        sring[0] = sc->dist;
+      }
+      spos = end;
+      si++;
+    }
+    /* literal edge */
+    {
+      float c = dp[ii] + oc->litc[ii];
+      if (c < dp[ii + 1]) {
+        dp[ii + 1] = c;
+        blen[ii + 1] = 0;
+      }
+    }
+    size_t rem = n - i;
+    size_t limit = rem < MAX_COPY_LEN ? rem : MAX_COPY_LEN;
+    if (hi - i < limit) limit = hi - i; /* commands stay in-block */
+    size_t maxd = i < maxback ? i : maxback;
+    const uint8_t* p = data + i;
+    size_t best_len = 3;  /* longest seen (any source): dict gate */
+    /* relax one candidate (len L at dist d) over stops above lo_ + L
+       (stops <= lo_ are dominated by a NEARER candidate already
+       relaxed at those lengths) */
+    #define OPT_RELAX(L_, d_, lo_)                                     \
+      do {                                                             \
+        size_t L__ = (L_);                                             \
+        size_t lo__ = (lo_);                                           \
+        uint32_t d__ = (uint32_t)(d_);                                 \
+        float dc__ = dp[ii] + opt_dist_cost(oc, d__);                  \
+        for (int s_ = 0; s_ <= N_OPT_STOPS; s_++) {                    \
+          size_t l_ = s_ < N_OPT_STOPS ? (size_t)kOptStops[s_] : L__;  \
+          if (s_ < N_OPT_STOPS && (l_ >= L__ || l_ <= lo__))           \
+            continue; /* full length relaxes at the final iteration */ \
+          float c_ = dc__ + oc->ccost[value_code((uint32_t)l_,         \
+                                                 kCopyBase, 24)];      \
+          if (c_ < dp[ii + l_]) {                                      \
+            dp[ii + l_] = c_;                                          \
+            blen[ii + l_] = (uint32_t)l_;                              \
+            bcpy[ii + l_] = (uint32_t)l_;                              \
+            bdist[ii + l_] = d__;                                      \
+          }                                                            \
+        }                                                              \
+      } while (0)
+    /* seed continuation edge: positions covered by a seed match get
+       that match's remaining span at its distance (the host DP's
+       SLOT_SEED / the device DP's continuation edges -- the bucket
+       ring forgets far sources long before the window does, so long
+       seed matches are pool candidates the walk cannot reproduce) */
+    if (si < nseed && rem >= 4) {
+      const Cmd* sc = &seed[si];
+      if (sc->cpy && !(sc->adv & CMD_DICT)) {
+        size_t ms = spos + sc->ins;
+        size_t me = ms + (sc->adv & ~CMD_DICT);
+        if (i >= ms && i < me && (size_t)sc->dist <= maxd) {
+          size_t l = me - i;
+          if (l > limit) l = limit;
+          if (l >= 4) {
+            OPT_RELAX(l, sc->dist, (size_t)0);
+            if (l > best_len) best_len = l;
+          }
+        }
+      }
+    }
+    /* distance-cache probes (seed-parse ring): relax every stop --
+       ring distances are not ordered vs the bucket walk's */
+    if (rem >= 4) {
+      for (int s = 0; s < 4; s++) {
+        size_t d = sring[s];
+        if (d == 0 || d > maxd) continue;
+        if (s > 0 && (d == sring[0] || (s > 1 && d == sring[1]) ||
+                      (s > 2 && d == sring[2])))
+          continue;
+        const uint8_t* q = p - d;
+        if (q[0] != p[0]) continue;
+        size_t l = common_len(p, q, limit);
+        if (l >= 3) {
+          OPT_RELAX(l, d, (size_t)0);
+          if (l > best_len) best_len = l;
+        }
+      }
+      /* bucket-ring walk, nearest to farthest: within the walk, a
+         candidate matters only above the best NEARER length */
+      uint32_t h = cfg->h4 ? hash4n(p, cfg->hbits)
+                           : hash5(p, cfg->hbits);
+      uint32_t cnt = cfg->num[h];
+      uint32_t bmask = (1u << cfg->block_bits) - 1;
+      const uint32_t* bk = cfg->bucket + ((size_t)h << cfg->block_bits);
+      uint32_t iters = cnt < bmask + 1u ? cnt : bmask + 1u;
+      if (iters > (uint32_t)cfg->depth) iters = (uint32_t)cfg->depth;
+      size_t walk_best = 3;
+      for (uint32_t t = 1; t <= iters; t++) {
+        size_t cand = (size_t)bk[(cnt - t) & bmask] - 1;
+        size_t d = i - cand;
+        if (d > maxd) break;
+        if (walk_best >= limit) break;
+        const uint8_t* q = data + cand;
+        if (q[walk_best] != p[walk_best]) continue;
+        size_t l = common_len(p, q, limit);
+        if (l >= 4 && l > walk_best) {
+          OPT_RELAX(l, d, walk_best);
+          walk_best = l;
+          if (l > best_len) best_len = l;
+        }
+      }
+      /* dictionary edge (atomic: relax the exact output length) */
+      if (cfg->use_dict && best_len < 16) {
+        int dcopy = 0, dtid = 0, dwlen = 0;
+        uint32_t didx = 0;
+        int dout = dict_probe(data, i, n, 4, &dcopy, &dtid, &didx,
+                              &dwlen);
+        if (dout >= 4 && (size_t)dout <= hi - i) {
+          uint32_t dist = (uint32_t)(maxd + 1 +
+                                     ((uint32_t)dtid
+                                      << kDictSizeBits[dwlen]) + didx);
+          float c = dp[ii] + opt_dist_cost(oc, dist) +
+                    opt_copy_cost(oc, (uint32_t)dcopy);
+          if (c < dp[ii + dout]) {
+            dp[ii + dout] = c;
+            blen[ii + dout] = (uint32_t)dout | CMD_DICT;
+            bcpy[ii + dout] = (uint32_t)dcopy;
+            bdist[ii + dout] = dist;
+          }
+        }
+      }
+    }
+    #undef OPT_RELAX
+    insert_hash(data, i, cfg);
+  }
+  /* backtrack into commands */
+  size_t ncmd = 0, j = m;
+  while (j > 0) { /* count edges (matches only) */
+    if (blen[j] == 0) {
+      j--;
+    } else {
+      j -= blen[j] & ~CMD_DICT;
+      ncmd++;
+    }
+  }
+  Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * (ncmd + 1));
+  if (!cmds) return EERR_ALLOC;
+  size_t k = ncmd;
+  size_t lit_end = m;
+  j = m;
+  size_t trail_lit = 0;
+  while (j > 0) {
+    if (blen[j] == 0) {
+      j--;
+      continue;
+    }
+    size_t adv = blen[j] & ~CMD_DICT;
+    size_t start = j - adv;
+    k--;
+    cmds[k].cpy = bcpy[j];
+    cmds[k].dist = bdist[j];
+    cmds[k].adv = blen[j];
+    /* literals between this match's end and the next match's start
+       belong to the NEXT command's ins; compute on the forward fixup */
+    cmds[k].ins = (uint32_t)start; /* temp: match start */
+    lit_end = start;
+    j = start;
+  }
+  (void)lit_end;
+  /* forward fixup: ins = gap between previous command's end and the
+     match start stored above */
+  size_t pos = 0;
+  for (size_t t = 0; t < ncmd; t++) {
+    size_t start = cmds[t].ins;
+    cmds[t].ins = (uint32_t)(start - pos);
+    pos = start + (cmds[t].adv & ~CMD_DICT);
+  }
+  trail_lit = m - pos;
+  if (trail_lit > 0 || ncmd == 0) {
+    cmds[ncmd].ins = (uint32_t)trail_lit;
+    cmds[ncmd].cpy = 0;
+    cmds[ncmd].dist = 0;
+    cmds[ncmd].adv = 0;
+    ncmd++;
+  }
+  *out_cmds = cmds;
+  *out_ncmd = ncmd;
+  return 0;
+}
+
+/* Greedy/lazy seed pass over [lo, hi): Cmds for the cost model (LZ
+   only; matches clamp at hi). Inserts into cfg's hash state, which
+   persists across metablocks for window continuity. */
+static int opt_seed_pass(const uint8_t* data, size_t n, size_t lo,
+                         size_t hi, size_t maxback, MatchCfg* cfg,
+                         uint32_t* sim_ring, Cmd** out, size_t* oncmd) {
+  size_t cap = (hi - lo) / 4 + 16;
+  Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * cap);
+  if (!cmds) return EERR_ALLOC;
+  size_t ncmd = 0;
+  size_t pos = lo, lit_start = lo, miss_run = 0;
+  while (pos < hi) {
+    MatchResult mr;
+    find_match(data, pos, n, maxback, sim_ring, cfg, &mr);
+    if (mr.len > hi - pos) mr.len = hi - pos;
+    if (mr.len >= 4) {
+      int pos_inserted = 0;
+      if (cfg->lazy && mr.len < 160) {
+        int defer = 0;
+        while (defer < 4 && pos + 1 < hi) {
+          MatchResult m2;
+          insert_hash(data, pos, cfg);
+          pos_inserted = 1;
+          find_match(data, pos + 1, n, maxback, sim_ring, cfg, &m2);
+          if (m2.len > hi - (pos + 1)) m2.len = hi - (pos + 1);
+          if (m2.len >= 4 && m2.score > mr.score + 130) {
+            pos += 1;
+            mr = m2;
+            pos_inserted = 0;
+            defer++;
+          } else {
+            break;
+          }
+        }
+      }
+      if (mr.len < 4) { /* lazy clamp shrank it */
+        insert_hash(data, pos, cfg);
+        pos++;
+        continue;
+      }
+      cmds[ncmd].ins = (uint32_t)(pos - lit_start);
+      cmds[ncmd].cpy = (uint32_t)mr.len;
+      cmds[ncmd].dist = (uint32_t)mr.dist;
+      cmds[ncmd].adv = (uint32_t)mr.len;
+      ncmd++;
+      if (ncmd + 2 > cap) {
+        cap *= 2;
+        Cmd* nc = (Cmd*)realloc(cmds, sizeof(Cmd) * cap);
+        if (!nc) {
+          free(cmds);
+          return EERR_ALLOC;
+        }
+        cmds = nc;
+      }
+      if (mr.dist != sim_ring[0]) {
+        sim_ring[3] = sim_ring[2];
+        sim_ring[2] = sim_ring[1];
+        sim_ring[1] = sim_ring[0];
+        sim_ring[0] = (uint32_t)mr.dist;
+      }
+      size_t end = pos + mr.len;
+      size_t step = mr.len > 256 ? 4 : 1;
+      if (!pos_inserted) insert_hash(data, pos, cfg);
+      for (size_t p2 = pos + 1; p2 < end; p2 += step)
+        insert_hash(data, p2, cfg);
+      pos = end;
+      lit_start = pos;
+      miss_run = 0;
+    } else {
+      insert_hash(data, pos, cfg);
+      miss_run++;
+      size_t step = miss_run > 512 ? 4 : miss_run > 128 ? 2 : 1;
+      pos += step;
+      if (pos > hi) pos = hi;
+    }
+  }
+  if (lit_start < hi || ncmd == 0) {
+    cmds[ncmd].ins = (uint32_t)(hi - lit_start);
+    cmds[ncmd].cpy = 0;
+    cmds[ncmd].dist = 0;
+    cmds[ncmd].adv = 0;
+    ncmd++;
+  }
+  *out = cmds;
+  *oncmd = ncmd;
+  return 0;
+}
+
+/* Shared q10/11 driver: seed -> cost model -> DP per ~4MB metablock.
+   With `mo` set, serializes metablocks (the all-native tier); with
+   `po` set, appends the parse as (pos, len, dist, flag) match arrays
+   (flag = 2000 + word length for static-dict edges) for the Python
+   emitter -- the full serializer (block splits, context maps,
+   NPOSTFIX search) squeezes several % more than the native one. */
+typedef struct {
+  uint32_t *pos, *len, *dist, *flag;
+  size_t cap, cnt;
+} OptParseOut;
+
+static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
+                                int quality, int lgwin,
+                                const uint8_t* dict_blob,
+                                uint8_t** out, size_t* out_len,
+                                OptParseOut* po) {
+  uint8_t* data = (uint8_t*)malloc(n + 16);
+  if (!data) return EERR_ALLOC;
+  memcpy(data, raw, n);
+  memset(data + n, 0, 16);
+  Enc e;
+  memset(&e, 0, sizeof(e));
+  e.data = data;
+  e.n = n;
+  e.quality = quality;
+  e.lgwin = lgwin;
+  e.maxback = ((size_t)1 << lgwin) - 16;
+  for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
+  e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
+  e.pm.leaf = (uint8_t*)malloc(16 * 2 * 1200);
+  MatchCfg cfg_seed, cfg_dp, cfg_dp2;
+  cfg_for_quality(&cfg_seed, 7);
+  cfg_seed.use_dict = 0;
+  memset(&cfg_dp, 0, sizeof(cfg_dp));
+  cfg_dp.hbits = 16;
+  cfg_dp.block_bits = 6;
+  cfg_dp.depth = quality >= 11 ? 64 : 32;
+  cfg_dp.lazy = 0;
+  cfg_dp.min_len = 4;
+  cfg_dp.use_dict = 1;
+  cfg_dp.h4 = 1;  /* 4-byte hash: the DP must see len-4 matches */
+  if (dict_blob) {
+    if (dict_index_init(dict_blob)) cfg_dp.use_dict = 0;
+  } else if (!g_dict.ready) {
+    cfg_dp.use_dict = 0;
+  }
+  cfg_dp2 = cfg_dp;
+  cfg_seed.bucket = (uint32_t*)calloc(
+      (size_t)1 << (cfg_seed.hbits + cfg_seed.block_bits),
+      sizeof(uint32_t));
+  cfg_seed.num = (uint32_t*)calloc((size_t)1 << cfg_seed.hbits,
+                                   sizeof(uint32_t));
+  cfg_dp.bucket = (uint32_t*)calloc(
+      (size_t)1 << (cfg_dp.hbits + cfg_dp.block_bits), sizeof(uint32_t));
+  cfg_dp.num = (uint32_t*)calloc((size_t)1 << cfg_dp.hbits,
+                                 sizeof(uint32_t));
+  cfg_dp2.bucket = NULL;
+  cfg_dp2.num = NULL;
+  if (quality >= 11) {
+    cfg_dp2.bucket = (uint32_t*)calloc(
+        (size_t)1 << (cfg_dp2.hbits + cfg_dp2.block_bits),
+        sizeof(uint32_t));
+    cfg_dp2.num = (uint32_t*)calloc((size_t)1 << cfg_dp2.hbits,
+                                    sizeof(uint32_t));
+  }
+  size_t mb_target = (size_t)1 << 22;
+  size_t mb_max = n < mb_target ? n : mb_target;
+  float* dp = (float*)malloc(sizeof(float) * (mb_max + 1));
+  uint32_t* blen = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+  uint32_t* bcpy = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+  uint32_t* bdist = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+  OptCost oc;
+  oc.litc = (float*)malloc(sizeof(float) * mb_max);
+  uint32_t sim_ring[4];
+  for (int i = 0; i < 4; i++) sim_ring[i] = kInitialRing[3 - i];
+  int rc = 0;
+  if (!e.pm.w || !e.pm.leaf || !cfg_seed.bucket || !cfg_seed.num ||
+      !cfg_dp.bucket || !cfg_dp.num || !dp || !blen || !bcpy || !bdist ||
+      !oc.litc ||
+      (quality >= 11 && (!cfg_dp2.bucket || !cfg_dp2.num))) {
+    rc = EERR_ALLOC;
+    goto done;
+  }
+  put_stream_header(&e.bw, lgwin);
+  for (size_t lo = 0; lo < n && rc == 0; lo += mb_target) {
+    size_t hi = lo + mb_target < n ? lo + mb_target : n;
+    Cmd* seed = NULL;
+    size_t nseed = 0;
+    rc = opt_seed_pass(data, n, lo, hi, e.maxback, &cfg_seed, sim_ring,
+                       &seed, &nseed);
+    if (rc) break;
+    if (nseed > e.plan_cap) {
+      free(e.plan);
+      e.plan_cap = nseed + 64;
+      e.plan = (Plan*)malloc(sizeof(Plan) * e.plan_cap);
+      if (!e.plan) {
+        free(seed);
+        rc = EERR_ALLOC;
+        break;
+      }
+    }
+    opt_costs_from_seed(data, lo, hi, seed, nseed, e.ring, e.plan, &oc);
+    Cmd* cmds = NULL;
+    size_t ncmd = 0;
+    rc = opt_parse_block(data, n, lo, hi, e.maxback, &cfg_dp, seed,
+                         nseed, e.ring, &oc, dp, blen, bcpy, bdist,
+                         &cmds, &ncmd);
+    free(seed);
+    if (rc) break;
+    if (quality >= 11) {
+      /* second iteration: recost from the DP's own parse (the
+         reference zopfli's two-pass ZopfliIterate) */
+      if (ncmd > e.plan_cap) {
+        free(e.plan);
+        e.plan_cap = ncmd + 64;
+        e.plan = (Plan*)malloc(sizeof(Plan) * e.plan_cap);
+        if (!e.plan) {
+          free(cmds);
+          rc = EERR_ALLOC;
+          break;
+        }
+      }
+      opt_costs_from_seed(data, lo, hi, cmds, ncmd, e.ring, e.plan,
+                          &oc);
+      Cmd* cmds2 = NULL;
+      size_t ncmd2 = 0;
+      rc = opt_parse_block(data, n, lo, hi, e.maxback, &cfg_dp2, cmds,
+                           ncmd, e.ring, &oc, dp, blen, bcpy, bdist,
+                           &cmds2, &ncmd2);
+      if (rc) {
+        free(cmds);
+        break;
+      }
+      free(cmds);
+      cmds = cmds2;
+      ncmd = ncmd2;
+    }
+    if (po) {
+      /* collect matches; advance the emission ring exactly as the
+         serializer would (plan_cmds mutates the ring in place) */
+      size_t pos = lo;
+      for (size_t t = 0; t < ncmd; t++) {
+        const Cmd* c = &cmds[t];
+        pos += c->ins;
+        if (c->cpy || c->dist) {
+          if (po->cnt >= po->cap) {
+            free(cmds);
+            rc = EERR_PARAM;
+            break;
+          }
+          int isd = (c->adv & CMD_DICT) != 0;
+          po->pos[po->cnt] = (uint32_t)pos;
+          po->len[po->cnt] = c->adv & ~CMD_DICT;
+          po->dist[po->cnt] = c->dist;
+          po->flag[po->cnt] = isd ? 2000u + c->cpy : 0u;
+          po->cnt++;
+        }
+        pos += c->adv & ~CMD_DICT;
+      }
+      if (rc) break;
+      if (ncmd > e.plan_cap) {
+        free(e.plan);
+        e.plan_cap = ncmd + 64;
+        e.plan = (Plan*)malloc(sizeof(Plan) * e.plan_cap);
+        if (!e.plan) {
+          free(cmds);
+          rc = EERR_ALLOC;
+          break;
+        }
+      }
+      plan_cmds(cmds, ncmd, e.ring, e.plan);
+      free(cmds);
+      continue;
+    }
+    rc = emit_metablock(&e, cmds, ncmd, lo, hi, hi >= n);
+    free(cmds);
+  }
+  if (po) goto done;
+  if (rc == 0) rc = bw_flush_align(&e.bw);
+  /* whole-stream fallback: never exceed raw + framing */
+  if (rc == 0 && e.bw.len >= n + 4) {
+    BW fb;
+    memset(&fb, 0, sizeof(fb));
+    put_stream_header(&fb, lgwin);
+    size_t p2 = 0;
+    while (p2 < n && rc == 0) {
+      size_t ch = n - p2;
+      if (ch > ((size_t)1 << 24) - 16) ch = ((size_t)1 << 24) - 16;
+      put_mlen_header(&fb, ch, 0, 1);
+      rc = bw_flush_align(&fb);
+      if (rc == 0) {
+        rc = bw_reserve(&fb, ch);
+        if (rc == 0) {
+          memcpy(fb.buf + fb.len, data + p2, ch);
+          fb.len += ch;
+        }
+      }
+      p2 += ch;
+    }
+    bw_put(&fb, 1, 1);
+    bw_put(&fb, 1, 1);
+    if (rc == 0) rc = bw_flush_align(&fb);
+    if (rc == 0 && fb.len < e.bw.len) {
+      free(e.bw.buf);
+      e.bw = fb;
+    } else {
+      free(fb.buf);
+    }
+  }
+done:
+  free(cfg_seed.bucket);
+  free(cfg_seed.num);
+  free(cfg_dp.bucket);
+  free(cfg_dp.num);
+  free(cfg_dp2.bucket);
+  free(cfg_dp2.num);
+  free(dp);
+  free(blen);
+  free(bcpy);
+  free(bdist);
+  free(oc.litc);
+  free(e.plan);
+  free(e.pm.w);
+  free(e.pm.leaf);
+  free(data);
+  if (rc || po) {
+    free(e.bw.buf);
+    return rc;
+  }
+  *out = e.bw.buf;
+  *out_len = e.bw.len;
+  return 0;
+}
+
+static int btpu_encode_opt(const uint8_t* raw, size_t n, int quality,
+                           int lgwin, const uint8_t* dict_blob,
+                           uint8_t** out, size_t* out_len) {
+  return btpu_encode_opt_impl(raw, n, quality, lgwin, dict_blob, out,
+                              out_len, NULL);
+}
+
+/* ctypes export: the q10/11 optimal PARSE alone, for the Python
+   serializer (see btpu_encode_opt_impl). out arrays need n/4 + 16
+   entries. */
+int btpu_opt_parse(const uint8_t* raw, size_t n, int quality, int lgwin,
+                   const uint8_t* dict_blob, uint32_t* out_pos,
+                   uint32_t* out_len_a, uint32_t* out_dist,
+                   uint32_t* out_flag, size_t cap, size_t* out_cnt) {
+  if (quality < 10 || quality > 11 || lgwin < 10 || lgwin > 24 ||
+      n == 0)
+    return EERR_PARAM;
+  if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
+  OptParseOut po;
+  po.pos = out_pos;
+  po.len = out_len_a;
+  po.dist = out_dist;
+  po.flag = out_flag;
+  po.cap = cap;
+  po.cnt = 0;
+  int rc = btpu_encode_opt_impl(raw, n, quality, lgwin, dict_blob,
+                                NULL, NULL, &po);
+  if (rc) return rc;
+  *out_cnt = po.cnt;
+  return 0;
+}
+
 int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
                 const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
-  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24 || n == 0)
+  if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 24 || n == 0)
     return EERR_PARAM;
-  /* hash-chain positions are stored as uint32 pos+1 */
   if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
+  if (quality >= 10)
+    return btpu_encode_opt(raw, n, quality, lgwin, dict_blob, out,
+                           out_len);
   /* padded input copy: match finding may read up to 8 bytes past the
      end (zero padding keeps the reads in-bounds and harmless) */
   uint8_t* data = (uint8_t*)malloc(n + 16);

@@ -202,12 +202,16 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     # the cycle corpus by +3 bytes; the continuation slot already
     # covers the distances the fill can supply)
 
-    # literal cost per position: host prepares litbits_q as a
+    # literal cost per position. v1: host prepares litbits_q as a
     # [p1, byte] (256 x 256) table -- the p1-driven part of the context
-    # model with p2 marginalized out (the full 2nd-order model still
-    # shapes the emitted stream; this is only DP guidance)
-    p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
-    litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
+    # model with p2 marginalized out. v2: litbits_q IS the exact
+    # per-position cost (full 2nd-order context + the windowed UTF8
+    # model, computed on host, uint8 at 1/8-bit resolution).
+    if _V2:
+        litq = litbits_q.astype(jnp.int32) * 2
+    else:
+        p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
+        litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
 
     # per-slot edge (len, dist-costq), flat (nslots, n); one transpose
     # to the scan's (B, nslots, nb) layout at the end (layout passes
@@ -503,25 +507,51 @@ def _cost_tables(data: np.ndarray, seed):
     # from the sample would get all-zero weights -> zero literal cost
     # -> the DP re-literalizes whole regions (round-2 regression when
     # this briefly sampled 1MB of a text prefix)
-    samp = data[:1 << 22]
-    l1v = lut[1][samp[:-1].astype(np.int64)]  # lut1 of p2 when p1 fol.
-    p1v = samp[1:].astype(np.int64)
-    vals = np.unique(lut[1])
-    wt = np.zeros((256, len(vals)), np.float64)
-    for j, v in enumerate(vals):
-        wt[:, j] = np.bincount(p1v[l1v == v], minlength=256)
-    unseen = wt.sum(axis=1) == 0
-    wt[unseen] = 1.0  # uniform prior for p1 bytes outside the sample
-    wt /= np.maximum(wt.sum(axis=1, keepdims=True), 1)
-    tab = np.zeros((256, 256), np.float64)
-    l0 = lut[0][np.arange(256)].astype(np.int64)
-    for j, v in enumerate(vals):
-        tab += wt[:, j:j + 1] * bits[l0 | v]
     # mild literal surcharge: real emission pays tree quantization and
     # clustering losses the ideal entropy table does not see
     import os as _os
     _sur = float(_os.environ.get("BROTLI_TPU_LIT_SURCHARGE", "1.1"))
-    litbits_q = np.minimum(tab * _sur * QBH, 24 * QBH).astype(np.int32)
+    if not _V2:
+        # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1
+        # takes only a handful of values -- weight each by
+        # P(lut1[p2] | p1) over adjacent byte pairs (sampled: the mix
+        # is stable). Sample must span the input's byte repertoire: a
+        # p1 value absent from the sample would get all-zero weights
+        # -> zero literal cost -> the DP re-literalizes whole regions
+        # (round-2 regression when this briefly sampled 1MB of text).
+        samp = data[:1 << 22]
+        l1v = lut[1][samp[:-1].astype(np.int64)]  # lut1 of p2 w/ p1
+        p1v = samp[1:].astype(np.int64)
+        vals = np.unique(lut[1])
+        wt = np.zeros((256, len(vals)), np.float64)
+        for j, v in enumerate(vals):
+            wt[:, j] = np.bincount(p1v[l1v == v], minlength=256)
+        unseen = wt.sum(axis=1) == 0
+        wt[unseen] = 1.0  # uniform prior outside the sample
+        wt /= np.maximum(wt.sum(axis=1, keepdims=True), 1)
+        tab = np.zeros((256, 256), np.float64)
+        l0 = lut[0][np.arange(256)].astype(np.int64)
+        for j, v in enumerate(vals):
+            tab += wt[:, j:j + 1] * bits[l0 | v]
+    if _V2:
+        # exact per-position literal cost (full 2nd-order context
+        # model + the windowed UTF8 model, like the host DP) -- the v2
+        # kernel takes it directly instead of a marginalized table
+        cid_all = (lut[0][np.concatenate([[0], data[:-1]]).astype(
+            np.int64)] | lut[1][np.concatenate(
+                [[0, 0], data[:-2]]).astype(np.int64)])
+        litpos = bits[cid_all, data.astype(np.int64)]
+        from ..enc.literal_cost import (estimate_literal_bits,
+                                        is_mostly_utf8)
+        if (_os.environ.get("BROTLI_TPU_LIT_UTF8", "1") == "1"
+                and is_mostly_utf8(data)):
+            u = estimate_literal_bits(np.asarray(data))
+            litpos = (litpos + u) / 2
+        litbits_q = np.clip(np.round(litpos * _sur * QBH / 2), 0,
+                            255).astype(np.uint8)
+    else:
+        litbits_q = np.minimum(tab * _sur * QBH, 24 * QBH).astype(
+            np.int32)
 
     lens_all = np.arange(W)
     _cmdq = int(float(_os.environ.get("BROTLI_TPU_CMD_EXTRA", "1.0")) *
@@ -599,7 +629,10 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                                      np.zeros(len(m), np.int64))
         with trace.stage("dp.cost-tables"):
             tables = _cost_tables(arr, prev)
-        dev_tables = [jnp.asarray(t) for t in tables]
+        # v2: tables[0] is the exact per-position literal cost (uint8)
+        # and ships per segment; v1's (256, 256) table uploads once
+        dev_tables = [None if _V2 else jnp.asarray(tables[0]),
+                      jnp.asarray(tables[1]), jnp.asarray(tables[2])]
         handles = []
         for lo in range(0, n, SEG):
             hi = min(lo + SEG, n)
@@ -607,6 +640,10 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
             b = _bucket(len(chunk))
             padded = np.zeros(b, np.uint8)
             padded[:len(chunk)] = chunk
+            if _V2:
+                litseg = np.zeros(b, np.uint8)
+                litseg[:len(chunk)] = tables[0][lo:hi]
+                dev_tables[0] = jnp.asarray(litseg)
             npos = max(len(chunk) - 3, 0)
             # seed matches intersected with the segment (a suffix of an
             # LZ match is a match at the same distance, so a giant match

@@ -44,7 +44,7 @@ print(f"golden sweep: {n} files ok")
 # 2. native encoder roundtrips (one-shot + streaming + metadata)
 for name in ["alice29.txt", "mapsdatazrh", "random_org_10k.bin", "zeros"]:
     data = (td / name).read_bytes()
-    for q in (0, 1, 2, 5, 9):
+    for q in (0, 1, 2, 5, 9, 10, 11):
         comp = native.encode(data, q, 22)
         assert native.decode(comp) == data, (name, q)
     enc = native.StreamEncoder(5, 22)

@@ -227,3 +227,62 @@ def test_native_find_matches_exports_valid_seeds(testdata):
             break
         ok[sel] &= arr[p[sel] + off] == arr[p[sel] - d[sel] + off]
     assert ok.all()
+
+
+def test_native_optimal_tier_roundtrips(testdata, ref_cli):
+    """q10/11 route through the native optimal-parse tier for small
+    inputs: output decodes through the reference CLI and beats the
+    greedy q9 tier's size."""
+    import subprocess
+    data = (testdata / "asyoulik.txt").read_bytes()
+    out11 = native.encode(data, 11, 22)
+    out9 = native.encode(data, 9, 22)
+    r = subprocess.run([str(ref_cli), "-d", "-c"], input=out11,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    assert len(out11) < len(out9)
+    out10 = native.encode(data, 10, 22)
+    r = subprocess.run([str(ref_cli), "-d", "-c"], input=out10,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+
+
+def test_native_opt_parse_matches_verify(testdata):
+    """The exported optimal parse: LZ matches verify byte-exact, dict
+    references carry flag = 2000 + word length and in-window output
+    spans (the Python serializer's contract)."""
+    data = (testdata / "alice29.txt").read_bytes()
+    p, l, d, f = native.opt_parse(data, 11, 22)
+    arr = np.frombuffer(data, np.uint8)
+    assert (p[1:] >= p[:-1] + l[:-1]).all()    # sorted, non-overlap
+    lz = f == 0
+    assert (d[lz] > 0).all() and (p[lz] - d[lz] >= 0).all()
+    ok = np.ones(int(lz.sum()), bool)
+    pp, ll, dd = p[lz], l[lz], d[lz]
+    for off in range(int(ll.max())):
+        sel = ll > off
+        if not sel.any():
+            break
+        ok[sel] &= arr[pp[sel] + off] == arr[pp[sel] - dd[sel] + off]
+    assert ok.all()
+    dk = f >= 2000
+    assert dk.sum() > 100                      # dict edges present
+    assert (f[dk] - 2000 >= 4).all() and (f[dk] - 2000 <= 24).all()
+    # dict distances address beyond the window at their positions
+    maxd = np.minimum(p[dk], (1 << 22) - 16)
+    assert (d[dk] > maxd).all()
+
+
+def test_native_optimal_small_file_quality(testdata, ref_cli):
+    """api-level q11 on a small file: within 4% of the reference's
+    size (the native zopfli tier), and decodes through the ref CLI."""
+    import subprocess
+    import brotli_tpu
+    data = (testdata / "alice29.txt").read_bytes()
+    out = brotli_tpu.compress(data, quality=11)
+    r = subprocess.run([str(ref_cli), "-d", "-c"], input=out,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    ref = subprocess.run([str(ref_cli), "-q", "11", "-w", "22", "-c"],
+                         input=data, capture_output=True).stdout
+    assert len(out) <= len(ref) * 1.04
