@@ -1364,21 +1364,28 @@ static double opt_dist_scale(void) {
   return v ? atof(v) : 0.9;
 }
 
+/* copy-length stops relaxed per candidate besides the full length (the
+   host DP's _TRUNC_STOPS role: landing exactly on a later match start) */
+static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
+                                346, 552, 881, 1406, 2245};
+#define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
+/* copy codes of the fixed stop lengths (value_code is a binary search;
+   the DP's hot loop looks these up instead) */
+static int kOptStopCode[N_OPT_STOPS];
+static volatile int g_opt_stop_ready = 0;
+
 typedef struct {
   float litc_base;     /* flat literal cost when no context model */
   float* litc;         /* per-position literal bits (metablock) */
   float ccost[24];     /* copy-code bits incl. insert share + cmd base */
   float dsym[64];      /* distance symbol bits */
+  float stopcost[N_OPT_STOPS];  /* ccost at the fixed stop lengths */
 } OptCost;
 
-static float opt_dist_cost(const OptCost* oc, uint32_t dist) {
+static inline float opt_dist_cost(const OptCost* oc, uint32_t dist) {
   uint64_t d = (uint64_t)dist - 1;
   uint64_t t = (d + 4) >> 2;
-  int nbits = 0;
-  while (t) {
-    nbits++;
-    t >>= 1;
-  }
+  int nbits = 64 - __builtin_clzll(t | 1); /* bit_length(t) */
   uint64_t rest = d + 4 - (1ull << (nbits + 1));
   int half = (int)(rest >> nbits);
   int sym = 16 + (((nbits - 1) << 1) | half);
@@ -1386,11 +1393,6 @@ static float opt_dist_cost(const OptCost* oc, uint32_t dist) {
   return oc->dsym[sym] + (float)nbits;
 }
 
-/* copy-length stops relaxed per candidate besides the full length (the
-   host DP's _TRUNC_STOPS role: landing exactly on a later match start) */
-static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
-                                346, 552, 881, 1406, 2245};
-#define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
 
 /* Build the cost model from a seed command array (costs mirror
    ops/optimal_jax._cost_tables: +1 smoothing, 1.1 literal surcharge,
@@ -1476,6 +1478,14 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
   for (int i = 0; i < 64; i++)
     oc->dsym[i] = (float)(-log2((dh[i] + 0.2) / dtot) *
                           opt_dist_scale());
+  if (!g_opt_stop_ready) {
+    for (int i = 0; i < N_OPT_STOPS; i++)
+      kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
+                                   24);
+    g_opt_stop_ready = 1;
+  }
+  for (int i = 0; i < N_OPT_STOPS; i++)
+    oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
 }
 
 static inline float opt_copy_cost(const OptCost* oc, uint32_t len) {
@@ -1548,17 +1558,26 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         size_t lo__ = (lo_);                                           \
         uint32_t d__ = (uint32_t)(d_);                                 \
         float dc__ = dp[ii] + opt_dist_cost(oc, d__);                  \
-        for (int s_ = 0; s_ <= N_OPT_STOPS; s_++) {                    \
-          size_t l_ = s_ < N_OPT_STOPS ? (size_t)kOptStops[s_] : L__;  \
-          if (s_ < N_OPT_STOPS && (l_ >= L__ || l_ <= lo__))           \
-            continue; /* full length relaxes at the final iteration */ \
-          float c_ = dc__ + oc->ccost[value_code((uint32_t)l_,         \
-                                                 kCopyBase, 24)];      \
+        for (int s_ = 0; s_ < N_OPT_STOPS; s_++) {                    \
+          size_t l_ = (size_t)kOptStops[s_];                           \
+          if (l_ >= L__) break; /* stops are sorted */                 \
+          if (l_ <= lo__) continue;                                    \
+          float c_ = dc__ + oc->stopcost[s_];                          \
           if (c_ < dp[ii + l_]) {                                      \
             dp[ii + l_] = c_;                                          \
             blen[ii + l_] = (uint32_t)l_;                              \
             bcpy[ii + l_] = (uint32_t)l_;                              \
             bdist[ii + l_] = d__;                                      \
+          }                                                            \
+        }                                                              \
+        {                                                              \
+          float c_ = dc__ + oc->ccost[value_code((uint32_t)L__,        \
+                                                 kCopyBase, 24)];      \
+          if (c_ < dp[ii + L__]) {                                     \
+            dp[ii + L__] = c_;                                         \
+            blen[ii + L__] = (uint32_t)L__;                            \
+            bcpy[ii + L__] = (uint32_t)L__;                            \
+            bdist[ii + L__] = d__;                                     \
           }                                                            \
         }                                                              \
       } while (0)
@@ -1831,6 +1850,11 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   cfg_dp.min_len = 4;
   cfg_dp.use_dict = 1;
   cfg_dp.h4 = 1;  /* 4-byte hash: the DP must see len-4 matches */
+  if (getenv("BTPU_OPT_NO_DICT")) cfg_dp.use_dict = 0;
+  {
+    const char* v = getenv("BTPU_OPT_DEPTH");
+    if (v) cfg_dp.depth = atoi(v);
+  }
   if (dict_blob) {
     if (dict_index_init(dict_blob)) cfg_dp.use_dict = 0;
   } else if (!g_dict.ready) {
@@ -1899,7 +1923,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
                          &cmds, &ncmd);
     free(seed);
     if (rc) break;
-    if (quality >= 11) {
+    if (quality >= 11 && !getenv("BTPU_OPT_ONE_ITER")) {
       /* second iteration: recost from the DP's own parse (the
          reference zopfli's two-pass ZopfliIterate) */
       if (ncmd > e.plan_cap) {
