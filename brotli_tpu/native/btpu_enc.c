@@ -1366,6 +1366,10 @@ static double opt_dist_scale(void) {
 
 /* copy-length stops relaxed per candidate besides the full length (the
    host DP's _TRUNC_STOPS role: landing exactly on a later match start) */
+/* matches at least this long are committed greedily and their
+   interior skipped (BROTLI_LONG_COPY_QUICK_STEP, quality.h:14) */
+#define OPT_LONG_SKIP 16384
+
 static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
                                 346, 552, 881, 1406, 2245};
 #define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
@@ -1514,12 +1518,15 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
   memcpy(sring, ring_in, sizeof(sring));
   size_t si = 0;        /* next seed cmd */
   size_t spos = lo;     /* input consumed by seed cmds < si */
+  /* positions below skip_until ride a committed long copy (the
+     reference's BROTLI_LONG_COPY_QUICK_STEP role,
+     backward_references_hq.c:660-668): candidate discovery inside a
+     megabyte-scale repeat would run a megabyte common_len per
+     position (quadratic); the interior keeps only the literal chain
+     and sparse hash inserts */
+  size_t skip_until = lo;
   for (size_t i = lo; i < hi; i++) {
     size_t ii = i - lo;
-    if (dp[ii] >= 1e29f) { /* unreachable (cannot happen: literals) */
-      insert_hash(data, i, cfg);
-      continue;
-    }
     /* advance the seed ring past commands ending at or before i */
     while (si < nseed) {
       const Cmd* sc = &seed[si];
@@ -1535,6 +1542,10 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       spos = end;
       si++;
     }
+    if (dp[ii] >= 1e29f) { /* unreachable (skipped-span interior) */
+      if ((i & 7) == 0) insert_hash(data, i, cfg);
+      continue;
+    }
     /* literal edge */
     {
       float c = dp[ii] + oc->litc[ii];
@@ -1542,6 +1553,10 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         dp[ii + 1] = c;
         blen[ii + 1] = 0;
       }
+    }
+    if (i < skip_until) {
+      if ((i & 7) == 0) insert_hash(data, i, cfg);
+      continue;
     }
     size_t rem = n - i;
     size_t limit = rem < MAX_COPY_LEN ? rem : MAX_COPY_LEN;
@@ -1664,6 +1679,13 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       }
     }
     #undef OPT_RELAX
+    /* commit very long copies greedily: their interior is skipped
+       (tail positions stay live so the parse blends into what
+       follows) */
+    if (best_len >= OPT_LONG_SKIP) {
+      size_t su = i + best_len - 64;
+      if (su > skip_until) skip_until = su;
+    }
     insert_hash(data, i, cfg);
   }
   /* backtrack into commands */
