@@ -102,25 +102,20 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
                                                large_window)
     # native fast path (role of the reference's C encoder tiers,
     # native/btpu_enc.c): one-shot, standard window, no custom
-    # dictionary. q0-9 always; q10/11 for small inputs (< 256 KB: the
-    # native zopfli tier beats the device DP's ratio and runs at
-    # reference-like speed where the Python host DP is ~50x slower)
-    # and as the CPU fallback for large ones. The JAX/device pipeline
-    # stays authoritative for large-input q10/11 on TPU, compound
-    # dictionaries, large windows and the sharded multi-chip path.
+    # dictionary, every quality. The q10/11 optimal-parse tier beats
+    # the single-chip device DP in both size and speed (16MB corpus:
+    # 555,610 bytes at 5.2 MB/s vs 575,385 at 3.1), so it is the
+    # one-shot default; the JAX/device pipeline stays authoritative
+    # for the sharded multi-chip path (parallel/shard.py scales
+    # per-chip), compound dictionaries, and large windows, and
+    # BROTLI_TPU_ENCODER=device forces it for one-shot q10/11.
     # BROTLI_TPU_ENCODER=python routes q10/11 to the ratio-max Python
     # host DP instead.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
-    if (enc_sel != "python" and not large_window
+    if (enc_sel not in ("python", "device") and not large_window
             and dictionary is None and shared is None and mode == 0
             and not base64_mode and len(data) > 0):
-        use_native = quality <= 9
-        if quality >= 10:
-            if len(data) < (1 << 18):
-                use_native = True
-            else:
-                from ..utils.jaxcfg import backend_or_cpu
-                use_native = backend_or_cpu() == "cpu"
+        use_native = True
         if use_native:
             try:
                 from .. import native
@@ -147,6 +142,7 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     # overlaps later segments' device compute
     if (quality >= 10 and n >= (1 << 18) and D == 0 and shared is None
             and not base64_mode and not large and mode == 0
+            and enc_sel != "python"
             and os.environ.get("BROTLI_TPU_BACKEND", "auto") != "numpy"):
         try:
             from ..utils.jaxcfg import backend_or_cpu
