@@ -1374,9 +1374,15 @@ static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
                                 346, 552, 881, 1406, 2245};
 #define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
 /* copy codes of the fixed stop lengths (value_code is a binary search;
-   the DP's hot loop looks these up instead) */
+   the DP's hot loop looks these up instead), plus direct-lookup code
+   tables for small insert/copy values */
 static int kOptStopCode[N_OPT_STOPS];
+static uint8_t kCpyCodeLut[2048];
 static volatile int g_opt_stop_ready = 0;
+
+static inline int cpy_code_fast(uint32_t v) {
+  return v < 2048 ? kCpyCodeLut[v] : value_code(v, kCopyBase, 24);
+}
 
 typedef struct {
   float litc_base;     /* flat literal cost when no context model */
@@ -1384,6 +1390,12 @@ typedef struct {
   float ccost[24];     /* copy-code bits incl. insert share + cmd base */
   float dsym[64];      /* distance symbol bits */
   float stopcost[N_OPT_STOPS];  /* ccost at the fixed stop lengths */
+  /* short-code distance bits for seed-ring hits (dcode 0-3, no extra
+     bits): the reference ZopfliCostModel prices distance-cache reuse
+     through the distance histogram (backward_references_hq.c:83-105);
+     pricing ring probes at the explicit-symbol cost overcharges them
+     by the extra-bit count and suppresses distance reuse */
+  float dring[16];
 } OptCost;
 
 static inline float opt_dist_cost(const OptCost* oc, uint32_t dist) {
@@ -1486,14 +1498,13 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     for (int i = 0; i < N_OPT_STOPS; i++)
       kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
                                    24);
+    for (uint32_t v = 0; v < 2048; v++)
+      kCpyCodeLut[v] = (uint8_t)value_code(v, kCopyBase, 24);
     g_opt_stop_ready = 1;
   }
   for (int i = 0; i < N_OPT_STOPS; i++)
     oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
-}
-
-static inline float opt_copy_cost(const OptCost* oc, uint32_t len) {
-  return oc->ccost[value_code(len, kCopyBase, 24)];
+  for (int s = 0; s < 16; s++) oc->dring[s] = oc->dsym[s];
 }
 
 /* Forward shortest-path over [lo, hi): backptr arrays encode each
@@ -1505,14 +1516,15 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
                            const Cmd* seed, size_t nseed,
                            const uint32_t* ring_in, const OptCost* oc,
                            float* dp, uint32_t* blen, uint32_t* bcpy,
-                           uint32_t* bdist, Cmd** out_cmds,
-                           size_t* out_ncmd) {
+                           uint32_t* bdist, uint32_t* lastm,
+                           Cmd** out_cmds, size_t* out_ncmd) {
   size_t m = hi - lo;
   for (size_t i = 0; i <= m; i++) {
     dp[i] = 1e30f;
     blen[i] = 0;
   }
   dp[0] = 0.0f;
+  lastm[0] = 0;
   /* seed ring timeline */
   uint32_t sring[4];
   memcpy(sring, ring_in, sizeof(sring));
@@ -1552,6 +1564,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       if (c < dp[ii + 1]) {
         dp[ii + 1] = c;
         blen[ii + 1] = 0;
+        lastm[ii + 1] = lastm[ii];
       }
     }
     if (i < skip_until) {
@@ -1567,12 +1580,12 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
     /* relax one candidate (len L at dist d) over stops above lo_ + L
        (stops <= lo_ are dominated by a NEARER candidate already
        relaxed at those lengths) */
-    #define OPT_RELAX(L_, d_, lo_)                                     \
+    #define OPT_RELAX(L_, d_, lo_, dbits_)                             \
       do {                                                             \
         size_t L__ = (L_);                                             \
         size_t lo__ = (lo_);                                           \
         uint32_t d__ = (uint32_t)(d_);                                 \
-        float dc__ = dp[ii] + opt_dist_cost(oc, d__);                  \
+        float dc__ = dp[ii] + (dbits_);                                \
         for (int s_ = 0; s_ < N_OPT_STOPS; s_++) {                    \
           size_t l_ = (size_t)kOptStops[s_];                           \
           if (l_ >= L__) break; /* stops are sorted */                 \
@@ -1583,16 +1596,17 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
             blen[ii + l_] = (uint32_t)l_;                              \
             bcpy[ii + l_] = (uint32_t)l_;                              \
             bdist[ii + l_] = d__;                                      \
+            lastm[ii + l_] = (uint32_t)(ii + l_);                      \
           }                                                            \
         }                                                              \
         {                                                              \
-          float c_ = dc__ + oc->ccost[value_code((uint32_t)L__,        \
-                                                 kCopyBase, 24)];      \
+          float c_ = dc__ + oc->ccost[cpy_code_fast((uint32_t)L__)];   \
           if (c_ < dp[ii + L__]) {                                     \
             dp[ii + L__] = c_;                                         \
             blen[ii + L__] = (uint32_t)L__;                            \
             bcpy[ii + L__] = (uint32_t)L__;                            \
             bdist[ii + L__] = d__;                                     \
+            lastm[ii + L__] = (uint32_t)(ii + L__);                    \
           }                                                            \
         }                                                              \
       } while (0)
@@ -1610,26 +1624,52 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
           size_t l = me - i;
           if (l > limit) l = limit;
           if (l >= 4) {
-            OPT_RELAX(l, sc->dist, (size_t)0);
+            OPT_RELAX(l, sc->dist, (size_t)0,
+                      opt_dist_cost(oc, (uint32_t)sc->dist));
             if (l > best_len) best_len = l;
           }
         }
       }
     }
-    /* distance-cache probes (seed-parse ring): relax every stop --
-       ring distances are not ordered vs the bucket walk's */
+    /* distance-cache probes: reconstruct the ring at THIS node from
+       the best path's backpointers (ComputeDistanceCache role,
+       backward_references_hq.c) so short-code pricing matches what
+       emission replay will actually see; relax every stop -- ring
+       distances are not ordered vs the bucket walk's */
     if (rem >= 4) {
-      for (int s = 0; s < 4; s++) {
-        size_t d = sring[s];
-        if (d == 0 || d > maxd) continue;
-        if (s > 0 && (d == sring[0] || (s > 1 && d == sring[1]) ||
-                      (s > 2 && d == sring[2])))
+      uint32_t nring[4];
+      {
+        int nf = 0;
+        size_t j = lastm[ii];
+        while (j > 0 && nf < 4) {
+          uint32_t bl = blen[j];
+          if (!(bl & CMD_DICT)) {
+            uint32_t d_ = bdist[j];
+            if (nf == 0 || nring[nf - 1] != d_) nring[nf++] = d_;
+          }
+          j = lastm[j - (bl & ~CMD_DICT)];
+        }
+        for (int t = 0; nf < 4; t++, nf++) nring[nf] = ring_in[t];
+      }
+      /* 16 short-code probes: the 4 exact slots plus ring[0]+-1..3
+         and ring[1]+-1..3 (dcodes 4-15), each priced at its
+         short-code symbol cost (kDistanceCacheIndex/-Offset role) */
+      static const int8_t kRingIdx[16] = {0, 1, 2, 3, 0, 0, 0, 0,
+                                          0, 0, 1, 1, 1, 1, 1, 1};
+      static const int8_t kRingOff[16] = {0, 0, 0, 0, -1, 1, -2, 2,
+                                          -3, 3, -1, 1, -2, 2, -3, 3};
+      for (int s = 0; s < 16; s++) {
+        long ds = (long)nring[kRingIdx[s]] + kRingOff[s];
+        if (ds <= 0 || (size_t)ds > maxd) continue;
+        size_t d = (size_t)ds;
+        if (s > 0 && (d == nring[0] || (s > 1 && d == nring[1]) ||
+                      (s > 2 && d == nring[2])))
           continue;
         const uint8_t* q = p - d;
         if (q[0] != p[0]) continue;
         size_t l = common_len(p, q, limit);
         if (l >= 3) {
-          OPT_RELAX(l, d, (size_t)0);
+          OPT_RELAX(l, d, (size_t)0, oc->dring[s]);
           if (l > best_len) best_len = l;
         }
       }
@@ -1652,7 +1692,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         if (q[walk_best] != p[walk_best]) continue;
         size_t l = common_len(p, q, limit);
         if (l >= 4 && l > walk_best) {
-          OPT_RELAX(l, d, walk_best);
+          OPT_RELAX(l, d, walk_best, opt_dist_cost(oc, (uint32_t)d));
           walk_best = l;
           if (l > best_len) best_len = l;
         }
@@ -1668,12 +1708,13 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
                                      ((uint32_t)dtid
                                       << kDictSizeBits[dwlen]) + didx);
           float c = dp[ii] + opt_dist_cost(oc, dist) +
-                    opt_copy_cost(oc, (uint32_t)dcopy);
+                    oc->ccost[cpy_code_fast((uint32_t)dcopy)];
           if (c < dp[ii + dout]) {
             dp[ii + dout] = c;
             blen[ii + dout] = (uint32_t)dout | CMD_DICT;
             bcpy[ii + dout] = (uint32_t)dcopy;
             bdist[ii + dout] = dist;
+            lastm[ii + dout] = (uint32_t)(ii + dout);
           }
         }
       }
@@ -1876,6 +1917,10 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   {
     const char* v = getenv("BTPU_OPT_DEPTH");
     if (v) cfg_dp.depth = atoi(v);
+    v = getenv("BTPU_OPT_HBITS");
+    if (v) cfg_dp.hbits = atoi(v);
+    v = getenv("BTPU_OPT_BLOCK_BITS");
+    if (v) cfg_dp.block_bits = atoi(v);
   }
   if (dict_blob) {
     if (dict_index_init(dict_blob)) cfg_dp.use_dict = 0;
@@ -1907,6 +1952,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   uint32_t* blen = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
   uint32_t* bcpy = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
   uint32_t* bdist = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+  uint32_t* lastm = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
   OptCost oc;
   oc.litc = (float*)malloc(sizeof(float) * mb_max);
   uint32_t sim_ring[4];
@@ -1914,6 +1960,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   int rc = 0;
   if (!e.pm.w || !e.pm.leaf || !cfg_seed.bucket || !cfg_seed.num ||
       !cfg_dp.bucket || !cfg_dp.num || !dp || !blen || !bcpy || !bdist ||
+      !lastm ||
       !oc.litc ||
       (quality >= 11 && (!cfg_dp2.bucket || !cfg_dp2.num))) {
     rc = EERR_ALLOC;
@@ -1942,7 +1989,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
     size_t ncmd = 0;
     rc = opt_parse_block(data, n, lo, hi, e.maxback, &cfg_dp, seed,
                          nseed, e.ring, &oc, dp, blen, bcpy, bdist,
-                         &cmds, &ncmd);
+                         lastm, &cmds, &ncmd);
     free(seed);
     if (rc) break;
     if (quality >= 11 && !getenv("BTPU_OPT_ONE_ITER")) {
@@ -1964,7 +2011,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
       size_t ncmd2 = 0;
       rc = opt_parse_block(data, n, lo, hi, e.maxback, &cfg_dp2, cmds,
                            ncmd, e.ring, &oc, dp, blen, bcpy, bdist,
-                           &cmds2, &ncmd2);
+                           lastm, &cmds2, &ncmd2);
       if (rc) {
         free(cmds);
         break;
@@ -2056,6 +2103,7 @@ done:
   free(blen);
   free(bcpy);
   free(bdist);
+  free(lastm);
   free(oc.litc);
   free(e.plan);
   free(e.pm.w);
