@@ -34,7 +34,11 @@
 #define NUM_CMD BTPU_NUM_CMD_SYMS
 #define NUM_DIST BTPU_NUM_DIST_SYMS
 #define NUM_LIT_CTX 64
-#define MAX_LIT_TREES 16
+#define MAX_LIT_TREES 48
+#define MAX_LIT_TYPES 8
+#define MAX_CMD_TYPES 6
+#define MAX_DIST_TYPES 4
+#define MAX_DIST_TREES 8
 
 /* ---------- bit writer ---------- */
 
@@ -395,6 +399,19 @@ static inline double xlogx(uint64_t x) {
   return (double)x * log2((double)x);
 }
 
+static void ensure_xlogx(void) {
+  if (!g_xlogx_ready) {
+    pthread_mutex_lock(&g_init_lock);
+    if (!g_xlogx_ready) {
+      g_xlogx[0] = 0.0;
+      for (int i = 1; i < 4096; i++)
+        g_xlogx[i] = (double)i * log2((double)i);
+      g_xlogx_ready = 1;
+    }
+    pthread_mutex_unlock(&g_init_lock);
+  }
+}
+
 static double hist_cost(const uint32_t* h, int n) {
   uint64_t total = 0;
   double sx = 0.0;
@@ -424,20 +441,21 @@ static double pair_cost(const uint32_t* a, const uint32_t* b, int n) {
    in a k x k matrix; only the merged row is recomputed per step. */
 static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
                          double table_cost, int* assign, int* reps) {
-  double cost[64];
-  int alive[64];
-  int group_of[64];
-  double gain[64][64];
-  if (!g_xlogx_ready) {
-    pthread_mutex_lock(&g_init_lock);
-    if (!g_xlogx_ready) {
-      g_xlogx[0] = 0.0;
-      for (int i = 1; i < 4096; i++)
-        g_xlogx[i] = (double)i * log2((double)i);
-      g_xlogx_ready = 1;
-    }
-    pthread_mutex_unlock(&g_init_lock);
+  double* cost = (double*)malloc(sizeof(double) * (size_t)k);
+  int* alive = (int*)malloc(sizeof(int) * (size_t)k);
+  int* group_of = (int*)malloc(sizeof(int) * (size_t)k);
+  int* remap = (int*)malloc(sizeof(int) * (size_t)k);
+  double* gain = (double*)malloc(sizeof(double) * (size_t)k * (size_t)k);
+  if (!cost || !alive || !group_of || !remap || !gain) {
+    free(cost);
+    free(alive);
+    free(group_of);
+    free(remap);
+    free(gain);
+    return -1;
   }
+#define GAIN(a_, b_) gain[(size_t)(a_) * (size_t)k + (b_)]
+  ensure_xlogx();
   for (int i = 0; i < k; i++) {
     cost[i] = hist_cost(hists + (size_t)i * n, n);
     alive[i] = 1;
@@ -445,7 +463,7 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
   }
   for (int a = 0; a < k; a++)
     for (int b = a + 1; b < k; b++)
-      gain[a][b] = cost[a] + cost[b] -
+      GAIN(a, b) = cost[a] + cost[b] -
                    pair_cost(hists + (size_t)a * n, hists + (size_t)b * n,
                              n) +
                    table_cost;
@@ -457,8 +475,8 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
       if (!alive[a]) continue;
       for (int b = a + 1; b < k; b++) {
         if (!alive[b]) continue;
-        if (gain[a][b] > best) {
-          best = gain[a][b];
+        if (GAIN(a, b) > best) {
+          best = GAIN(a, b);
           ba = a;
           bb = b;
         }
@@ -479,14 +497,13 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
                            hists + (size_t)b * n, n) +
                  table_cost;
       if (b > ba)
-        gain[ba][b] = g;
+        GAIN(ba, b) = g;
       else
-        gain[b][ba] = g;
+        GAIN(b, ba) = g;
     }
   }
   /* renumber in first-appearance order */
   int ntrees = 0;
-  int remap[256];
   for (int i = 0; i < k; i++) remap[i] = -1;
   for (int i = 0; i < k; i++) {
     int g = group_of[i];
@@ -497,6 +514,12 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
     }
     assign[i] = remap[g];
   }
+#undef GAIN
+  free(cost);
+  free(alive);
+  free(group_of);
+  free(remap);
+  free(gain);
   return ntrees;
 }
 
@@ -1050,6 +1073,262 @@ static void put_mlen_header(BW* bw, size_t mlen, int is_last,
   if (!is_last) bw_put(bw, is_uncompressed ? 1 : 0, 1);
 }
 
+/* ---------- block splitting (RFC 6; role: BrotliSplitBlock,
+   c/enc/block_splitter.c -- same chunk-clustering redesign as the
+   Python enc/block_split.split_symbols) ---------- */
+
+typedef struct {
+  int ntypes;      /* 1 = no split (rtype/rlen NULL) */
+  uint8_t* rtype;  /* run block types, first-appearance numbered */
+  uint32_t* rlen;  /* run lengths in SYMBOLS of the category stream */
+  size_t nruns;
+} Split;
+
+static void split_free(Split* sp) {
+  free(sp->rtype);
+  free(sp->rlen);
+  sp->rtype = NULL;
+  sp->rlen = NULL;
+  sp->ntypes = 1;
+  sp->nruns = 0;
+}
+
+/* Chunk the symbol stream, k-means-refine per-chunk histograms against
+   k seed types, smooth single-chunk islands, keep the split only when
+   the entropy gain beats the tree/switch overhead. Returns 0 (sp
+   filled; ntypes == 1 means "no split") or EERR_ALLOC. */
+static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
+                           int chunk, int max_types, Split* sp) {
+  sp->ntypes = 1;
+  sp->rtype = NULL;
+  sp->rlen = NULL;
+  sp->nruns = 0;
+  size_t nch = n / (size_t)chunk;
+  if (nch < 8 || max_types <= 1) return 0;
+  ensure_xlogx();
+  int k = max_types;
+  if ((size_t)k > nch / 4) k = (int)(nch / 4);
+  if (k < 2) k = 2;
+  int rc = EERR_ALLOC;
+  uint16_t* H = (uint16_t*)calloc(nch * (size_t)alphabet, 2);
+  double* seeds = (double*)malloc((size_t)k * alphabet * sizeof(double));
+  float* logpT = (float*)malloc((size_t)alphabet * k * sizeof(float));
+  uint8_t* assign = (uint8_t*)calloc(nch, 1);
+  uint32_t* thist = (uint32_t*)calloc((size_t)(k + 1) * alphabet, 4);
+  if (!H || !seeds || !logpT || !assign || !thist) goto done;
+  for (size_t c = 0; c < nch; c++) {
+    uint16_t* row = H + c * (size_t)alphabet;
+    const uint16_t* s = syms + c * (size_t)chunk;
+    for (int i = 0; i < chunk; i++) row[s[i]]++;
+  }
+  for (int t = 0; t < k; t++) {
+    size_t c = (size_t)((double)t * (double)(nch - 1) / (double)(k - 1));
+    const uint16_t* row = H + c * (size_t)alphabet;
+    for (int s = 0; s < alphabet; s++)
+      seeds[(size_t)t * alphabet + s] = row[s];
+  }
+  for (int iter = 0; iter < 4; iter++) {
+    for (int t = 0; t < k; t++) {
+      double tot = 0;
+      for (int s = 0; s < alphabet; s++)
+        tot += seeds[(size_t)t * alphabet + s];
+      if (tot < 1) tot = 1;
+      double lt = log2(tot);
+      for (int s = 0; s < alphabet; s++) {
+        double v = seeds[(size_t)t * alphabet + s];
+        if (v < 0.5) v = 0.5;
+        logpT[(size_t)s * k + t] = (float)(log2(v) - lt);
+      }
+    }
+    int changed = 0;
+    for (size_t c = 0; c < nch; c++) {
+      float acc[16];
+      for (int t = 0; t < k; t++) acc[t] = 0.0f;
+      const uint16_t* s = syms + c * (size_t)chunk;
+      for (int i = 0; i < chunk; i++) {
+        const float* lp = logpT + (size_t)s[i] * k;
+        for (int t = 0; t < k; t++) acc[t] += lp[t];
+      }
+      int bt = 0;
+      for (int t = 1; t < k; t++)
+        if (acc[t] > acc[bt]) bt = t;
+      if (assign[c] != (uint8_t)bt) {
+        assign[c] = (uint8_t)bt;
+        changed = 1;
+      }
+    }
+    if (!changed) break;
+    memset(seeds, 0, (size_t)k * alphabet * sizeof(double));
+    for (size_t c = 0; c < nch; c++) {
+      double* dst = seeds + (size_t)assign[c] * alphabet;
+      const uint16_t* row = H + c * (size_t)alphabet;
+      for (int s = 0; s < alphabet; s++) dst[s] += row[s];
+    }
+    for (int t = 0; t < k; t++)
+      seeds[(size_t)t * alphabet] += 1e-3;
+  }
+  /* merge isolated single-chunk islands into the left neighbor */
+  for (size_t c = 1; c + 1 < nch; c++)
+    if (assign[c] != assign[c - 1] && assign[c] != assign[c + 1])
+      assign[c] = assign[c - 1];
+  /* entropy-gain check: per-type histograms + the whole-stream row */
+  {
+    uint32_t* whole = thist + (size_t)k * alphabet;
+    for (size_t c = 0; c < nch; c++) {
+      uint32_t* dst = thist + (size_t)assign[c] * alphabet;
+      const uint16_t* row = H + c * (size_t)alphabet;
+      for (int s = 0; s < alphabet; s++) {
+        dst[s] += row[s];
+        whole[s] += row[s];
+      }
+    }
+    double base_cost = hist_cost(whole, alphabet);
+    double split_cost = 0.0;
+    int npresent = 0;
+    size_t nswitches = 0;
+    int seen[16];
+    memset(seen, 0, sizeof(seen));
+    for (size_t c = 0; c < nch; c++) {
+      if (!seen[assign[c]]) {
+        seen[assign[c]] = 1;
+        npresent++;
+        split_cost += hist_cost(thist + (size_t)assign[c] * alphabet,
+                                alphabet);
+      }
+      if (c && assign[c] != assign[c - 1]) nswitches++;
+    }
+    double overhead = 256.0 * npresent + 12.0 * (double)nswitches + 100.0;
+    if (npresent <= 1 || base_cost - split_cost < overhead) {
+      rc = 0;
+      goto done;
+    }
+  }
+  /* renumber in first-appearance order and build runs */
+  {
+    int remap[16];
+    for (int t = 0; t < k; t++) remap[t] = -1;
+    int ntypes = 0;
+    size_t nruns = 1;
+    for (size_t c = 0; c < nch; c++) {
+      if (remap[assign[c]] < 0) remap[assign[c]] = ntypes++;
+      if (c && assign[c] != assign[c - 1]) nruns++;
+    }
+    sp->rtype = (uint8_t*)malloc(nruns);
+    sp->rlen = (uint32_t*)malloc(nruns * 4);
+    if (!sp->rtype || !sp->rlen) {
+      split_free(sp);
+      goto done;
+    }
+    size_t r = 0;
+    sp->rtype[0] = (uint8_t)remap[assign[0]];
+    sp->rlen[0] = (uint32_t)chunk;
+    for (size_t c = 1; c < nch; c++) {
+      if (assign[c] != assign[c - 1]) {
+        r++;
+        sp->rtype[r] = (uint8_t)remap[assign[c]];
+        sp->rlen[r] = 0;
+      }
+      sp->rlen[r] += (uint32_t)chunk;
+    }
+    sp->rlen[r] += (uint32_t)(n - nch * (size_t)chunk); /* tail */
+    sp->nruns = nruns;
+    sp->ntypes = ntypes;
+  }
+  rc = 0;
+done:
+  free(H);
+  free(seeds);
+  free(logpT);
+  free(assign);
+  free(thist);
+  return rc;
+}
+
+/* Block-switch plan for one category: type-code symbols (2-entry ring
+   rule, RFC 6), block-count codes, and the two prefix trees. */
+typedef struct {
+  uint8_t tsyms[16384];  /* type codes for runs[1:] (4MB mb / 256 chunk) */
+  uint8_t ccode[16384];  /* count codes for ALL runs */
+  uint8_t type_lens[16 + 2];
+  uint16_t type_codes[16 + 2];
+  uint8_t cnt_lens[26];
+  uint16_t cnt_codes[26];
+  int type_emit, cnt_emit;
+} SwitchPlan;
+
+static int plan_switches_c(const Split* sp, PmScratch* pm,
+                           SwitchPlan* sw) {
+  size_t nruns = sp->nruns;
+  int ntypes = sp->ntypes;
+  if (nruns > 16384) return EERR_PARAM;
+  uint32_t tfreq[18];
+  uint32_t cfreq[26];
+  memset(tfreq, 0, sizeof(tfreq));
+  memset(cfreq, 0, sizeof(cfreq));
+  int rb0 = 1, rb1 = 0;
+  for (size_t r = 1; r < nruns; r++) {
+    int t = sp->rtype[r];
+    int sym;
+    if (t == rb0) {
+      sym = 0;
+    } else if (t == (rb1 + 1) % ntypes) {
+      sym = 1;
+    } else {
+      sym = t + 2;
+    }
+    sw->tsyms[r - 1] = (uint8_t)sym;
+    tfreq[sym]++;
+    rb0 = rb1;
+    rb1 = t;
+  }
+  for (size_t r = 0; r < nruns; r++) {
+    int code = value_code(sp->rlen[r], kBlockCountBase, 26);
+    sw->ccode[r] = (uint8_t)code;
+    cfreq[code]++;
+  }
+  pm_lengths(tfreq, ntypes + 2, MAX_HUFF_LEN, sw->type_lens, pm);
+  pm_lengths(cfreq, 26, MAX_HUFF_LEN, sw->cnt_lens, pm);
+  lengths_to_codes_c(sw->type_lens, ntypes + 2, sw->type_codes);
+  lengths_to_codes_c(sw->cnt_lens, 26, sw->cnt_codes);
+  int used = 0;
+  for (int s = 0; s < ntypes + 2; s++)
+    if (sw->type_lens[s]) used++;
+  sw->type_emit = used > 1;
+  used = 0;
+  for (int s = 0; s < 26; s++)
+    if (sw->cnt_lens[s]) used++;
+  sw->cnt_emit = used > 1;
+  return 0;
+}
+
+/* block-type + block-count trees and the first block length (RFC 9.2) */
+static int write_switch_header_c(BW* bw, const Split* sp, SwitchPlan* sw,
+                                 PmScratch* pm) {
+  int rc = write_huffman_code_c(bw, sw->type_lens, sp->ntypes + 2,
+                                sp->ntypes + 2, pm);
+  if (rc) return rc;
+  rc = write_huffman_code_c(bw, sw->cnt_lens, 26, 26, pm);
+  if (rc) return rc;
+  int c0 = sw->ccode[0];
+  if (sw->cnt_emit) bw_put(bw, sw->cnt_codes[c0], sw->cnt_lens[c0]);
+  if (kBlockCountExtra[c0])
+    bw_put(bw, sp->rlen[0] - (uint32_t)kBlockCountBase[c0],
+           (unsigned)kBlockCountExtra[c0]);
+  return 0;
+}
+
+/* emit one block switch: type code then count code (+ extra bits) */
+static inline void emit_switch_c(BW* bw, const Split* sp, SwitchPlan* sw,
+                                 size_t run) {
+  int ts = sw->tsyms[run - 1];
+  if (sw->type_emit) bw_put(bw, sw->type_codes[ts], sw->type_lens[ts]);
+  int c = sw->ccode[run];
+  if (sw->cnt_emit) bw_put(bw, sw->cnt_codes[c], sw->cnt_lens[c]);
+  if (kBlockCountExtra[c])
+    bw_put(bw, sp->rlen[run] - (uint32_t)kBlockCountBase[c],
+           (unsigned)kBlockCountExtra[c]);
+}
+
 /* choose the literal context mode for a metablock (UTF8 vs LSB6) */
 static int choose_ctx_mode(const uint8_t* data, size_t lo, size_t hi) {
   size_t n = hi - lo;
@@ -1077,13 +1356,15 @@ typedef struct {
 } Enc;
 
 /* Serialize one metablock from the command array. Commands must consume
-   exactly [lo, hi) of the input. */
+   exactly [lo, hi) of the input. q >= 10 adds literal/command/distance
+   block splitting (BrotliStoreMetaBlock + BrotliSplitBlock roles). */
 static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
                           size_t hi, int is_last) {
   size_t mlen = hi - lo;
   const uint8_t* data = e->data;
   BW* bw = &e->bw;
   int q = e->quality;
+  int rc = 0;
   if (ncmd > e->plan_cap) {
     free(e->plan);
     e->plan_cap = ncmd + 64;
@@ -1093,87 +1374,200 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   Plan* plan = e->plan;
   plan_cmds(cmds, ncmd, e->ring, plan);
 
-  /* ---- histograms ---- */
+  size_t nlit = 0, ndist_syms = 0;
+  for (size_t i = 0; i < ncmd; i++) {
+    nlit += cmds[i].ins;
+    ndist_syms += plan[i].has_dist;
+  }
+
+  /* ---- block splitting (q >= 10) ---- */
+  Split lsp = {1, NULL, NULL, 0};
+  Split csp = {1, NULL, NULL, 0};
+  Split dsp = {1, NULL, NULL, 0};
+  uint32_t* lit_hist = NULL;
+  uint32_t* cmd_hist = NULL;
+  uint32_t* dist_hist = NULL;
+  int* lit_assign = NULL;
+  int* lit_reps = NULL;
+  SwitchPlan *lsw = NULL, *csw = NULL, *dsw = NULL;
+  if (q >= 10) {
+    uint16_t* s16 = NULL;
+    size_t cap = nlit > ncmd ? nlit : ncmd;
+    if (cap < ndist_syms) cap = ndist_syms;
+    s16 = (uint16_t*)malloc(cap * 2 + 2);
+    if (!s16) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
+    if (nlit >= 4096) {
+      size_t w = 0, pos = lo;
+      for (size_t i = 0; i < ncmd; i++) {
+        for (uint32_t k = 0; k < cmds[i].ins; k++)
+          s16[w++] = data[pos + k];
+        pos += cmds[i].ins + (cmds[i].adv & ~CMD_DICT);
+      }
+      rc = split_symbols_c(s16, nlit, NUM_LIT, 256, 8, &lsp);
+      if (rc) {
+        free(s16);
+        goto done;
+      }
+    }
+    if (ncmd >= 2048) {
+      for (size_t i = 0; i < ncmd; i++) s16[i] = plan[i].cmd_sym;
+      rc = split_symbols_c(s16, ncmd, NUM_CMD, 256, 6, &csp);
+      if (rc) {
+        free(s16);
+        goto done;
+      }
+    }
+    if (ndist_syms >= 2048) {
+      size_t w = 0;
+      for (size_t i = 0; i < ncmd; i++)
+        if (plan[i].has_dist) s16[w++] = plan[i].dcode;
+      rc = split_symbols_c(s16, ndist_syms, NUM_DIST, 256, 4, &dsp);
+      if (rc) {
+        free(s16);
+        goto done;
+      }
+    }
+    free(s16);
+  }
+  int ntypes = lsp.ntypes;
+  int ntypes_i = csp.ntypes;
+  int ntypes_d = dsp.ntypes;
+
+  /* ---- histograms (keyed by block type x context) ---- */
   int mode = 0;
   int use_ctx = 0;
-  size_t nlit = 0;
-  for (size_t i = 0; i < ncmd; i++) nlit += cmds[i].ins;
   static const double kTableCost = 60.0;
-  int lit_assign[NUM_LIT_CTX];
-  int lit_reps[NUM_LIT_CTX];
   int n_lit_trees = 1;
-  uint32_t* lit_hist = NULL;
-  if (q >= 5 && nlit >= 1024) {
+  if ((q >= 5 && nlit >= 1024) || ntypes > 1) {
     use_ctx = 1;
     mode = choose_ctx_mode(data, lo, hi);
   }
-  int nctx = use_ctx ? NUM_LIT_CTX : 1;
-  lit_hist = (uint32_t*)calloc((size_t)nctx * NUM_LIT, sizeof(uint32_t));
-  uint32_t* cmd_hist = (uint32_t*)calloc(NUM_CMD, sizeof(uint32_t));
-  uint32_t* dist_hist = (uint32_t*)calloc(4 * NUM_DIST, sizeof(uint32_t));
-  if (!lit_hist || !cmd_hist || !dist_hist) {
-    free(lit_hist);
-    free(cmd_hist);
-    free(dist_hist);
-    return EERR_ALLOC;
+  int nlit_rows = use_ctx ? ntypes * NUM_LIT_CTX : 1;
+  lit_assign = (int*)malloc(sizeof(int) * (size_t)(ntypes * NUM_LIT_CTX));
+  lit_reps = (int*)malloc(sizeof(int) * (size_t)(ntypes * NUM_LIT_CTX));
+  lit_hist = (uint32_t*)calloc((size_t)nlit_rows * NUM_LIT,
+                               sizeof(uint32_t));
+  cmd_hist = (uint32_t*)calloc((size_t)ntypes_i * NUM_CMD,
+                               sizeof(uint32_t));
+  dist_hist = (uint32_t*)calloc((size_t)ntypes_d * 4 * NUM_DIST,
+                                sizeof(uint32_t));
+  if (!lit_hist || !cmd_hist || !dist_hist || !lit_assign || !lit_reps) {
+    rc = EERR_ALLOC;
+    goto done;
   }
   const uint8_t* lut0 = kContextLut[use_ctx ? mode : 0];
   const uint8_t* lut1 = lut0 + 256;
   {
     size_t pos = lo;
+    size_t lrun = 0, crun = 0, drun = 0;
+    uint32_t lrem = ntypes > 1 ? lsp.rlen[0] : 0;
+    uint32_t crem = ntypes_i > 1 ? csp.rlen[0] : 0;
+    uint32_t drem = ntypes_d > 1 ? dsp.rlen[0] : 0;
+    int ltype = 0, ctype = 0, dtype = 0;
     for (size_t i = 0; i < ncmd; i++) {
       const Cmd* c = &cmds[i];
-      cmd_hist[plan[i].cmd_sym]++;
+      if (ntypes_i > 1) {
+        if (crem == 0) {
+          crun++;
+          ctype = csp.rtype[crun];
+          crem = csp.rlen[crun];
+        }
+        crem--;
+      }
+      cmd_hist[(size_t)ctype * NUM_CMD + plan[i].cmd_sym]++;
       for (uint32_t k = 0; k < c->ins; k++) {
         size_t pp = pos + k;
-        int ctx = 0;
+        if (ntypes > 1) {
+          if (lrem == 0) {
+            lrun++;
+            ltype = lsp.rtype[lrun];
+            lrem = lsp.rlen[lrun];
+          }
+          lrem--;
+        }
+        int row = 0;
         if (use_ctx) {
           uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
           uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
-          ctx = lut0[p1] | lut1[p2];
+          row = (ltype << 6) | (lut0[p1] | lut1[p2]);
         }
-        lit_hist[(size_t)ctx * NUM_LIT + data[pp]]++;
+        lit_hist[(size_t)row * NUM_LIT + data[pp]]++;
       }
       pos += c->ins + (c->adv & ~CMD_DICT);
       if (plan[i].has_dist) {
+        if (ntypes_d > 1) {
+          if (drem == 0) {
+            drun++;
+            dtype = dsp.rtype[drun];
+            drem = dsp.rlen[drun];
+          }
+          drem--;
+        }
         int dctx = kCmdDistCtx[plan[i].cmd_sym];
-        dist_hist[(size_t)dctx * NUM_DIST + plan[i].dcode]++;
+        dist_hist[((size_t)dtype * 4 + dctx) * NUM_DIST + plan[i].dcode]++;
       }
     }
   }
 
-  /* ---- cluster literal contexts ---- */
+  /* ---- cluster literal (type, context) rows ---- */
   if (use_ctx) {
-    int max_trees = q >= 9 ? MAX_LIT_TREES : 12;
-    n_lit_trees = cluster_hists(lit_hist, NUM_LIT_CTX, NUM_LIT, max_trees,
-                                kTableCost, lit_assign, lit_reps);
-    if (n_lit_trees < 0) return EERR_ALLOC;
-    if (n_lit_trees == 1) use_ctx = 0;
+    int max_trees = q >= 10 ? MAX_LIT_TREES : (q >= 9 ? 16 : 12);
+    n_lit_trees = cluster_hists(lit_hist, ntypes * NUM_LIT_CTX, NUM_LIT,
+                                max_trees, kTableCost, lit_assign,
+                                lit_reps);
+    if (n_lit_trees < 0) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
+    if (n_lit_trees == 1 && ntypes == 1) use_ctx = 0;
   }
   if (!use_ctx) {
     /* single tree: if clustering ran, lit_hist[lit_reps[0]] already
        holds the merged histogram; otherwise row 0 is the histogram */
     lit_assign[0] = 0;
-    if (nctx == 1) lit_reps[0] = 0;
+    if (nlit_rows == 1) lit_reps[0] = 0;
     n_lit_trees = 1;
   }
+  int multi = use_ctx || ntypes > 1;
 
-  /* ---- cluster distance contexts ---- */
-  int dist_assign[4] = {0, 0, 0, 0};
-  int dist_reps[4] = {0};
+  /* ---- cluster distance (type, context) rows ---- */
+  int dist_assign[4 * MAX_DIST_TYPES];
+  int dist_reps[4 * MAX_DIST_TYPES] = {0};
   int n_dist_trees = 1;
-  size_t ndist_syms = 0;
-  for (size_t i = 0; i < ncmd; i++) ndist_syms += plan[i].has_dist;
-  if (q >= 5 && ndist_syms >= 512) {
-    n_dist_trees = cluster_hists(dist_hist, 4, NUM_DIST, 4, 30.0,
-                                 dist_assign, dist_reps);
-    if (n_dist_trees < 0) return EERR_ALLOC;
+  if ((q >= 5 && ndist_syms >= 512) || ntypes_d > 1) {
+    n_dist_trees = cluster_hists(dist_hist, ntypes_d * 4, NUM_DIST,
+                                 MAX_DIST_TREES, 30.0, dist_assign,
+                                 dist_reps);
+    if (n_dist_trees < 0) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
   } else {
-    /* merge the 4 context rows into one */
     for (int c = 1; c < 4; c++)
       for (int s = 0; s < NUM_DIST; s++)
         dist_hist[s] += dist_hist[(size_t)c * NUM_DIST + s];
     dist_reps[0] = 0;
+    for (int c = 0; c < 4; c++) dist_assign[c] = 0;
+  }
+
+  /* ---- block-switch plans ---- */
+  if (ntypes > 1 || ntypes_i > 1 || ntypes_d > 1) {
+    lsw = (SwitchPlan*)malloc(sizeof(SwitchPlan) * 3);
+    if (!lsw) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
+    csw = lsw + 1;
+    dsw = lsw + 2;
+    if (ntypes > 1 && (rc = plan_switches_c(&lsp, &e->pm, lsw)) != 0)
+      goto done;
+    if (ntypes_i > 1 && (rc = plan_switches_c(&csp, &e->pm, csw)) != 0)
+      goto done;
+    if (ntypes_d > 1 && (rc = plan_switches_c(&dsp, &e->pm, dsw)) != 0)
+      goto done;
   }
 
   /* ---- code lengths ---- */
@@ -1189,16 +1583,21 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     lit_emit[t] = used > 1;
     lengths_to_codes_c(lit_lens[t], NUM_LIT, lit_codes[t]);
   }
-  uint8_t cmd_lens[NUM_CMD];
-  uint16_t cmd_codes[NUM_CMD];
-  pm_lengths(cmd_hist, NUM_CMD, MAX_HUFF_LEN, cmd_lens, &e->pm);
-  int cmd_used = 0;
-  for (int s = 0; s < NUM_CMD; s++)
-    if (cmd_lens[s]) cmd_used++;
-  lengths_to_codes_c(cmd_lens, NUM_CMD, cmd_codes);
-  uint8_t dist_lens[4][NUM_DIST];
-  uint16_t dist_codes[4][NUM_DIST];
-  uint8_t dist_emit[4];
+  uint8_t cmd_lens[MAX_CMD_TYPES][NUM_CMD];
+  uint16_t cmd_codes[MAX_CMD_TYPES][NUM_CMD];
+  uint8_t cmd_emit[MAX_CMD_TYPES];
+  for (int t = 0; t < ntypes_i; t++) {
+    pm_lengths(cmd_hist + (size_t)t * NUM_CMD, NUM_CMD, MAX_HUFF_LEN,
+               cmd_lens[t], &e->pm);
+    int used = 0;
+    for (int s = 0; s < NUM_CMD; s++)
+      if (cmd_lens[t][s]) used++;
+    cmd_emit[t] = used > 1;
+    lengths_to_codes_c(cmd_lens[t], NUM_CMD, cmd_codes[t]);
+  }
+  uint8_t dist_lens[MAX_DIST_TREES][NUM_DIST];
+  uint16_t dist_codes[MAX_DIST_TREES][NUM_DIST];
+  uint8_t dist_emit[MAX_DIST_TREES];
   for (int t = 0; t < n_dist_trees; t++) {
     pm_lengths(dist_hist + (size_t)dist_reps[t] * NUM_DIST, NUM_DIST,
                MAX_HUFF_LEN, dist_lens[t], &e->pm);
@@ -1211,34 +1610,62 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
 
   /* ---- header ---- */
   put_mlen_header(bw, mlen, is_last, 0);
-  put_varlen_u8(bw, 0); /* NBLTYPESL - 1 */
-  put_varlen_u8(bw, 0); /* NBLTYPESI - 1 */
-  put_varlen_u8(bw, 0); /* NBLTYPESD - 1 */
+  put_varlen_u8(bw, ntypes - 1); /* NBLTYPESL - 1 */
+  if (ntypes > 1 && (rc = write_switch_header_c(bw, &lsp, lsw,
+                                                &e->pm)) != 0)
+    goto done;
+  put_varlen_u8(bw, ntypes_i - 1); /* NBLTYPESI - 1 */
+  if (ntypes_i > 1 && (rc = write_switch_header_c(bw, &csp, csw,
+                                                  &e->pm)) != 0)
+    goto done;
+  put_varlen_u8(bw, ntypes_d - 1); /* NBLTYPESD - 1 */
+  if (ntypes_d > 1 && (rc = write_switch_header_c(bw, &dsp, dsw,
+                                                  &e->pm)) != 0)
+    goto done;
   bw_put(bw, 0, 2);     /* NPOSTFIX */
   bw_put(bw, 0, 4);     /* NDIRECT >> NPOSTFIX */
-  bw_put(bw, (uint64_t)(use_ctx ? mode : 0), 2); /* literal ctx mode */
-  if (n_lit_trees > 1)
-    write_context_map_c(bw, lit_assign, NUM_LIT_CTX, n_lit_trees, &e->pm);
+  for (int t = 0; t < ntypes; t++)
+    bw_put(bw, (uint64_t)(use_ctx ? mode : 0), 2); /* ctx mode per type */
+  if (multi)
+    write_context_map_c(bw, lit_assign, ntypes * NUM_LIT_CTX,
+                        n_lit_trees, &e->pm);
   else
     put_varlen_u8(bw, 0);
-  if (n_dist_trees > 1)
-    write_context_map_c(bw, dist_assign, 4, n_dist_trees, &e->pm);
+  if (n_dist_trees > 1 || ntypes_d > 1)
+    write_context_map_c(bw, dist_assign, ntypes_d * 4, n_dist_trees,
+                        &e->pm);
   else
     put_varlen_u8(bw, 0);
   for (int t = 0; t < n_lit_trees; t++)
     write_huffman_code_c(bw, lit_lens[t], NUM_LIT, NUM_LIT, &e->pm);
-  write_huffman_code_c(bw, cmd_lens, NUM_CMD, NUM_CMD, &e->pm);
+  for (int t = 0; t < ntypes_i; t++)
+    write_huffman_code_c(bw, cmd_lens[t], NUM_CMD, NUM_CMD, &e->pm);
   for (int t = 0; t < n_dist_trees; t++)
     write_huffman_code_c(bw, dist_lens[t], NUM_DIST, NUM_DIST, &e->pm);
 
   /* ---- body ---- */
   {
     size_t pos = lo;
+    size_t lrun = 0, crun = 0, drun = 0;
+    uint32_t lrem = ntypes > 1 ? lsp.rlen[0] : 0;
+    uint32_t crem = ntypes_i > 1 ? csp.rlen[0] : 0;
+    uint32_t drem = ntypes_d > 1 ? dsp.rlen[0] : 0;
+    int ltype = 0, ctype = 0, dtype = 0;
     for (size_t i = 0; i < ncmd; i++) {
       const Cmd* c = &cmds[i];
       const Plan* pl = &plan[i];
       int sym = pl->cmd_sym;
-      if (cmd_used > 1) bw_put(bw, cmd_codes[sym], cmd_lens[sym]);
+      if (ntypes_i > 1) {
+        if (crem == 0) {
+          crun++;
+          ctype = csp.rtype[crun];
+          crem = csp.rlen[crun];
+          emit_switch_c(bw, &csp, csw, crun);
+        }
+        crem--;
+      }
+      if (cmd_emit[ctype])
+        bw_put(bw, cmd_codes[ctype][sym], cmd_lens[ctype][sym]);
       /* insert / copy extra bits */
       uint32_t ib = kCmdInsertExtra[sym];
       if (ib) bw_put(bw, c->ins - (uint32_t)kCmdInsertBase[sym], ib);
@@ -1250,27 +1677,52 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
       for (uint32_t k = 0; k < c->ins; k++) {
         size_t pp = pos + k;
         uint8_t lit = data[pp];
+        if (ntypes > 1) {
+          if (lrem == 0) {
+            lrun++;
+            ltype = lsp.rtype[lrun];
+            lrem = lsp.rlen[lrun];
+            emit_switch_c(bw, &lsp, lsw, lrun);
+          }
+          lrem--;
+        }
         int t = 0;
         if (use_ctx) {
           uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
           uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
-          t = lit_assign[lut0[p1] | lut1[p2]];
+          t = lit_assign[(ltype << 6) | (lut0[p1] | lut1[p2])];
         }
         if (lit_emit[t]) bw_put(bw, lit_codes[t][lit], lit_lens[t][lit]);
       }
       pos += c->ins + (c->adv & ~CMD_DICT);
       if (pl->has_dist) {
-        int dt = dist_assign[kCmdDistCtx[sym]];
+        if (ntypes_d > 1) {
+          if (drem == 0) {
+            drun++;
+            dtype = dsp.rtype[drun];
+            drem = dsp.rlen[drun];
+            emit_switch_c(bw, &dsp, dsw, drun);
+          }
+          drem--;
+        }
+        int dt = dist_assign[(dtype << 2) | kCmdDistCtx[sym]];
         if (dist_emit[dt])
           bw_put(bw, dist_codes[dt][pl->dcode], dist_lens[dt][pl->dcode]);
         if (pl->dbits) bw_put(bw, pl->dextra, pl->dbits);
       }
     }
   }
+done:
+  split_free(&lsp);
+  split_free(&csp);
+  split_free(&dsp);
+  free(lsw);
   free(lit_hist);
   free(cmd_hist);
   free(dist_hist);
-  return 0;
+  free(lit_assign);
+  free(lit_reps);
+  return rc;
 }
 
 /* uncompressed metablock (byte-aligned raw copy) */
