@@ -1902,20 +1902,36 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     }
   }
   /* literal bits per position (context-modeled, +1 smoothing, 1.1
-     surcharge, capped) */
-  double row_tot[NUM_LIT_CTX];
-  for (int cx = 0; cx < NUM_LIT_CTX; cx++) {
-    uint64_t t = 0;
-    for (int b = 0; b < 256; b++) t += lh[(size_t)cx * 256 + b];
-    row_tot[cx] = (double)t + 256.0;
-  }
-  for (size_t pp = lo; pp < hi; pp++) {
-    uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
-    uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
-    int cx = lut0[p1] | lut1[p2];
-    double p = (lh[(size_t)cx * 256 + data[pp]] + 1) / row_tot[cx];
-    double bits = -log2(p) * opt_lit_scale();
-    oc->litc[pp - lo] = (float)(bits > 24.0 ? 24.0 : bits);
+     surcharge, capped): one 64x256 bits table, then a gather -- the
+     per-position -log2 was a 4M-transcendental hot spot */
+  {
+    double lscale = opt_lit_scale();
+    float* bits_tab = (float*)malloc((size_t)NUM_LIT_CTX * 256 *
+                                     sizeof(float));
+    if (!bits_tab) { /* OOM: flat literal costs still yield a valid
+                        (just less optimal) parse */
+      for (size_t pp = lo; pp < hi; pp++) oc->litc[pp - lo] = 8.0f;
+    } else {
+    for (int cx = 0; cx < NUM_LIT_CTX; cx++) {
+      uint64_t t = 0;
+      for (int b = 0; b < 256; b++) t += lh[(size_t)cx * 256 + b];
+      double row_tot = (double)t + 256.0;
+      double lt = log2(row_tot);
+      for (int b = 0; b < 256; b++) {
+        double bits = (lt - log2((double)(lh[(size_t)cx * 256 + b] + 1)))
+                      * lscale;
+        bits_tab[(size_t)cx * 256 + b] = (float)(bits > 24.0 ? 24.0
+                                                             : bits);
+      }
+    }
+    for (size_t pp = lo; pp < hi; pp++) {
+      uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+      uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+      int cx = lut0[p1] | lut1[p2];
+      oc->litc[pp - lo] = bits_tab[(size_t)cx * 256 + data[pp]];
+    }
+    free(bits_tab);
+    }
   }
   free(lh);
   /* copy-code bits + measured insert share + 1-bit command floor */
@@ -2359,8 +2375,11 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   cfg_seed.use_dict = 0;
   memset(&cfg_dp, 0, sizeof(cfg_dp));
   cfg_dp.hbits = 16;
-  cfg_dp.block_bits = 6;
-  cfg_dp.depth = quality >= 11 ? 64 : 32;
+  /* q11 sweep on the 16MB corpus: 128-entry rings, deep first walk,
+     shallow recost walk (540,088 B @ 7.2 MB/s beats 64/64/64's
+     541,935 @ 8.9 and 128/128/128's 540,291 @ 7.0) */
+  cfg_dp.block_bits = quality >= 11 ? 7 : 6;
+  cfg_dp.depth = quality >= 11 ? 128 : 32;
   cfg_dp.lazy = 0;
   cfg_dp.min_len = 4;
   cfg_dp.use_dict = 1;
@@ -2380,6 +2399,12 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
     cfg_dp.use_dict = 0;
   }
   cfg_dp2 = cfg_dp;
+  cfg_dp2.depth = 32; /* recost iteration: the costs, not the pool,
+                         change -- a shallow walk keeps the value */
+  {
+    const char* v = getenv("BTPU_OPT_DEPTH2");
+    if (v) cfg_dp2.depth = atoi(v);
+  }
   cfg_seed.bucket = (uint32_t*)calloc(
       (size_t)1 << (cfg_seed.hbits + cfg_seed.block_bits),
       sizeof(uint32_t));
