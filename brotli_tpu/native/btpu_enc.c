@@ -1406,7 +1406,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
           s16[w++] = data[pos + k];
         pos += cmds[i].ins + (cmds[i].adv & ~CMD_DICT);
       }
-      rc = split_symbols_c(s16, nlit, NUM_LIT, 256, 8, &lsp);
+      /* literal chunk swept on the 16MB corpus: 128 > 96/192/256 */
+      rc = split_symbols_c(s16, nlit, NUM_LIT, 128, 8, &lsp);
       if (rc) {
         free(s16);
         goto done;
@@ -1439,7 +1440,9 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   /* ---- histograms (keyed by block type x context) ---- */
   int mode = 0;
   int use_ctx = 0;
-  static const double kTableCost = 60.0;
+  /* swept at q11: 180 beats 60 on small files (fewer, denser trees),
+     neutral on the 16MB corpus (the 48-tree cap binds there) */
+  static const double kTableCost = 180.0;
   int n_lit_trees = 1;
   if ((q >= 5 && nlit >= 1024) || ntypes > 1) {
     use_ctx = 1;
