@@ -101,18 +101,18 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     quality, lgwin, lgblock = _sanitize_params(quality, lgwin, lgblock,
                                                large_window)
     # native fast path (role of the reference's C encoder tiers,
-    # native/btpu_enc.c): one-shot, standard window, no custom
-    # dictionary, every quality. The q10/11 optimal-parse tier beats
-    # the single-chip device DP in both size and speed (16MB corpus:
-    # 555,610 bytes at 5.2 MB/s vs 575,385 at 3.1), so it is the
-    # one-shot default; the JAX/device pipeline stays authoritative
+    # native/btpu_enc.c): one-shot, standard or large window, no
+    # custom dictionary, every quality. The q10/11 optimal-parse tier
+    # beats the single-chip device DP in both size and speed (16MB
+    # corpus: 539,535 bytes at 7-9 MB/s vs 575,385 at 3.1), so it is
+    # the one-shot default; the JAX/device pipeline stays authoritative
     # for the sharded multi-chip path (parallel/shard.py scales
-    # per-chip), compound dictionaries, and large windows, and
+    # per-chip) and compound/serialized dictionaries, and
     # BROTLI_TPU_ENCODER=device forces it for one-shot q10/11.
     # BROTLI_TPU_ENCODER=python routes q10/11 to the ratio-max Python
     # host DP instead.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
-    if (enc_sel not in ("python", "device") and not large_window
+    if (enc_sel not in ("python", "device")
             and dictionary is None and shared is None and mode == 0
             and not base64_mode and len(data) > 0):
         use_native = True

@@ -132,8 +132,9 @@ _ENC_ERRORS = {
 
 
 def encode(data: bytes, quality: int, lgwin: int) -> bytes:
-    """Fast native one-shot encode (quality 0-11, standard window;
-    q10/11 run the native optimal-parse tier)."""
+    """Fast native one-shot encode (quality 0-11, lgwin 10-30 incl.
+    the large-window extension; q10/11 run the native optimal-parse
+    tier)."""
     from ..format.dictionary import dictionary_data
     lib = get_lib()
     out_ptr = ctypes.c_void_p()

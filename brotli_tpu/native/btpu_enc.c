@@ -33,6 +33,8 @@
 #define NUM_LIT 256
 #define NUM_CMD BTPU_NUM_CMD_SYMS
 #define NUM_DIST BTPU_NUM_DIST_SYMS
+/* large-window distance alphabet: 16 + (62 << 1) (RFC-LW, npostfix 0) */
+#define NUM_DIST_LW 140
 #define NUM_LIT_CTX 64
 #define MAX_LIT_TREES 48
 #define MAX_LIT_TYPES 8
@@ -1346,6 +1348,7 @@ typedef struct {
   size_t n;
   int quality;
   int lgwin;
+  int dist_alpha;  /* 64, or 140 for large-window streams */
   size_t maxback;
   BW bw;
   PmScratch pm;
@@ -1372,6 +1375,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     if (!e->plan) return EERR_ALLOC;
   }
   Plan* plan = e->plan;
+  int dalpha = e->dist_alpha ? e->dist_alpha : NUM_DIST;
   plan_cmds(cmds, ncmd, e->ring, plan);
 
   size_t nlit = 0, ndist_syms = 0;
@@ -1425,7 +1429,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
       size_t w = 0;
       for (size_t i = 0; i < ncmd; i++)
         if (plan[i].has_dist) s16[w++] = plan[i].dcode;
-      rc = split_symbols_c(s16, ndist_syms, NUM_DIST, 256, 4, &dsp);
+      rc = split_symbols_c(s16, ndist_syms, dalpha, 256, 4, &dsp);
       if (rc) {
         free(s16);
         goto done;
@@ -1455,7 +1459,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
                                sizeof(uint32_t));
   cmd_hist = (uint32_t*)calloc((size_t)ntypes_i * NUM_CMD,
                                sizeof(uint32_t));
-  dist_hist = (uint32_t*)calloc((size_t)ntypes_d * 4 * NUM_DIST,
+  dist_hist = (uint32_t*)calloc((size_t)ntypes_d * 4 * dalpha,
                                 sizeof(uint32_t));
   if (!lit_hist || !cmd_hist || !dist_hist || !lit_assign || !lit_reps) {
     rc = EERR_ALLOC;
@@ -1510,7 +1514,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
           drem--;
         }
         int dctx = kCmdDistCtx[plan[i].cmd_sym];
-        dist_hist[((size_t)dtype * 4 + dctx) * NUM_DIST + plan[i].dcode]++;
+        dist_hist[((size_t)dtype * 4 + dctx) * dalpha + plan[i].dcode]++;
       }
     }
   }
@@ -1541,7 +1545,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   int dist_reps[4 * MAX_DIST_TYPES] = {0};
   int n_dist_trees = 1;
   if ((q >= 5 && ndist_syms >= 512) || ntypes_d > 1) {
-    n_dist_trees = cluster_hists(dist_hist, ntypes_d * 4, NUM_DIST,
+    n_dist_trees = cluster_hists(dist_hist, ntypes_d * 4, dalpha,
                                  MAX_DIST_TREES, 30.0, dist_assign,
                                  dist_reps);
     if (n_dist_trees < 0) {
@@ -1550,8 +1554,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     }
   } else {
     for (int c = 1; c < 4; c++)
-      for (int s = 0; s < NUM_DIST; s++)
-        dist_hist[s] += dist_hist[(size_t)c * NUM_DIST + s];
+      for (int s = 0; s < dalpha; s++)
+        dist_hist[s] += dist_hist[(size_t)c * dalpha + s];
     dist_reps[0] = 0;
     for (int c = 0; c < 4; c++) dist_assign[c] = 0;
   }
@@ -1598,17 +1602,17 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     cmd_emit[t] = used > 1;
     lengths_to_codes_c(cmd_lens[t], NUM_CMD, cmd_codes[t]);
   }
-  uint8_t dist_lens[MAX_DIST_TREES][NUM_DIST];
-  uint16_t dist_codes[MAX_DIST_TREES][NUM_DIST];
+  uint8_t dist_lens[MAX_DIST_TREES][NUM_DIST_LW];
+  uint16_t dist_codes[MAX_DIST_TREES][NUM_DIST_LW];
   uint8_t dist_emit[MAX_DIST_TREES];
   for (int t = 0; t < n_dist_trees; t++) {
-    pm_lengths(dist_hist + (size_t)dist_reps[t] * NUM_DIST, NUM_DIST,
+    pm_lengths(dist_hist + (size_t)dist_reps[t] * dalpha, dalpha,
                MAX_HUFF_LEN, dist_lens[t], &e->pm);
     int used = 0;
-    for (int s = 0; s < NUM_DIST; s++)
+    for (int s = 0; s < dalpha; s++)
       if (dist_lens[t][s]) used++;
     dist_emit[t] = used > 1;
-    lengths_to_codes_c(dist_lens[t], NUM_DIST, dist_codes[t]);
+    lengths_to_codes_c(dist_lens[t], dalpha, dist_codes[t]);
   }
 
   /* ---- header ---- */
@@ -1644,7 +1648,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   for (int t = 0; t < ntypes_i; t++)
     write_huffman_code_c(bw, cmd_lens[t], NUM_CMD, NUM_CMD, &e->pm);
   for (int t = 0; t < n_dist_trees; t++)
-    write_huffman_code_c(bw, dist_lens[t], NUM_DIST, NUM_DIST, &e->pm);
+    write_huffman_code_c(bw, dist_lens[t], dalpha, dalpha, &e->pm);
 
   /* ---- body ---- */
   {
@@ -1740,6 +1744,14 @@ static int emit_uncompressed(Enc* e, size_t lo, size_t hi) {
 }
 
 static void put_stream_header(BW* bw, int wbits) {
+  if (wbits > 24) { /* large-window extension (dec: DecodeWindowBits) */
+    bw_put(bw, 1, 1);
+    bw_put(bw, 0, 3);
+    bw_put(bw, 1, 3);
+    bw_put(bw, 0, 1);
+    bw_put(bw, (uint64_t)wbits, 6);
+    return;
+  }
   if (wbits == 16) {
     bw_put(bw, 0, 1);
   } else if (wbits >= 18 && wbits <= 24) {
@@ -1842,8 +1854,9 @@ static inline int cpy_code_fast(uint32_t v) {
 typedef struct {
   float litc_base;     /* flat literal cost when no context model */
   float* litc;         /* per-position literal bits (metablock) */
+  int dalpha;          /* distance symbol alphabet (64 / 140) */
   float ccost[24];     /* copy-code bits incl. insert share + cmd base */
-  float dsym[64];      /* distance symbol bits */
+  float dsym[NUM_DIST_LW]; /* distance symbol bits */
   float stopcost[N_OPT_STOPS];  /* ccost at the fixed stop lengths */
   /* short-code distance bits for seed-ring hits (dcode 0-3, no extra
      bits): the reference ZopfliCostModel prices distance-cache reuse
@@ -1860,7 +1873,7 @@ static inline float opt_dist_cost(const OptCost* oc, uint32_t dist) {
   uint64_t rest = d + 4 - (1ull << (nbits + 1));
   int half = (int)(rest >> nbits);
   int sym = 16 + (((nbits - 1) << 1) | half);
-  if (sym > 63) sym = 63;
+  if (sym >= oc->dalpha) sym = oc->dalpha - 1;
   return oc->dsym[sym] + (float)nbits;
 }
 
@@ -1872,6 +1885,7 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
                                 const Cmd* cmds, size_t ncmd,
                                 const uint32_t* ring_in, Plan* plan,
                                 OptCost* oc) {
+  int dalpha = oc->dalpha ? oc->dalpha : NUM_DIST;
   uint32_t ring[4];
   memcpy(ring, ring_in, sizeof(ring));
   plan_cmds(cmds, ncmd, ring, plan);
@@ -1881,7 +1895,7 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
   uint32_t* lh = (uint32_t*)calloc((size_t)NUM_LIT_CTX * 256,
                                    sizeof(uint32_t));
   uint32_t ch[24];
-  uint32_t dh[64];
+  uint32_t dh[NUM_DIST_LW];
   uint32_t jh[704];
   memset(ch, 0, sizeof(ch));
   memset(dh, 0, sizeof(dh));
@@ -1961,8 +1975,8 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     oc->ccost[i] = (float)(-log2(p) + kCopyExtra[i] + ins_share + 1.0);
   }
   double dtot = 0;
-  for (int i = 0; i < 64; i++) dtot += dh[i] + 0.2;
-  for (int i = 0; i < 64; i++)
+  for (int i = 0; i < dalpha; i++) dtot += dh[i] + 0.2;
+  for (int i = 0; i < dalpha; i++)
     oc->dsym[i] = (float)(-log2((dh[i] + 0.2) / dtot) *
                           opt_dist_scale());
   if (!g_opt_stop_ready) {
@@ -2369,6 +2383,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   e.n = n;
   e.quality = quality;
   e.lgwin = lgwin;
+  e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
   e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
@@ -2434,6 +2449,8 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   uint32_t* bdist = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
   uint32_t* lastm = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
   OptCost oc;
+  memset(&oc, 0, sizeof(oc));
+  oc.dalpha = e.dist_alpha;
   oc.litc = (float*)malloc(sizeof(float) * mb_max);
   uint32_t sim_ring[4];
   for (int i = 0; i < 4; i++) sim_ring[i] = kInitialRing[3 - i];
@@ -2632,7 +2649,7 @@ int btpu_opt_parse(const uint8_t* raw, size_t n, int quality, int lgwin,
 
 int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
                 const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
-  if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 24 || n == 0)
+  if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 30 || n == 0)
     return EERR_PARAM;
   if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
   if (quality >= 10)
@@ -2651,6 +2668,7 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
   e.n = n;
   e.quality = quality;
   e.lgwin = lgwin;
+  e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
   e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);

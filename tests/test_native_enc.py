@@ -286,3 +286,33 @@ def test_native_optimal_small_file_quality(testdata, ref_cli):
     ref = subprocess.run([str(ref_cli), "-q", "11", "-w", "22", "-c"],
                          input=data, capture_output=True).stdout
     assert len(out) <= len(ref) * 1.04
+
+
+@pytest.mark.parametrize("q", [1, 5, 11])
+@pytest.mark.parametrize("w", [25, 30])
+def test_native_large_window_ref_roundtrip(lib, testdata, ref_cli, q, w):
+    """Native encoder emits the large-window extension (lgwin 25-30):
+    140-symbol distance alphabet + the LW stream header (role parity:
+    encoder-side BROTLI_PARAM_LARGE_WINDOW, c/enc/encode.c:146)."""
+    import subprocess
+    data = (testdata / "alice29.txt").read_bytes()
+    comp = lib.encode(data, q, w)
+    r = subprocess.run([ref_cli, "--large_window=30", "-d", "-c"],
+                       input=comp, capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    assert lib.decode(comp, large_window=True) == data
+
+
+def test_native_large_window_far_distance(lib, ref_cli):
+    """A backward reference across >16MB (beyond the RFC window cap)
+    survives the native encode -> reference decode path."""
+    import subprocess
+    rng = random.Random(7)
+    blk = bytes(rng.randrange(256) for _ in range(4096))
+    data = blk + bytes(17 * 1024 * 1024) + blk
+    comp = lib.encode(data, 5, 25)
+    assert len(comp) < 40000  # the far block must have matched
+    r = subprocess.run([ref_cli, "--large_window=30", "-d", "-c"],
+                       input=comp, capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    assert lib.decode(comp, large_window=True) == data
