@@ -47,6 +47,9 @@ for name in ["alice29.txt", "mapsdatazrh", "random_org_10k.bin", "zeros"]:
     for q in (0, 1, 2, 5, 9, 10, 11):
         comp = native.encode(data, q, 22)
         assert native.decode(comp) == data, (name, q)
+    for q in (5, 11):  # large-window extension (140-sym dist alphabet)
+        comp = native.encode(data, q, 30)
+        assert native.decode(comp, large_window=True) == data, (name, q)
     enc = native.StreamEncoder(5, 22)
     parts = []
     for i in range(0, len(data), 7777):
