@@ -514,7 +514,8 @@ def store_metablock(bw: BitWriter, data: np.ndarray, block_start: int,
             hists[b64_type * 64:(b64_type + 1) * 64] = 0
         if use_context:
             assign, merged = cm.cluster_histograms(
-                hists, max_trees=pol.max_lit_trees)
+                hists, max_trees=pol.max_lit_trees,
+                table_cost_bits=180.0 if pol.optimal_parse else 60.0)
         else:  # per-type trees, constant over contexts
             assign = np.repeat(np.arange(ntypes, dtype=np.int64),
                                C.NUM_LITERAL_CONTEXTS)

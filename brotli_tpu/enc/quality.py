@@ -64,12 +64,12 @@ POLICY = {
            dist_context_map=True, max_lit_trees=12),
     10: _mk(num_candidates=4, use_dict=True, context_modeling=True,
             literal_split=True, cmd_dist_split=True,
-            dist_context_map=True, max_lit_trees=48, split_chunk=256,
+            dist_context_map=True, max_lit_trees=48, split_chunk=128,
             optimal_parse=True, dp_candidates=8,
             dist_param_search=True),
     11: _mk(num_candidates=4, use_dict=True, context_modeling=True,
             literal_split=True, cmd_dist_split=True,
-            dist_context_map=True, max_lit_trees=48, split_chunk=256,
+            dist_context_map=True, max_lit_trees=48, split_chunk=128,
             optimal_parse=True, dp_candidates=32,
             dist_param_search=True),
 }
