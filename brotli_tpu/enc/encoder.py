@@ -321,8 +321,11 @@ class StreamingEncoder:
     earlier output through the LZ window (`_history`).
     """
 
-    def __init__(self, quality=11, lgwin=22, lgblock=0, mode=0):
-        self.params = _sanitize_params(quality, lgwin, lgblock)
+    def __init__(self, quality=11, lgwin=22, lgblock=0, mode=0,
+                 large_window=False):
+        self.params = _sanitize_params(quality, lgwin, lgblock,
+                                       large_window)
+        self._large = large_window
         self.mode = mode
         self._buf = bytearray()
         self._started = False
@@ -368,8 +371,9 @@ class StreamingEncoder:
         data = bytes(self._history) + bytes(self._buf)
         arr = np.frombuffer(data, dtype=np.uint8)
         start = len(self._history)
+        large = lgwin > C.MAX_WINDOW_BITS
         matches = find_matches(arr, C.max_backward_distance(lgwin),
-                               quality)
+                               quality, large=large)
         # clip matches to the new region (window lookback still works)
         m, lens, dists, flags = matcher.split_matches_at(
             *matches, [start, len(arr)])
@@ -377,7 +381,7 @@ class StreamingEncoder:
         self._ring = _write_blocks(
             self._bw, arr, start, len(arr),
             (m[keep], lens[keep], dists[keep], flags[keep]),
-            lgblock, is_last, self._ring, quality=quality)
+            lgblock, is_last, self._ring, quality=quality, large=large)
         self._history = bytearray(data[-(1 << lgwin):])
         self._buf.clear()
 

@@ -2629,7 +2629,7 @@ int btpu_opt_parse(const uint8_t* raw, size_t n, int quality, int lgwin,
                    const uint8_t* dict_blob, uint32_t* out_pos,
                    uint32_t* out_len_a, uint32_t* out_dist,
                    uint32_t* out_flag, size_t cap, size_t* out_cnt) {
-  if (quality < 10 || quality > 11 || lgwin < 10 || lgwin > 24 ||
+  if (quality < 10 || quality > 11 || lgwin < 10 || lgwin > 30 ||
       n == 0)
     return EERR_PARAM;
   if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
@@ -3043,11 +3043,12 @@ typedef struct {
 #define SPAD 16 /* zero slack past the buffered end for 64-bit loads */
 
 void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
-  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 24) return NULL;
+  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 30) return NULL;
   EncStream* S = (EncStream*)calloc(1, sizeof(EncStream));
   if (!S) return NULL;
   S->e.quality = quality;
   S->e.lgwin = lgwin;
+  S->e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   S->e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) S->e.ring[i] = kInitialRing[3 - i];
   memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));

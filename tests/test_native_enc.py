@@ -316,3 +316,25 @@ def test_native_large_window_far_distance(lib, ref_cli):
                        input=comp, capture_output=True)
     assert r.returncode == 0 and r.stdout == data
     assert lib.decode(comp, large_window=True) == data
+
+
+def test_native_streaming_large_window(lib, testdata, ref_cli):
+    """Streaming encode with the large-window extension: persistent
+    native state, flush-aligned prefixes, lgwin 26."""
+    import subprocess
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from brotli_tpu.enc.encoder import StreamingEncoder
+    data = (testdata / "lcet10.txt").read_bytes() * 2
+    enc = StreamingEncoder(quality=5, lgwin=26, large_window=True)
+    parts = []
+    for i in range(0, len(data), 50000):
+        parts.append(enc.process(data[i:i + 50000]))
+        if i % 150000 == 0:
+            parts.append(enc.flush())
+    parts.append(enc.finish())
+    comp = b"".join(parts)
+    r = subprocess.run([ref_cli, "--large_window=30", "-d", "-c"],
+                       input=comp, capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    assert lib.decode(comp, large_window=True) == data
