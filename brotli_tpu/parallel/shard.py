@@ -28,9 +28,13 @@ def _device_count():
 
 
 def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
-                     n_shards: int = None, use_device: bool = True) -> bytes:
+                     n_shards: int = None, use_device: bool = True,
+                     gather: str = "host") -> bytes:
     """Compress with one shard per device; returns a single RFC 7932
-    stream (decodable by any conforming decoder)."""
+    stream (decodable by any conforming decoder). `gather`: "host"
+    concatenates shard bytes locally; "collective" all-gathers the
+    ordered payloads over the mesh first (multi-host pods: ICI/DCN
+    instead of a hand-rolled transport)."""
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     if n_shards is None:
@@ -103,7 +107,46 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
 
     with futures.ThreadPoolExecutor(max_workers=min(n_shards, 8)) as ex:
         parts = list(ex.map(serialize, range(n_shards)))
+    if gather == "collective":
+        return _gather_payloads_collective(parts)
     return b"".join(parts)
+
+
+def _gather_payloads_collective(parts):
+    """In-order all-gather of the serialized shard payloads over the
+    device mesh (SURVEY 2.9.4: sizes all-gather + padded payload
+    all-gather via XLA collectives -- ICI within a slice, DCN across
+    hosts -- then host stitching from one gathered replica). On a
+    multi-host pod this is how shard bytes reach the writer without a
+    hand-rolled transport; single-process it exercises the same
+    collective program."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    n = len(parts)
+    devs = jax.devices()
+    if n == 1 or len(devs) < n:
+        return b"".join(parts)
+    mesh = Mesh(np.array(devs[:n]), axis_names=("data",))
+    sizes = np.array([len(p) for p in parts], np.int32)
+    maxlen = int(sizes.max())
+    pad = np.zeros((n, maxlen), np.uint8)
+    for i, p in enumerate(parts):
+        pad[i, :len(p)] = np.frombuffer(p, np.uint8)
+
+    def gather(payload, size):
+        return (jax.lax.all_gather(payload[0], "data")[None],
+                jax.lax.all_gather(size[0], "data")[None])
+
+    step = jax.jit(shard_map(
+        gather, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False))
+    gp, gs = step(jnp.asarray(pad), jnp.asarray(sizes))
+    gp = np.asarray(gp)[0]  # every device holds the full ordered set
+    gs = np.asarray(gs)[0]
+    return b"".join(gp[i, : int(gs[i])].tobytes() for i in range(n))
 
 
 def _find_matches_sharded(arr, bounds, max_distance, quality, use_device):

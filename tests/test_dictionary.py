@@ -266,3 +266,20 @@ def test_custom_word_encoding_context_based():
         plain = brotli_tpu.compress(payload, quality=q)
         assert brotli_tpu.decompress(with_d, dictionary=blob) == payload
         assert len(with_d) < len(plain), (q, len(with_d), len(plain))
+
+
+def test_sharded_collective_payload_gather(testdata, ref_cli):
+    """gather="collective": the ordered shard payloads ride an XLA
+    all_gather over the mesh (SURVEY 2.9.4 size+payload all-gather)
+    and the stitched stream still decodes bit-exactly."""
+    import jax
+    from brotli_tpu.parallel import shard as sh
+    assert len(jax.devices()) == 8
+    data = (testdata / "lcet10.txt").read_bytes() * 2
+    host = sh.compress_sharded(data, quality=5, n_shards=8)
+    coll = sh.compress_sharded(data, quality=5, n_shards=8,
+                               gather="collective")
+    assert coll == host  # the collective is a transport, not a codec
+    rc, out = ref_decompress(ref_cli, coll)
+    assert rc == 0 and out == data
+    assert brotli_tpu.decompress(coll) == data
