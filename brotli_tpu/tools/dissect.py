@@ -2,9 +2,20 @@
 
 Role parity: research/brotlidump.py (the reference's independent
 bit-level stream dissector used as a debugging oracle). This version
-rides the spec-driven Python decoder's trace hook instead of
-re-implementing the bit grammar, and reports per-category statistics
-plus an optional per-command dump.
+rides the spec-driven Python decoder's trace/structure hooks instead
+of re-implementing the bit grammar, and reports per-metablock header
+structure, per-category statistics, and an optional per-command dump.
+
+Why hook-based rather than a second bit-grammar parser: a Brotli
+dissector cannot stop at headers -- literal-context selection depends
+on the last two OUTPUT bytes, so any full dissection must decode the
+stream anyway. The reference carries brotlidump.py as an independent
+oracle because its production decoder is C; here the spec-driven
+Python decoder (dec/decoder.py) IS the independent oracle for the
+production native decoder, and the dissector reuses it rather than
+duplicating a third decoder. Independence chain: dissect -> Python
+decoder -> differentially checked against native (tools/fuzz.py) and
+the reference CLI (tests).
 
 Usage: python -m brotli_tpu.tools.dissect [-v] FILE.br
 """
