@@ -632,12 +632,29 @@ typedef struct {
 #define DICT_HBITS 15
 #define DICT_HSIZE (1 << DICT_HBITS)
 
+/* affix transforms (identity / uppercase-first core with literal
+   prefix and/or suffix additions): matched by byte-comparing the
+   input against prefix + core(word) + suffix (static_dict.c role,
+   generalized from the reference's hand-picked suffix checks) */
+typedef struct {
+  uint8_t tid;
+  uint8_t uc;       /* core: 0 identity, 1 uppercase-first */
+  uint8_t plen, slen;
+  uint16_t poff, soff;  /* into kTransformPool */
+} AffixTf;
+
 typedef struct {
   const uint8_t* blob;
   DictEntry* entries;       /* grouped by bucket */
   uint32_t start[DICT_HSIZE + 1];
   int omit_last_id[10];     /* bare omit-last-k transform id, 1..9 */
   int uc_first_id;
+  AffixTf suf[121];         /* no-prefix, suffix-only forms */
+  int nsuf;
+  AffixTf pre[121];         /* prefix forms, sorted by first prefix
+                               byte (suffix may be present) */
+  int npre;
+  uint8_t pre_start[257];   /* CSR over pre[] keyed by first byte */
   int ready;
 } DictIndex;
 
@@ -666,11 +683,45 @@ static int dict_index_init_locked(const uint8_t* blob) {
   g_dict.uc_first_id = -1;
   for (int k = 1; k <= 9; k++) g_dict.omit_last_id[k] = -1;
   for (int t = 0; t < 121; t++) {
-    if (kTransformPrefixLen[t] || kTransformSuffixLen[t]) continue;
     int op = kTransformOp[t];
-    if (op == 1 && g_dict.uc_first_id < 0) g_dict.uc_first_id = t;
-    if (op >= 21 && op <= 29 && g_dict.omit_last_id[op - 20] < 0)
-      g_dict.omit_last_id[op - 20] = t;
+    if (!kTransformPrefixLen[t] && !kTransformSuffixLen[t]) {
+      if (op == 1 && g_dict.uc_first_id < 0) g_dict.uc_first_id = t;
+      if (op >= 21 && op <= 29 && g_dict.omit_last_id[op - 20] < 0)
+        g_dict.omit_last_id[op - 20] = t;
+      continue;
+    }
+    if (op != 0 && op != 1) continue; /* affix forms: identity/ucfirst */
+    AffixTf a;
+    a.tid = (uint8_t)t;
+    a.uc = (uint8_t)op;
+    a.plen = kTransformPrefixLen[t];
+    a.poff = kTransformPrefixOff[t];
+    a.slen = kTransformSuffixLen[t];
+    a.soff = kTransformSuffixOff[t];
+    if (a.plen == 0)
+      g_dict.suf[g_dict.nsuf++] = a;
+    else
+      g_dict.pre[g_dict.npre++] = a;
+  }
+  /* counting sort the prefix forms by first prefix byte so probes
+     only visit entries whose prefix can match at all */
+  {
+    int cnt[256];
+    memset(cnt, 0, sizeof(cnt));
+    for (int i = 0; i < g_dict.npre; i++)
+      cnt[kTransformPool[g_dict.pre[i].poff]]++;
+    int acc = 0;
+    for (int b = 0; b < 256; b++) {
+      g_dict.pre_start[b] = (uint8_t)acc;
+      acc += cnt[b];
+    }
+    g_dict.pre_start[256] = (uint8_t)acc;
+    AffixTf tmp[121];
+    int w[256];
+    for (int b = 0; b < 256; b++) w[b] = g_dict.pre_start[b];
+    for (int i = 0; i < g_dict.npre; i++)
+      tmp[w[kTransformPool[g_dict.pre[i].poff]]++] = g_dict.pre[i];
+    memcpy(g_dict.pre, tmp, sizeof(AffixTf) * (size_t)g_dict.npre);
   }
   /* count words */
   size_t total = 0;
@@ -743,6 +794,17 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
   int best_out = 0, best_copy = 0, best_tid = 0, best_wlen = 0;
   uint32_t best_idx = 0;
   int best_score = 0;
+#define DICT_TAKE(out_, score_, tid_, idx_, wlen_)                     \
+  do {                                                                 \
+    if ((out_) >= min_out && (score_) > best_score) {                  \
+      best_score = (score_);                                           \
+      best_out = (out_);                                               \
+      best_copy = (wlen_);                                             \
+      best_tid = (tid_);                                               \
+      best_idx = (idx_);                                               \
+      best_wlen = (wlen_);                                             \
+    }                                                                  \
+  } while (0)
   for (int tf = 0; tf < 2; tf++) {
     uint8_t first = p[0];
     uint8_t key[4];
@@ -764,43 +826,93 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         size_t m1 = 1 + common_len(p + 1, w + 1,
                                    (rem < (size_t)L ? rem : (size_t)L) - 1);
         if ((int)m1 != L) continue; /* uc_first: full word only */
-        int score = L * 128 - 140; /* transform penalty */
-        if (L >= min_out && score > best_score) {
-          best_score = score;
-          best_out = L;
-          best_copy = L;
-          best_tid = g_dict.uc_first_id;
-          best_idx = de->idx;
-          best_wlen = L;
+        DICT_TAKE(L, L * 128 - 140, g_dict.uc_first_id, de->idx, L);
+        /* uppercase-first + suffix forms */
+        for (int s = 0; s < g_dict.nsuf; s++) {
+          const AffixTf* a = &g_dict.suf[s];
+          if (!a->uc) continue;
+          int out = L + a->slen;
+          if ((size_t)out > rem) continue;
+          if (memcmp(p + L, kTransformPool + a->soff, a->slen)) continue;
+          DICT_TAKE(out, out * 128 - 170, a->tid, de->idx, L);
         }
         continue;
       }
       size_t cap = rem < (size_t)L ? rem : (size_t)L;
       size_t m = common_len(p, w, cap);
-      if ((int)m == L) { /* identity */
-        int score = L * 128;
-        if (L >= min_out && score > best_score) {
-          best_score = score;
-          best_out = L;
-          best_copy = L;
-          best_tid = 0;
-          best_idx = de->idx;
-          best_wlen = L;
+      if ((int)m == L) { /* identity (full word) */
+        DICT_TAKE(L, L * 128, 0, de->idx, L);
+        /* identity + suffix forms (word followed by " ", " the ",
+           ", ", ...) cover MORE input per reference */
+        for (int s = 0; s < g_dict.nsuf; s++) {
+          const AffixTf* a = &g_dict.suf[s];
+          if (a->uc) continue;
+          int out = L + a->slen;
+          if ((size_t)out > rem) continue;
+          if (memcmp(p + L, kTransformPool + a->soff, a->slen)) continue;
+          DICT_TAKE(out, out * 128 - 150, a->tid, de->idx, L);
         }
       } else if ((int)m >= min_out && m >= 6 && L - (int)m <= 9 &&
                  g_dict.omit_last_id[L - (int)m] >= 0) {
-        int score = (int)m * 128 - 160; /* cutoff penalty */
-        if (score > best_score) {
-          best_score = score;
-          best_out = (int)m;
-          best_copy = L; /* copy code selects the word-length bucket */
-          best_tid = g_dict.omit_last_id[L - (int)m];
-          best_idx = de->idx;
-          best_wlen = L;
-        }
+        DICT_TAKE((int)m, (int)m * 128 - 160,
+                  g_dict.omit_last_id[L - (int)m], de->idx, L);
       }
     }
   }
+  /* prefix forms: input must start with the literal prefix; the word
+     match begins after it (e.g. " the " + word, " " + word) */
+  {
+    uint32_t ph = 0;
+    int ph_plen = -1;
+    int s0 = g_dict.pre_start[p[0]];
+    int s1 = g_dict.pre_start[(int)p[0] + 1];
+    for (int s = s0; s < s1; s++) {
+      const AffixTf* a = &g_dict.pre[s];
+      size_t need = (size_t)a->plen + 4;
+      if (need > rem) continue;
+      if (memcmp(p, kTransformPool + a->poff, a->plen)) continue;
+      const uint8_t* q = p + a->plen;
+      uint8_t key[4];
+      if (a->uc) {
+        if (q[0] < 'A' || q[0] > 'Z') continue;
+        key[0] = (uint8_t)(q[0] | 0x20);
+        key[1] = q[1];
+        key[2] = q[2];
+        key[3] = q[3];
+      }
+      uint32_t h;
+      if (!a->uc && a->plen == ph_plen) {
+        h = ph;
+      } else {
+        h = dict_hash4(a->uc ? key : q);
+        if (!a->uc) {
+          ph = h;
+          ph_plen = a->plen;
+        }
+      }
+      size_t qrem = rem - a->plen;
+      uint32_t lo = g_dict.start[h], hi = g_dict.start[h + 1];
+      for (uint32_t e = lo; e < hi; e++) {
+        const DictEntry* de = &g_dict.entries[e];
+        const uint8_t* w = g_dict.blob + de->word_off;
+        int L = de->len;
+        if ((size_t)L + a->slen > qrem) continue;
+        if (a->uc) {
+          if (w[0] != key[0]) continue;
+          size_t m1 = 1 + common_len(q + 1, w + 1, (size_t)L - 1);
+          if ((int)m1 != L) continue;
+        } else {
+          if (common_len(q, w, (size_t)L) != (size_t)L) continue;
+        }
+        if (a->slen &&
+            memcmp(q + L, kTransformPool + a->soff, a->slen))
+          continue;
+        int out = a->plen + L + a->slen;
+        DICT_TAKE(out, out * 128 - 160, a->tid, de->idx, L);
+      }
+    }
+  }
+#undef DICT_TAKE
   if (!best_out) return 0;
   *out_copy = best_copy;
   *out_tid = best_tid;
