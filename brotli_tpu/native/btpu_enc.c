@@ -786,8 +786,8 @@ static inline size_t common_len(const uint8_t* a, const uint8_t* b,
    = no match) and fills copy-code value, transform id, word index and
    word length. */
 static int dict_probe(const uint8_t* data, size_t pos, size_t n,
-                      int min_out, int* out_copy, int* out_tid,
-                      uint32_t* out_idx, int* out_wlen) {
+                      int min_out, int level, int* out_copy,
+                      int* out_tid, uint32_t* out_idx, int* out_wlen) {
   if (pos + 4 > n || !g_dict.ready) return 0;
   size_t rem = n - pos;
   const uint8_t* p = data + pos;
@@ -828,7 +828,7 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         if ((int)m1 != L) continue; /* uc_first: full word only */
         DICT_TAKE(L, L * 128 - 140, g_dict.uc_first_id, de->idx, L);
         /* uppercase-first + suffix forms */
-        for (int s = 0; s < g_dict.nsuf; s++) {
+        for (int s = 0; level >= 1 && s < g_dict.nsuf; s++) {
           const AffixTf* a = &g_dict.suf[s];
           if (!a->uc) continue;
           int out = L + a->slen;
@@ -844,7 +844,7 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         DICT_TAKE(L, L * 128, 0, de->idx, L);
         /* identity + suffix forms (word followed by " ", " the ",
            ", ", ...) cover MORE input per reference */
-        for (int s = 0; s < g_dict.nsuf; s++) {
+        for (int s = 0; level >= 1 && s < g_dict.nsuf; s++) {
           const AffixTf* a = &g_dict.suf[s];
           if (a->uc) continue;
           int out = L + a->slen;
@@ -861,7 +861,7 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
   }
   /* prefix forms: input must start with the literal prefix; the word
      match begins after it (e.g. " the " + word, " " + word) */
-  {
+  if (level >= 2) {
     uint32_t ph = 0;
     int ph_plen = -1;
     int s0 = g_dict.pre_start[p[0]];
@@ -2298,7 +2298,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       if (cfg->use_dict && best_len < 16) {
         int dcopy = 0, dtid = 0, dwlen = 0;
         uint32_t didx = 0;
-        int dout = dict_probe(data, i, n, 4, &dcopy, &dtid, &didx,
+        int dout = dict_probe(data, i, n, 4, 2, &dcopy, &dtid, &didx,
                               &dwlen);
         if (dout >= 4 && (size_t)dout <= hi - i) {
           uint32_t dist = (uint32_t)(maxd + 1 +
@@ -2863,6 +2863,10 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
     ncmd++;                                                 \
   } while (0)
 
+    /* affix richness by tier: suffix forms are near-free (checked
+       only on full-word matches); the prefix pass costs a probe per
+       miss position and is reserved for the slower tiers */
+    int dict_level = quality >= 7 ? 2 : 1;
     while (pos < n) {
       MatchResult m;
       find_match(data, pos, n, e.maxback, sim_ring, &cfg, &m);
@@ -2871,7 +2875,8 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
       int dout = 0;
       if (cfg.use_dict && m.len < 12) {
         int min_out = m.len >= 4 ? (int)m.len + 1 : 4;
-        dout = dict_probe(data, pos, n, min_out, &dcopy, &dtid, &didx,
+        dout = dict_probe(data, pos, n, min_out, dict_level, &dcopy,
+                          &dtid, &didx,
                           &dwlen);
       }
       if (dout > (int)m.len) {
@@ -3218,6 +3223,7 @@ static int stream_consume(EncStream* S, size_t until) {
   size_t n = S->base + S->len;            /* match-extension horizon */
   const size_t mb_target = (size_t)1 << 22;
   int rc;
+  int dict_level = S->e.quality >= 7 ? 2 : 1;
   while (S->pos < until) {
     size_t pos = S->pos;
     MatchResult m;
@@ -3227,7 +3233,8 @@ static int stream_consume(EncStream* S, size_t until) {
     int dout = 0;
     if (S->cfg.use_dict && m.len < 12) {
       int min_out = m.len >= 4 ? (int)m.len + 1 : 4;
-      dout = dict_probe(data, pos, n, min_out, &dcopy, &dtid, &didx,
+      dout = dict_probe(data, pos, n, min_out, dict_level, &dcopy,
+                        &dtid, &didx,
                         &dwlen);
     }
     if (dout > (int)m.len) {
