@@ -441,34 +441,52 @@ static double pair_cost(const uint32_t* a, const uint32_t* b, int n) {
    and returns the tree count. hists is modified in place (merged rows).
    tree id t's histogram ends up in hists[reps[t]*n]. Gains are cached
    in a k x k matrix; only the merged row is recomputed per step. */
+static inline double desc_cost(const uint32_t* h, int n,
+                               double per_sym) {
+  /* serialized-tree cost estimate: each used symbol needs a
+     code-length entry (the BrotliPopulationCost code-description
+     role); zero runs RLE away */
+  int nnz = 0;
+  for (int i = 0; i < n; i++) nnz += h[i] != 0;
+  return per_sym * (double)nnz;
+}
+
 static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
-                         double table_cost, int* assign, int* reps) {
+                         double table_cost, double per_sym, int* assign,
+                         int* reps) {
   double* cost = (double*)malloc(sizeof(double) * (size_t)k);
   int* alive = (int*)malloc(sizeof(int) * (size_t)k);
   int* group_of = (int*)malloc(sizeof(int) * (size_t)k);
   int* remap = (int*)malloc(sizeof(int) * (size_t)k);
   double* gain = (double*)malloc(sizeof(double) * (size_t)k * (size_t)k);
-  if (!cost || !alive || !group_of || !remap || !gain) {
+  double* desc = (double*)malloc(sizeof(double) * (size_t)k);
+  if (!cost || !alive || !group_of || !remap || !gain || !desc) {
     free(cost);
     free(alive);
     free(group_of);
     free(remap);
     free(gain);
+    free(desc);
     return -1;
   }
 #define GAIN(a_, b_) gain[(size_t)(a_) * (size_t)k + (b_)]
   ensure_xlogx();
   for (int i = 0; i < k; i++) {
     cost[i] = hist_cost(hists + (size_t)i * n, n);
+    desc[i] = desc_cost(hists + (size_t)i * n, n, per_sym);
     alive[i] = 1;
     group_of[i] = i;
   }
+  /* merged-tree description cost: union support <= sum of supports;
+     approximate with max(desc_a, desc_b) (similar rows share most of
+     their support) */
   for (int a = 0; a < k; a++)
     for (int b = a + 1; b < k; b++)
       GAIN(a, b) = cost[a] + cost[b] -
                    pair_cost(hists + (size_t)a * n, hists + (size_t)b * n,
                              n) +
-                   table_cost;
+                   table_cost + desc[a] + desc[b] -
+                   (desc[a] > desc[b] ? desc[a] : desc[b]);
   int n_alive = k;
   while (n_alive > 1) {
     double best = -1e300;
@@ -488,6 +506,7 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
     for (int i = 0; i < n; i++)
       hists[(size_t)ba * n + i] += hists[(size_t)bb * n + i];
     cost[ba] = hist_cost(hists + (size_t)ba * n, n);
+    desc[ba] = desc_cost(hists + (size_t)ba * n, n, per_sym);
     alive[bb] = 0;
     for (int i = 0; i < k; i++)
       if (group_of[i] == bb) group_of[i] = ba;
@@ -497,7 +516,8 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
       double g = cost[ba] + cost[b] -
                  pair_cost(hists + (size_t)ba * n,
                            hists + (size_t)b * n, n) +
-                 table_cost;
+                 table_cost + desc[ba] + desc[b] -
+                 (desc[ba] > desc[b] ? desc[ba] : desc[b]);
       if (b > ba)
         GAIN(ba, b) = g;
       else
@@ -522,6 +542,7 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
   free(group_of);
   free(remap);
   free(gain);
+  free(desc);
   return ntrees;
 }
 
@@ -1650,7 +1671,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
      neutral on the 16MB corpus (the 48-tree cap binds there) */
   static const double kTableCost = 180.0;
   int n_lit_trees = 1;
-  if ((q >= 5 && nlit >= 1024) || ntypes > 1) {
+  if ((q >= 5 && nlit >= (size_t)(q >= 10 ? 256 : 1024)) ||
+      ntypes > 1) {
     use_ctx = 1;
     mode = choose_ctx_mode(data, lo, hi);
   }
@@ -1724,9 +1746,11 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   /* ---- cluster literal (type, context) rows ---- */
   if (use_ctx) {
     int max_trees = q >= 10 ? MAX_LIT_TREES : (q >= 9 ? 16 : 12);
+    /* swept: 1.5 bits/used-symbol recovers ~1% on dense binary
+       histograms (mapsdatazrh: 48 -> ~20 trees) without hurting text */
     n_lit_trees = cluster_hists(lit_hist, ntypes * NUM_LIT_CTX, NUM_LIT,
-                                max_trees, kTableCost, lit_assign,
-                                lit_reps);
+                                max_trees, kTableCost, 1.5,
+                                lit_assign, lit_reps);
     if (n_lit_trees < 0) {
       rc = EERR_ALLOC;
       goto done;
@@ -1748,7 +1772,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   int n_dist_trees = 1;
   if ((q >= 5 && ndist_syms >= 512) || ntypes_d > 1) {
     n_dist_trees = cluster_hists(dist_hist, ntypes_d * 4, dalpha,
-                                 MAX_DIST_TREES, 30.0, dist_assign,
+                                 MAX_DIST_TREES, 30.0, 1.5, dist_assign,
                                  dist_reps);
     if (n_dist_trees < 0) {
       rc = EERR_ALLOC;
