@@ -65,11 +65,18 @@ def _entropy_bits(H: np.ndarray) -> np.ndarray:
     return -(H * lg).sum(axis=-1)
 
 
+DESC_BITS_PER_SYMBOL = 1.5  # serialized-tree cost per used symbol
+# (code-description role of BrotliPopulationCost; swept on the native
+# serializer: dense binary histograms stop over-splitting)
+
+
 def cluster_histograms(hists: np.ndarray, max_trees: int,
                        table_cost_bits: float = 60.0):
     """Greedy agglomerative clustering by entropy-cost delta, with the
     pairwise merge-gain matrix computed as one batched reduction per
-    step (maps to a single matrix op on device).
+    step (maps to a single matrix op on device). Merge gains include a
+    support-size tree-description estimate: desc(a) + desc(b) -
+    desc(merged), desc = DESC_BITS_PER_SYMBOL * nnz.
 
     Returns (assignment int array over input histograms, merged
     histograms in tree order).
@@ -99,9 +106,12 @@ def cluster_histograms(hists: np.ndarray, max_trees: int,
     groups = [[i] for i in range(k)]
     alive = np.ones(k, bool)
     cost = _entropy_bits(H)
+    desc = DESC_BITS_PER_SYMBOL * (H > 0).sum(axis=-1)
     # pairwise merge costs once; incremental row/col updates per merge
     pair = _entropy_bits(H[:, None, :] + H[None, :, :])
-    gain = cost[:, None] + cost[None, :] - pair + table_cost_bits
+    gain = (cost[:, None] + cost[None, :] - pair + table_cost_bits +
+            desc[:, None] + desc[None, :] -
+            np.maximum(desc[:, None], desc[None, :]))
     np.fill_diagonal(gain, -np.inf)
     n_alive = k
     while n_alive > 1:
@@ -118,9 +128,11 @@ def cluster_histograms(hists: np.ndarray, max_trees: int,
         gain[:, b] = -np.inf
         n_alive -= 1
         cost[a] = _entropy_bits(H[a][None])[0]
+        desc[a] = DESC_BITS_PER_SYMBOL * int((H[a] > 0).sum())
         live = np.flatnonzero(alive)
         pr = _entropy_bits(H[a][None, :] + H[live])
-        g = cost[a] + cost[live] - pr + table_cost_bits
+        g = (cost[a] + cost[live] - pr + table_cost_bits +
+             desc[a] + desc[live] - np.maximum(desc[a], desc[live]))
         gain[a, live] = g
         gain[live, a] = g
         gain[a, a] = -np.inf
