@@ -1633,7 +1633,9 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
           s16[w++] = data[pos + k];
         pos += cmds[i].ins + (cmds[i].adv & ~CMD_DICT);
       }
-      /* literal chunk swept on the 16MB corpus: 128 > 96/192/256 */
+      /* literal chunk swept on the 16MB corpus: 128 > 96/192/256.
+         Type budget 8 is also a hard ceiling: write_context_map_c's
+         buffers hold 8 * 64 map entries (more types segfault). */
       rc = split_symbols_c(s16, nlit, NUM_LIT, 128, 8, &lsp);
       if (rc) {
         free(s16);
