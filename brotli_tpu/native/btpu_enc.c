@@ -550,6 +550,7 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
 
 static int write_context_map_c(BW* bw, const int* cmap, int nctx,
                                int ntrees, PmScratch* pm) {
+  if (nctx > 512) return EERR_PARAM; /* seq/sym buffers below */
   /* varlen_uint8(ntrees - 1) */
   int v = ntrees - 1;
   if (v == 0) {
@@ -1861,16 +1862,20 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   bw_put(bw, 0, 4);     /* NDIRECT >> NPOSTFIX */
   for (int t = 0; t < ntypes; t++)
     bw_put(bw, (uint64_t)(use_ctx ? mode : 0), 2); /* ctx mode per type */
-  if (multi)
-    write_context_map_c(bw, lit_assign, ntypes * NUM_LIT_CTX,
-                        n_lit_trees, &e->pm);
-  else
+  if (multi) {
+    rc = write_context_map_c(bw, lit_assign, ntypes * NUM_LIT_CTX,
+                             n_lit_trees, &e->pm);
+    if (rc) goto done;
+  } else {
     put_varlen_u8(bw, 0);
-  if (n_dist_trees > 1 || ntypes_d > 1)
-    write_context_map_c(bw, dist_assign, ntypes_d * 4, n_dist_trees,
-                        &e->pm);
-  else
+  }
+  if (n_dist_trees > 1 || ntypes_d > 1) {
+    rc = write_context_map_c(bw, dist_assign, ntypes_d * 4,
+                             n_dist_trees, &e->pm);
+    if (rc) goto done;
+  } else {
     put_varlen_u8(bw, 0);
+  }
   for (int t = 0; t < n_lit_trees; t++)
     write_huffman_code_c(bw, lit_lens[t], NUM_LIT, NUM_LIT, &e->pm);
   for (int t = 0; t < ntypes_i; t++)
