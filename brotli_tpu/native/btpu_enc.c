@@ -682,6 +682,7 @@ typedef struct {
   int omit_last_id[10];     /* bare omit-last-k transform id, 1..9 */
   int omit_first_id[10];    /* bare omit-first-k transform id, 1..9 */
   int uc_first_id;
+  int uc_all_id;            /* bare UPPERCASE_ALL transform id */
   AffixTf suf[121];         /* no-prefix, suffix-only forms */
   int nsuf;
   AffixTf pre[121];         /* prefix forms, sorted by first prefix
@@ -715,6 +716,7 @@ static int dict_index_init_locked(const uint8_t* blob) {
   memset(&g_dict, 0, sizeof(g_dict));
   g_dict.blob = blob;
   g_dict.uc_first_id = -1;
+  g_dict.uc_all_id = -1;
   for (int k = 1; k <= 9; k++) {
     g_dict.omit_last_id[k] = -1;
     g_dict.omit_first_id[k] = -1;
@@ -723,13 +725,15 @@ static int dict_index_init_locked(const uint8_t* blob) {
     int op = kTransformOp[t];
     if (!kTransformPrefixLen[t] && !kTransformSuffixLen[t]) {
       if (op == 1 && g_dict.uc_first_id < 0) g_dict.uc_first_id = t;
+      if (op == 2 && g_dict.uc_all_id < 0) g_dict.uc_all_id = t;
       if (op >= 21 && op <= 29 && g_dict.omit_last_id[op - 20] < 0)
         g_dict.omit_last_id[op - 20] = t;
       if (op >= 11 && op <= 19 && g_dict.omit_first_id[op - 10] < 0)
         g_dict.omit_first_id[op - 10] = t;
       continue;
     }
-    if (op != 0 && op != 1) continue; /* affix forms: identity/ucfirst */
+    /* affix forms: identity / uppercase-first / uppercase-all cores */
+    if (op != 0 && op != 1 && op != 2) continue;
     AffixTf a;
     a.tid = (uint8_t)t;
     a.uc = (uint8_t)op;
@@ -899,15 +903,27 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
       best_wlen = (wlen_);                                             \
     }                                                                  \
   } while (0)
-  for (int tf = 0; tf < 2; tf++) {
+  for (int tf = 0; tf < 3; tf++) {
     uint8_t first = p[0];
     uint8_t key[4];
-    if (tf == 1) {
-      if (first < 'A' || first > 'Z' || g_dict.uc_first_id < 0) break;
-      key[0] = (uint8_t)(first | 0x20);
-      key[1] = p[1];
-      key[2] = p[2];
-      key[3] = p[3];
+    if (tf >= 1) {
+      if (first < 'A' || first > 'Z') break;
+      if (tf == 1) {
+        if (g_dict.uc_first_id < 0) break;
+        key[0] = (uint8_t)(first | 0x20);
+        key[1] = p[1];
+        key[2] = p[2];
+        key[3] = p[3];
+      } else {
+        /* uppercase-all (ASCII): lowercase every A-Z key byte; skip
+           unless a second input byte is also uppercase (else ucfirst
+           already covers it) */
+        if (g_dict.uc_all_id < 0) break;
+        if (!(p[1] >= 'A' && p[1] <= 'Z')) break;
+        for (int b = 0; b < 4; b++)
+          key[b] = (uint8_t)(p[b] >= 'A' && p[b] <= 'Z' ? p[b] | 0x20
+                                                        : p[b]);
+      }
     }
     uint32_t h = dict_hash4(tf ? key : p);
     uint32_t lo = g_dict.start[h], hi = g_dict.start[h + 1];
@@ -924,11 +940,34 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         /* uppercase-first + suffix forms */
         for (int s = 0; level >= 1 && s < g_dict.nsuf; s++) {
           const AffixTf* a = &g_dict.suf[s];
-          if (!a->uc) continue;
+          if (a->uc != 1) continue;
           int out = L + a->slen;
           if ((size_t)out > rem) continue;
           if (memcmp(p + L, kTransformPool + a->soff, a->slen)) continue;
           DICT_TAKE(out, out * 128 - 170, a->tid, de->idx, L);
+        }
+        continue;
+      }
+      if (tf == 2) {
+        if ((size_t)L > rem) continue;
+        int ok = 1;
+        for (int b = 0; b < L; b++) {
+          uint8_t c = w[b];
+          uint8_t up = (uint8_t)(c >= 'a' && c <= 'z' ? c - 32 : c);
+          if (p[b] != up) {
+            ok = 0;
+            break;
+          }
+        }
+        if (!ok) continue;
+        DICT_TAKE(L, L * 128 - 170, g_dict.uc_all_id, de->idx, L);
+        for (int s = 0; level >= 1 && s < g_dict.nsuf; s++) {
+          const AffixTf* a = &g_dict.suf[s];
+          if (a->uc != 2) continue;
+          int out = L + a->slen;
+          if ((size_t)out > rem) continue;
+          if (memcmp(p + L, kTransformPool + a->soff, a->slen)) continue;
+          DICT_TAKE(out, out * 128 - 190, a->tid, de->idx, L);
         }
         continue;
       }
@@ -940,7 +979,7 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
            ", ", ...) cover MORE input per reference */
         for (int s = 0; level >= 1 && s < g_dict.nsuf; s++) {
           const AffixTf* a = &g_dict.suf[s];
-          if (a->uc) continue;
+          if (a->uc != 0) continue;
           int out = L + a->slen;
           if ((size_t)out > rem) continue;
           if (memcmp(p + L, kTransformPool + a->soff, a->slen)) continue;
@@ -967,12 +1006,17 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
       if (memcmp(p, kTransformPool + a->poff, a->plen)) continue;
       const uint8_t* q = p + a->plen;
       uint8_t key[4];
-      if (a->uc) {
+      if (a->uc == 1) {
         if (q[0] < 'A' || q[0] > 'Z') continue;
         key[0] = (uint8_t)(q[0] | 0x20);
         key[1] = q[1];
         key[2] = q[2];
         key[3] = q[3];
+      } else if (a->uc == 2) {
+        if (q[0] < 'A' || q[0] > 'Z') continue;
+        for (int b = 0; b < 4; b++)
+          key[b] = (uint8_t)(q[b] >= 'A' && q[b] <= 'Z' ? q[b] | 0x20
+                                                        : q[b]);
       }
       uint32_t h;
       if (!a->uc && a->plen == ph_plen) {
@@ -991,10 +1035,21 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         const uint8_t* w = g_dict.blob + de->word_off;
         int L = de->len;
         if ((size_t)L + a->slen > qrem) continue;
-        if (a->uc) {
+        if (a->uc == 1) {
           if (w[0] != key[0]) continue;
           size_t m1 = 1 + common_len(q + 1, w + 1, (size_t)L - 1);
           if ((int)m1 != L) continue;
+        } else if (a->uc == 2) {
+          int ok = 1;
+          for (int b = 0; b < L; b++) {
+            uint8_t c = w[b];
+            uint8_t up = (uint8_t)(c >= 'a' && c <= 'z' ? c - 32 : c);
+            if (q[b] != up) {
+              ok = 0;
+              break;
+            }
+          }
+          if (!ok) continue;
         } else {
           if (common_len(q, w, (size_t)L) != (size_t)L) continue;
         }
