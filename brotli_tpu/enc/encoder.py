@@ -371,7 +371,7 @@ class StreamingEncoder:
         data = bytes(self._history) + bytes(self._buf)
         arr = np.frombuffer(data, dtype=np.uint8)
         start = len(self._history)
-        large = lgwin > C.MAX_WINDOW_BITS
+        large = self._large and lgwin > C.MAX_WINDOW_BITS
         matches = find_matches(arr, C.max_backward_distance(lgwin),
                                quality, large=large)
         # clip matches to the new region (window lookback still works)

@@ -953,6 +953,10 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
         int ok = 1;
         for (int b = 0; b < L; b++) {
           uint8_t c = w[b];
+          if (c >= 0xC0) { /* RFC ToUpperCase rewrites rune tails */
+            ok = 0;
+            break;
+          }
           uint8_t up = (uint8_t)(c >= 'a' && c <= 'z' ? c - 32 : c);
           if (p[b] != up) {
             ok = 0;
@@ -1043,6 +1047,10 @@ static int dict_probe(const uint8_t* data, size_t pos, size_t n,
           int ok = 1;
           for (int b = 0; b < L; b++) {
             uint8_t c = w[b];
+            if (c >= 0xC0) { /* multi-byte rune: ToUpperCase rewrites */
+              ok = 0;
+              break;
+            }
             uint8_t up = (uint8_t)(c >= 'a' && c <= 'z' ? c - 32 : c);
             if (q[b] != up) {
               ok = 0;
@@ -1439,14 +1447,34 @@ static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
       }
     }
     if (!changed) break;
-    memset(seeds, 0, (size_t)k * alphabet * sizeof(double));
-    for (size_t c = 0; c < nch; c++) {
-      double* dst = seeds + (size_t)assign[c] * alphabet;
-      const uint16_t* row = H + c * (size_t)alphabet;
-      for (int s = 0; s < alphabet; s++) dst[s] += row[s];
+    {
+      double* prev_seeds =
+          (double*)malloc((size_t)k * alphabet * sizeof(double));
+      uint32_t tcnt[16];
+      memset(tcnt, 0, sizeof(tcnt));
+      if (prev_seeds)
+        memcpy(prev_seeds, seeds,
+               (size_t)k * alphabet * sizeof(double));
+      memset(seeds, 0, (size_t)k * alphabet * sizeof(double));
+      for (size_t c = 0; c < nch; c++) {
+        double* dst = seeds + (size_t)assign[c] * alphabet;
+        const uint16_t* row = H + c * (size_t)alphabet;
+        for (int s = 0; s < alphabet; s++) dst[s] += row[s];
+        tcnt[assign[c]]++;
+      }
+      for (int t = 0; t < k; t++) {
+        if (tcnt[t] == 0 && prev_seeds) {
+          /* empty cluster: keep its old seed (a zeroed row clamps to
+             a flat ~1 bit/symbol and would attract every chunk) */
+          memcpy(seeds + (size_t)t * alphabet,
+                 prev_seeds + (size_t)t * alphabet,
+                 (size_t)alphabet * sizeof(double));
+        } else {
+          seeds[(size_t)t * alphabet] += 1e-3;
+        }
+      }
+      free(prev_seeds);
     }
-    for (int t = 0; t < k; t++)
-      seeds[(size_t)t * alphabet] += 1e-3;
   }
   /* merge isolated single-chunk islands into the left neighbor */
   for (size_t c = 1; c + 1 < nch; c++)
@@ -1528,8 +1556,8 @@ done:
 /* Block-switch plan for one category: type-code symbols (2-entry ring
    rule, RFC 6), block-count codes, and the two prefix trees. */
 typedef struct {
-  uint8_t tsyms[16384];  /* type codes for runs[1:] (4MB mb / 256 chunk) */
-  uint8_t ccode[16384];  /* count codes for ALL runs */
+  uint8_t tsyms[32768];  /* type codes for runs[1:] (4MB mb / 128 chunk) */
+  uint8_t ccode[32768];  /* count codes for ALL runs */
   uint8_t type_lens[16 + 2];
   uint16_t type_codes[16 + 2];
   uint8_t cnt_lens[26];
@@ -1541,7 +1569,7 @@ static int plan_switches_c(const Split* sp, PmScratch* pm,
                            SwitchPlan* sw) {
   size_t nruns = sp->nruns;
   int ntypes = sp->ntypes;
-  if (nruns > 16384) return EERR_PARAM;
+  if (nruns > 32768) return EERR_PARAM;
   uint32_t tfreq[18];
   uint32_t cfreq[26];
   memset(tfreq, 0, sizeof(tfreq));
@@ -2268,12 +2296,16 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     oc->dsym[i] = (float)(-log2((dh[i] + 0.2) / dtot) *
                           opt_dist_scale());
   if (!g_opt_stop_ready) {
-    for (int i = 0; i < N_OPT_STOPS; i++)
-      kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
-                                   24);
-    for (uint32_t v = 0; v < 2048; v++)
-      kCpyCodeLut[v] = (uint8_t)value_code(v, kCopyBase, 24);
-    g_opt_stop_ready = 1;
+    pthread_mutex_lock(&g_init_lock);
+    if (!g_opt_stop_ready) {
+      for (int i = 0; i < N_OPT_STOPS; i++)
+        kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
+                                     24);
+      for (uint32_t v = 0; v < 2048; v++)
+        kCpyCodeLut[v] = (uint8_t)value_code(v, kCopyBase, 24);
+      g_opt_stop_ready = 1;
+    }
+    pthread_mutex_unlock(&g_init_lock);
   }
   for (int i = 0; i < N_OPT_STOPS; i++)
     oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
@@ -2283,7 +2315,8 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
 /* Forward shortest-path over [lo, hi): backptr arrays encode each
    position's best incoming edge (blen 0 = literal). Candidates walk
    the bucket ring nearest-to-farthest, so only length-extending
-   entries matter; the seed parse's ring timeline prices cache probes. */
+   entries matter; distance-cache probes reconstruct the ring at each
+   node from the best path's own backpointers. */
 static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
                            size_t hi, size_t maxback, MatchCfg* cfg,
                            const Cmd* seed, size_t nseed,
@@ -2298,9 +2331,6 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
   }
   dp[0] = 0.0f;
   lastm[0] = 0;
-  /* seed ring timeline */
-  uint32_t sring[4];
-  memcpy(sring, ring_in, sizeof(sring));
   size_t si = 0;        /* next seed cmd */
   size_t spos = lo;     /* input consumed by seed cmds < si */
   /* positions below skip_until ride a committed long copy (the
@@ -2312,18 +2342,11 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
   size_t skip_until = lo;
   for (size_t i = lo; i < hi; i++) {
     size_t ii = i - lo;
-    /* advance the seed ring past commands ending at or before i */
+    /* advance past seed commands ending at or before i */
     while (si < nseed) {
       const Cmd* sc = &seed[si];
       size_t end = spos + sc->ins + (sc->adv & ~CMD_DICT);
       if (end > i) break;
-      if ((sc->cpy || sc->dist) && !(sc->adv & CMD_DICT) &&
-          sc->dist != sring[0]) {
-        sring[3] = sring[2];
-        sring[2] = sring[1];
-        sring[1] = sring[0];
-        sring[0] = sc->dist;
-      }
       spos = end;
       si++;
     }

@@ -338,3 +338,18 @@ def test_native_streaming_large_window(lib, testdata, ref_cli):
                        input=comp, capture_output=True)
     assert r.returncode == 0 and r.stdout == data
     assert lib.decode(comp, large_window=True) == data
+
+
+@pytest.mark.parametrize("q", [5, 9, 11])
+def test_uppercase_all_multibyte_rune_safety(lib, ref_cli, q):
+    """UPPERCASE_ALL dictionary references must not match words with
+    multi-byte runes: RFC 7932 ToUpperCase rewrites the rune TAIL
+    bytes, so an ASCII-model match would silently corrupt output
+    (regression: 'KM\xc2\xb2' decoded as 'KM\xc2\x92')."""
+    import subprocess
+    sample = b"THE AREA IS 120 KM\xc2\xb2 AND THE POPULATION GREW. " * 40
+    comp = lib.encode(sample, q, 22)
+    r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == sample
+    assert lib.decode(comp) == sample
