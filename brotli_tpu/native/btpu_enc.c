@@ -2706,9 +2706,11 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   cfg_dp.hbits = 16;
   /* q11 sweep on the 16MB corpus: 128-entry rings, deep first walk,
      shallow recost walk (540,088 B @ 7.2 MB/s beats 64/64/64's
-     541,935 @ 8.9 and 128/128/128's 540,291 @ 7.0) */
+     541,935 @ 8.9 and 128/128/128's 540,291 @ 7.0); q10 depth 64
+     reaches reference-q10 size parity (538,524 vs 538,204) while
+     staying faster than its 8.9 MB/s */
   cfg_dp.block_bits = quality >= 11 ? 7 : 6;
-  cfg_dp.depth = quality >= 11 ? 128 : 32;
+  cfg_dp.depth = quality >= 11 ? 128 : 64;
   cfg_dp.lazy = 0;
   cfg_dp.min_len = 4;
   cfg_dp.use_dict = 1;
