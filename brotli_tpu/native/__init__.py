@@ -89,6 +89,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_enc_metadata.restype = ctypes.c_int
+        lib.btpu_serialize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p]
+        lib.btpu_serialize.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -261,3 +270,43 @@ class StreamEncoder:
         if st:
             self._lib.btpu_enc_free_stream(st)
             self._st = None
+
+
+def serialize_region(data: bytes, lo: int, hi: int, matches,
+                     quality: int, lgwin: int, ring=None,
+                     write_header: bool = False, is_last: bool = False,
+                     align_end: bool = True):
+    """Native serialization of a parsed region from (pos, len, dist,
+    flag) match arrays -- the host stage of the device/sharded
+    pipelines (BrotliStoreMetaBlock role). Returns (bytes, exit_ring).
+    Raises ValueError for unsupported flags (compound / custom words);
+    callers fall back to the Python serializer."""
+    import numpy as np
+    lib = get_lib()
+    m, lens, dists, flags = (np.ascontiguousarray(a, np.uint32)
+                             for a in matches)
+    ring_in = None
+    if ring is not None:
+        ring_in = np.ascontiguousarray(ring, np.uint32)
+    ring_out = np.zeros(4, np.uint32)
+    out_ptr = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.btpu_serialize(
+        data, len(data), lo, hi, quality, lgwin,
+        m.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        dists.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p), len(m),
+        ring_in.ctypes.data_as(ctypes.c_void_p)
+        if ring_in is not None else None,
+        1 if write_header else 0, 1 if is_last else 0,
+        1 if align_end else 0,
+        ctypes.byref(out_ptr), ctypes.byref(out_len),
+        ring_out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"serialize error {rc}"))
+    try:
+        return (ctypes.string_at(out_ptr, out_len.value),
+                ring_out.astype(np.int64))
+    finally:
+        lib.btpu_free(out_ptr)

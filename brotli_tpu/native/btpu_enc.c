@@ -2960,6 +2960,163 @@ int btpu_opt_parse(const uint8_t* raw, size_t n, int quality, int lgwin,
   return 0;
 }
 
+/* Serialize a parsed region [lo, hi) of `data_full` from match arrays
+   (the host stage of the device / sharded pipelines; role parity:
+   BrotliStoreMetaBlock driven by an external backward-reference pass).
+   Matches must be sorted and non-overlapping. Flag semantics follow
+   enc/bitstream.plan_commands: 0 = LZ copy, 2..999 = builtin omit-last
+   cutoff (copy code = len + flag - 2), >= 2000 = builtin static-dict
+   word (copy code = flag - 2000). Compound (1) and custom shared-dict
+   (1000..1999) flags are unsupported here -> EERR_PARAM (callers fall
+   back to the Python serializer). Matches straddling the internal 4MB
+   metablock grid split (LZ, pieces >= 2 survive) or drop (dict).
+   ring_in: entry distance ring, newest first (NULL = stream start);
+   write_header / is_last / align_end control shard stitching;
+   ring_out (optional) receives the exit ring. */
+int btpu_serialize(const uint8_t* data_full, size_t n, size_t lo,
+                   size_t hi, int quality, int lgwin,
+                   const uint32_t* mpos, const uint32_t* mlen,
+                   const uint32_t* mdist, const uint32_t* mflag,
+                   size_t nmatch, const uint32_t* ring_in,
+                   int write_header, int is_last, int align_end,
+                   uint8_t** out, size_t* out_len, uint32_t* ring_out) {
+  if (lo >= hi || hi > n || lgwin < 10 || lgwin > 30 || quality < 0 ||
+      quality > 11)
+    return EERR_PARAM;
+  Enc e;
+  memset(&e, 0, sizeof(e));
+  e.data = data_full;
+  e.n = n;
+  e.quality = quality;
+  e.lgwin = lgwin;
+  e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
+  e.maxback = ((size_t)1 << lgwin) - 16;
+  for (int i = 0; i < 4; i++)
+    e.ring[i] = ring_in ? ring_in[i] : kInitialRing[3 - i];
+  e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
+  e.pm.leaf = (uint8_t*)malloc(16 * 2 * 1200);
+  size_t cmd_cap = 1 << 14;
+  Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * cmd_cap);
+  int rc = 0;
+  if (!e.pm.w || !e.pm.leaf || !cmds) {
+    rc = EERR_ALLOC;
+    goto done;
+  }
+  if (write_header) put_stream_header(&e.bw, lgwin);
+  {
+    size_t mb_target = (size_t)1 << 22;
+    size_t mi = 0;
+    uint32_t carry_len = 0, carry_dist = 0; /* split tail piece */
+    size_t blo = lo;
+    while (blo < hi) {
+      size_t bhi = blo + mb_target < hi ? blo + mb_target : hi;
+      size_t ncmd = 0;
+      size_t prev_end = blo;
+#define SER_PUSH(ins_, cpy_, dist_, adv_)                              \
+      do {                                                             \
+        if (ncmd == cmd_cap) {                                         \
+          cmd_cap *= 2;                                                \
+          Cmd* nc_ = (Cmd*)realloc(cmds, sizeof(Cmd) * cmd_cap);       \
+          if (!nc_) {                                                  \
+            rc = EERR_ALLOC;                                           \
+            goto done;                                                 \
+          }                                                            \
+          cmds = nc_;                                                  \
+        }                                                              \
+        cmds[ncmd].ins = (uint32_t)(ins_);                             \
+        cmds[ncmd].cpy = (uint32_t)(cpy_);                             \
+        cmds[ncmd].dist = (uint32_t)(dist_);                           \
+        cmds[ncmd].adv = (uint32_t)(adv_);                             \
+        ncmd++;                                                        \
+      } while (0)
+      if (carry_len) { /* right piece of a boundary-split LZ match */
+        SER_PUSH(0, carry_len, carry_dist, carry_len);
+        prev_end = blo + carry_len;
+        carry_len = 0;
+      }
+      while (mi < nmatch) {
+        size_t mp = mpos[mi];
+        if (mp < prev_end) {
+          mi++;
+          continue;
+        }
+        if (mp >= bhi) break;
+        uint32_t L = mlen[mi];
+        uint32_t D = mdist[mi];
+        uint32_t F = mflag[mi];
+        if (F == 1 || (F >= 1000 && F < 2000)) {
+          rc = EERR_PARAM;
+          goto done;
+        }
+        size_t mend = mp + L;
+        if (mend > hi) { /* clamp at the region end */
+          if (F != 0 || hi - mp < 2) {
+            mi++;
+            continue;
+          }
+          L = (uint32_t)(hi - mp);
+          mend = hi;
+        }
+        if (mend > bhi) { /* straddles the metablock grid */
+          mi++;
+          if (F != 0) continue; /* dict refs are atomic: drop */
+          uint32_t left = (uint32_t)(bhi - mp);
+          if (left >= 2) {
+            SER_PUSH(mp - prev_end, left, D, left);
+            prev_end = bhi;
+          }
+          if (mend - bhi >= 2) {
+            carry_len = (uint32_t)(mend - bhi);
+            carry_dist = D;
+          }
+          break;
+        }
+        if (F == 0) {
+          SER_PUSH(mp - prev_end, L, D, L);
+        } else if (F >= 2000) {
+          SER_PUSH(mp - prev_end, F - 2000, D, L | CMD_DICT);
+        } else { /* 2..999: omit-last cutoff */
+          SER_PUSH(mp - prev_end, L + (F - 2), D, L | CMD_DICT);
+        }
+        prev_end = mend;
+        mi++;
+      }
+      if (bhi > prev_end || ncmd == 0)
+        SER_PUSH(bhi - prev_end, 0, 0, 0);
+#undef SER_PUSH
+      int last = is_last && bhi == hi;
+      rc = emit_metablock(&e, cmds, ncmd, blo, bhi, last);
+      if (rc) goto done;
+      blo = bhi;
+    }
+  }
+  if (align_end && !is_last) {
+    /* empty metadata block: byte-aligned stitch point */
+    bw_put(&e.bw, 0, 1);
+    bw_put(&e.bw, 3, 2);
+    bw_put(&e.bw, 0, 1);
+    bw_put(&e.bw, 0, 2);
+  }
+  if (bw_flush_align(&e.bw)) { /* output is whole bytes */
+    rc = EERR_ALLOC;
+    goto done;
+  }
+  if (ring_out)
+    for (int i = 0; i < 4; i++) ring_out[i] = e.ring[i];
+done:
+  free(cmds);
+  free(e.plan);
+  free(e.pm.w);
+  free(e.pm.leaf);
+  if (rc) {
+    free(e.bw.buf);
+    return rc;
+  }
+  *out = e.bw.buf;
+  *out_len = e.bw.len;
+  return 0;
+}
+
 int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
                 const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
   if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 30 || n == 0)

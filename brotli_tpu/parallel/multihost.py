@@ -170,15 +170,30 @@ def compress_sharded_mp(data: bytes, quality: int = 5,
         ring = _apply_summary(ring, gsum[si])
         entry[si + 1] = ring
 
-    # serialize LOCAL shards (byte-aligned via trailing empty metadata)
+    # serialize LOCAL shards (byte-aligned via trailing empty
+    # metadata); native serializer fast path mirrors parallel.shard
+    import os as _os
+    raw = bytes(data)
+    use_native_ser = _os.environ.get("BROTLI_TPU_SERIALIZER",
+                                     "auto") != "python"
     payloads = {}
     for si in local_sis:
         lo, hi = int(bounds[si]), int(bounds[si + 1])
         m, lens, dists, flags = local_matches[si]
+        is_last = si == n_shards - 1
+        if use_native_ser:
+            try:
+                from .. import native
+                payloads[si], _ = native.serialize_region(
+                    raw, lo, hi, (m, lens, dists, flags), quality,
+                    lgwin, ring=entry[si], write_header=si == 0,
+                    is_last=is_last)
+                continue
+            except (ImportError, OSError, ValueError):
+                pass
         bw = BitWriter()
         if si == 0:
             bitstream.write_stream_header(bw, lgwin)
-        is_last = si == n_shards - 1
         pos = lo
         ring_s = entry[si]
         for bi, b in enumerate(shard_bounds[si]):

@@ -72,18 +72,35 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
         entry_rings.append(bitstream.ring_after(sdists, sflags,
                                                 entry_rings[-1]))
 
-    # Stage 2: host serialization per shard (threads: NumPy releases the
-    # GIL in the hot ops), each shard byte-aligned.
+    # Stage 2: host serialization per shard, each shard byte-aligned.
+    # The native serializer (btpu_serialize) is the fast path; the
+    # Python store_metablock path remains for unsupported flags
+    # (compound / custom-word refs) or when forced.
+    import os as _os
+    raw = bytes(data)
+    use_native_ser = _os.environ.get("BROTLI_TPU_SERIALIZER",
+                                     "auto") != "python"
+
     def serialize(si):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
         # matches were lifted to absolute positions above so the
         # decoder-visible context bytes (p1/p2 across the shard seam)
         # and literal gathers stay exact
         m, lens, dists, flags = shard_matches[si]
+        is_last = si == n_shards - 1
+        if use_native_ser:
+            try:
+                from .. import native
+                out, _ = native.serialize_region(
+                    raw, lo, hi, (m, lens, dists, flags), quality,
+                    lgwin, ring=entry_rings[si],
+                    write_header=si == 0, is_last=is_last)
+                return out
+            except (ImportError, OSError, ValueError):
+                pass
         bw = BitWriter()
         if si == 0:
             bitstream.write_stream_header(bw, lgwin)
-        is_last = si == n_shards - 1
         boundaries = shard_bounds[si]
         pos = lo
         ring = entry_rings[si]

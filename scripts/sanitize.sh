@@ -50,6 +50,12 @@ for name in ["alice29.txt", "mapsdatazrh", "random_org_10k.bin", "zeros"]:
     for q in (5, 11):  # large-window extension (140-sym dist alphabet)
         comp = native.encode(data, q, 30)
         assert native.decode(comp, large_window=True) == data, (name, q)
+    # matches-array serializer (btpu_serialize)
+    matches = native.opt_parse(data, 11, 22)
+    comp, _ = native.serialize_region(data, 0, len(data), matches, 11,
+                                      22, write_header=True,
+                                      is_last=True)
+    assert native.decode(comp) == data, (name, "serialize")
     enc = native.StreamEncoder(5, 22)
     parts = []
     for i in range(0, len(data), 7777):
