@@ -183,10 +183,39 @@ class Decompressor:
     """
 
     def __init__(self, dictionary=None):
-        # suspend-anywhere streaming core (dec/stream.py): any-bit
-        # suspension + window-bounded memory
-        from .dec.stream import StreamDecoder
-        self._inc = StreamDecoder(dictionary=dictionary)
+        import os
+        self._inc = None
+        use_native = os.environ.get("BROTLI_TPU_DECODER",
+                                    "native") == "native"
+        if use_native:
+            # native chunked decoder: metablock-granular resume at
+            # one-shot speed; raw compound dicts ride along, custom
+            # word lists / transforms need the Python decoder
+            shared = None
+            compound = b""
+            ok = True
+            if dictionary:
+                d = bytes(dictionary)
+                if d[:2] == b"\x91\x00":
+                    from .format import shared_dictionary as shd
+                    shared = shd.parse(d)
+                    if shared.word_lists or shared.transform_lists:
+                        ok = False
+                    else:
+                        compound = b"".join(shared.prefixes)
+                else:
+                    compound = d
+            if ok:
+                try:
+                    from .native import StreamDecoder as NSD
+                    self._inc = NSD(compound=compound)
+                except (ImportError, OSError):
+                    self._inc = None
+        if self._inc is None:
+            # suspend-anywhere streaming core (dec/stream.py): any-bit
+            # suspension + window-bounded memory
+            from .dec.stream import StreamDecoder
+            self._inc = StreamDecoder(dictionary=dictionary)
         self._pending = bytearray()
 
     def process(self, string=b"", output_buffer_limit=None) -> bytes:
@@ -194,7 +223,7 @@ class Decompressor:
             raise error("cannot accept more data: drain pending output")
         try:
             self._pending += self._inc.feed(bytes(string))
-        except FormatError as e:
+        except (FormatError, ValueError) as e:
             raise error(str(e)) from e
         if output_buffer_limit is None:
             out = bytes(self._pending)

@@ -98,6 +98,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p]
         lib.btpu_serialize.restype = ctypes.c_int
+        lib.btpu_dec_new.restype = ctypes.c_void_p
+        lib.btpu_dec_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_dec_chunk.restype = ctypes.c_int
+        lib.btpu_dec_finished.argtypes = [ctypes.c_void_p]
+        lib.btpu_dec_finished.restype = ctypes.c_int
+        lib.btpu_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -310,3 +321,48 @@ def serialize_region(data: bytes, lo: int, hi: int, matches,
                 ring_out.astype(np.int64))
     finally:
         lib.btpu_free(out_ptr)
+
+
+class StreamDecoder:
+    """Native chunked decoder: metablock-granular resume at one-shot
+    speed (role parity: BrotliDecoderDecompressStream). Accumulates
+    input; each feed() returns the newly decoded bytes. `finished`
+    mirrors dec/stream.StreamDecoder."""
+
+    def __init__(self, compound: bytes = b"", large_window: bool = False):
+        from ..format.dictionary import dictionary_data
+        self._lib = get_lib()
+        self._st = self._lib.btpu_dec_new()
+        if not self._st:
+            raise MemoryError("decoder state")
+        self._dict = dictionary_data()
+        self._compound = bytes(compound or b"")
+        self._large = 1 if large_window else 0
+        self._buf = bytearray()
+        self.finished = False
+
+    def feed(self, data: bytes, final: bool = False) -> bytes:
+        if self._st is None:
+            raise ValueError("decoder closed")
+        self._buf += data
+        inp = bytes(self._buf)
+        out_ptr = ctypes.c_void_p()
+        out_len = ctypes.c_size_t()
+        rc = self._lib.btpu_dec_chunk(
+            self._st, inp, len(inp), self._dict,
+            self._compound or None, len(self._compound), self._large,
+            1 if final else 0, ctypes.byref(out_ptr),
+            ctypes.byref(out_len))
+        if rc < 0:
+            raise DecodeError(rc)
+        out = (ctypes.string_at(out_ptr, out_len.value)
+               if out_ptr.value and out_len.value else b"")
+        if rc == 0 and self._lib.btpu_dec_finished(self._st):
+            self.finished = True
+        return out
+
+    def __del__(self):
+        st = getattr(self, "_st", None)
+        if st:
+            self._lib.btpu_dec_free(st)
+            self._st = None

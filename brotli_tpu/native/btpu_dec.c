@@ -470,13 +470,37 @@ typedef struct {
   Tree* dist;
 } TreeGroups;
 
-int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
-                   const uint8_t* compound, size_t compound_len,
-                   int large_window, uint8_t** out_ptr, size_t* out_len) {
+/* Streaming decode state: resumes at metablock granularity. Between
+   metablocks the ONLY decoder state is (bit position, distance ring,
+   output-so-far); everything else (trees, context maps, block states)
+   is metablock-local. The chunk driver re-passes the FULL accumulated
+   input each call; on input exhaustion mid-metablock the position
+   rewinds to the metablock start and the call reports need-more. */
+typedef struct {
+  int header_done;
+  int finished;
+  int wbits;
+  int is_large;
+  size_t bitpos;       /* committed resume point (bits) */
+  int32_t dist_rb[4];
+  int rb_idx;
+  Out out;             /* retained output (window + undelivered) */
+  size_t delivered;
+  size_t last_attempt; /* input bytes at the last incomplete attempt */
+} DecStream;
+
+static int btpu_decode_impl(const uint8_t* in, size_t in_len,
+                            const uint8_t* dict, const uint8_t* compound,
+                            size_t compound_len, int large_window,
+                            int is_final, DecStream* S,
+                            uint8_t** out_ptr, size_t* out_len) {
   BitReader br = {in, in_len, 0};
   Out out = {0, 0, 0};
   int e = 0;
   uint32_t v;
+  size_t snap_out = 0;
+  int32_t snap_rb[4];
+  int snap_rbidx = 0;
   Tree* lit_trees = NULL;
   Tree* cmd_trees = NULL;
   Tree* dist_trees = NULL;
@@ -490,6 +514,20 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
      c/dec/decode.c:146 DecodeWindowBits) */
   int wbits;
   int is_large = 0;
+  if (S) {
+    out = S->out;
+    memcpy(dist_rb, S->dist_rb, sizeof(dist_rb));
+    rb_idx = S->rb_idx;
+    br.bitpos = S->bitpos;
+    memcpy(snap_rb, dist_rb, sizeof(snap_rb));
+    snap_rbidx = rb_idx;
+    snap_out = out.len;
+  }
+  if (S && S->header_done) {
+    wbits = S->wbits;
+    is_large = S->is_large;
+    goto header_ready;
+  }
   if ((e = br_take(&br, 1, &v))) goto fail;
   if (v == 0) {
     wbits = 16;
@@ -512,10 +550,25 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
       }
     }
   }
+  if (S) {
+    S->header_done = 1;
+    S->wbits = wbits;
+    S->is_large = is_large;
+  }
+header_ready:;
   {
     uint64_t max_backward = ((uint64_t)1 << wbits) - 16;
 
     for (;;) { /* metablock loop */
+      if (S) { /* commit: ready to read the next metablock */
+        S->bitpos = br.bitpos;
+        S->out = out;
+        memcpy(S->dist_rb, dist_rb, sizeof(dist_rb));
+        S->rb_idx = rb_idx;
+        memcpy(snap_rb, dist_rb, sizeof(snap_rb));
+        snap_rbidx = rb_idx;
+        snap_out = out.len;
+      }
       uint32_t is_last;
       if ((e = br_take(&br, 1, &is_last))) goto fail;
       if (is_last) {
@@ -771,21 +824,125 @@ int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
       if (is_last) break;
     }
   }
-  /* byte-align padding must be zero, no trailing bytes */
-  if (br.bitpos & 7) {
-    if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
-    if (v) { e = ERR_PADDING_1; goto fail; }
+  if (S) {
+    S->finished = 1;
+    S->out = out;
+    memcpy(S->dist_rb, dist_rb, sizeof(dist_rb));
+    S->rb_idx = rb_idx;
   }
-  if (br.bitpos != br.len * 8) { e = ERR_PADDING_2; goto fail; }
+  /* byte-align padding must be zero; no trailing bytes. Streaming
+     (!is_final): the padding bits may not have arrived yet -- that is
+     not an error (finished is already set), but whole trailing BYTES
+     are. Padding errors here are real even mid-stream. */
+  if (br.bitpos & 7) {
+    if (br_avail(&br, 8 - (br.bitpos & 7))) {
+      if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto hard;
+      if (v) { e = ERR_PADDING_1; goto hard; }
+    } else if (!S || is_final) {
+      e = ERR_TRUNCATED;
+      goto hard;
+    }
+  }
+  if (((br.bitpos + 7) >> 3) < br.len || (is_final && br.bitpos != br.len * 8)) {
+    e = ERR_PADDING_2;
+    goto hard;
+  }
+  if (S) S->bitpos = br.bitpos;
   *out_ptr = out.p;
   *out_len = out.len;
   return 0;
 
 fail:
-  free(out.p);
   free(lit_trees); free(cmd_trees); free(dist_trees);
   free(lit_cmap); free(dist_cmap);
+  if (S && !is_final && !S->finished) {
+    /* input likely exhausted mid-metablock: rewind to the committed
+       snapshot and wait for more input (a genuinely corrupt stream
+       surfaces the error once the caller signals final) */
+    out.len = snap_out;
+    S->out = out;
+    memcpy(S->dist_rb, snap_rb, sizeof(snap_rb));
+    S->rb_idx = snap_rbidx;
+    S->last_attempt = in_len;
+    return 1; /* need more input */
+  }
+hard:
+  free(out.p);
+  if (S) {
+    S->out.p = NULL;
+    S->out.len = S->out.cap = 0;
+  }
   return e ? e : ERR_FORMAT;
+}
+
+int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
+                   const uint8_t* compound, size_t compound_len,
+                   int large_window, uint8_t** out_ptr, size_t* out_len) {
+  return btpu_decode_impl(in, in_len, dict, compound, compound_len,
+                          large_window, 1, NULL, out_ptr, out_len);
+}
+
+/* ---------- chunked decode driver ---------- */
+
+void* btpu_dec_new(void) {
+  DecStream* S = (DecStream*)calloc(1, sizeof(DecStream));
+  if (S) { /* RFC 7932 initial distance ring */
+    S->dist_rb[0] = 16;
+    S->dist_rb[1] = 15;
+    S->dist_rb[2] = 11;
+    S->dist_rb[3] = 4;
+  }
+  return S;
+}
+
+/* Feed the FULL accumulated input; returns 0 (ok; *new_len bytes of
+   fresh output), 1 (need more input), or a negative error. An
+   incomplete metablock is re-attempted whenever new input arrives
+   (work per attempt is bounded by the pending metablock; callers
+   feeding very small chunks pay proportionally more rework). */
+int btpu_dec_chunk(void* st, const uint8_t* in_all, size_t in_len,
+                   const uint8_t* dict, const uint8_t* compound,
+                   size_t compound_len, int large_window, int is_final,
+                   uint8_t** new_ptr, size_t* new_len) {
+  DecStream* S = (DecStream*)st;
+  *new_ptr = NULL;
+  *new_len = 0;
+  if (!S) return ERR_FORMAT;
+  if (S->finished) {
+    if (in_len > ((S->bitpos + 7) >> 3)) return ERR_PADDING_2;
+    return 0;
+  }
+  if (!is_final && S->last_attempt && in_len <= S->last_attempt)
+    return 1; /* no new input since the last incomplete attempt */
+  uint8_t* p = NULL;
+  size_t n = 0;
+  int rc = btpu_decode_impl(in_all, in_len, dict, compound, compound_len,
+                            large_window, is_final, S, &p, &n);
+  if (rc < 0) return rc;
+  if (rc == 0) {
+    S->last_attempt = 0;
+    S->out.p = p;
+    S->out.len = n;
+    if (S->out.cap < n) S->out.cap = n;
+  }
+  if (S->out.len > S->delivered) {
+    *new_ptr = S->out.p + S->delivered;
+    *new_len = S->out.len - S->delivered;
+    S->delivered = S->out.len;
+  }
+  return rc;
+}
+
+int btpu_dec_finished(void* st) {
+  DecStream* S = (DecStream*)st;
+  return S && S->finished;
+}
+
+void btpu_dec_free(void* st) {
+  DecStream* S = (DecStream*)st;
+  if (!S) return;
+  free(S->out.p);
+  free(S);
 }
 
 int btpu_decode(const uint8_t* in, size_t in_len, const uint8_t* dict,

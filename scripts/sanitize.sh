@@ -50,6 +50,14 @@ for name in ["alice29.txt", "mapsdatazrh", "random_org_10k.bin", "zeros"]:
     for q in (5, 11):  # large-window extension (140-sym dist alphabet)
         comp = native.encode(data, q, 30)
         assert native.decode(comp, large_window=True) == data, (name, q)
+    # chunked decoder (btpu_dec_chunk): resume at every 1/7th
+    comp5 = native.encode(data, 5, 22)
+    sd = native.StreamDecoder()
+    got = []
+    step = max(1, len(comp5) // 7)
+    for i in range(0, len(comp5), step):
+        got.append(sd.feed(comp5[i:i + step]))
+    assert b"".join(got) == data and sd.finished, (name, "chunked")
     # matches-array serializer (btpu_serialize)
     matches = native.opt_parse(data, 11, 22)
     comp, _ = native.serialize_region(data, 0, len(data), matches, 11,

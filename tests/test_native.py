@@ -93,3 +93,52 @@ def test_native_compound_dictionary(testdata):
     # q11 streams may also carry static-dict words alongside
     comp11 = brotli_tpu.compress(target, quality=11, dictionary=d)
     assert native_decode(comp11, compound=d) == target
+
+
+def test_native_chunked_decode_golden(testdata):
+    """Native chunked decoder (btpu_dec_chunk): metablock-granular
+    resume must reproduce every golden stream fed in small pieces."""
+    import re
+    from brotli_tpu import native
+    n = 0
+    for f in sorted(testdata.glob("*.compressed")):
+        base = re.sub(r"\.compressed$", "", f.name)
+        comp = f.read_bytes()
+        want = (testdata / base).read_bytes()
+        d = native.StreamDecoder()
+        out = []
+        step = max(1, len(comp) // 7)
+        for i in range(0, len(comp), step):
+            out.append(d.feed(comp[i:i + step]))
+        assert b"".join(out) == want, f.name
+        assert d.finished, f.name
+        n += 1
+    assert n >= 10
+
+
+def test_native_chunked_decode_flush_stream(testdata):
+    """Flush-bounded streams decode incrementally: bytes of a flushed
+    prefix arrive without seeing later input."""
+    from brotli_tpu import native
+    data = (testdata / "alice29.txt").read_bytes()
+    enc = native.StreamEncoder(5, 22)
+    half = len(data) // 2
+    p1 = enc.process(data[:half]) + enc.flush()
+    p2 = enc.process(data[half:]) + enc.finish()
+    d = native.StreamDecoder()
+    got1 = d.feed(p1)
+    assert got1 == data[:half]  # flushed prefix fully decodable
+    got2 = d.feed(p2)
+    assert got1 + got2 == data and d.finished
+
+
+def test_native_chunked_decode_trailing_garbage(testdata):
+    from brotli_tpu import native
+    import pytest
+    data = (testdata / "asyoulik.txt").read_bytes()
+    comp = native.encode(data, 5, 22)
+    d = native.StreamDecoder()
+    d.feed(comp)
+    assert d.finished
+    with pytest.raises(ValueError):
+        d.feed(b"garbage")
