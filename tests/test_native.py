@@ -142,3 +142,17 @@ def test_native_chunked_decode_trailing_garbage(testdata):
     assert d.finished
     with pytest.raises(ValueError):
         d.feed(b"garbage")
+
+
+def test_decompressor_streaming_compound_dict(testdata):
+    """api.Decompressor with a raw compound dictionary rides the native
+    chunked decoder (compound bytes pass straight through)."""
+    import brotli_tpu
+    data = (testdata / "alice29.txt").read_bytes()
+    raw_dict = data[:30000]
+    comp = brotli_tpu.compress(data, quality=5, dictionary=raw_dict)
+    d = brotli_tpu.Decompressor(dictionary=raw_dict)
+    out = []
+    for i in range(0, len(comp), 4096):
+        out.append(d.process(comp[i:i + 4096]))
+    assert b"".join(out) == data and d.is_finished()
