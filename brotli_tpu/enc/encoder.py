@@ -113,13 +113,15 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     # host DP instead.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
     if (enc_sel not in ("python", "device")
-            and dictionary is None and shared is None and mode == 0
+            and dictionary is None and shared is None
+            and mode in (0, 1, 2)
             and not base64_mode and len(data) > 0):
         use_native = True
         if use_native:
             try:
                 from .. import native
-                return native.encode(bytes(data), quality, lgwin)
+                return native.encode(bytes(data), quality, lgwin,
+                                     mode=mode)
             except (ImportError, OSError, ValueError,
                     __import__("subprocess").CalledProcessError):
                 if enc_sel == "native":

@@ -62,6 +62,12 @@ def get_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_encode.restype = ctypes.c_int
+        lib.btpu_encode2.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_encode2.restype = ctypes.c_int
         lib.btpu_pm_lengths.restype = ctypes.c_int
         lib.btpu_find_matches.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
@@ -151,17 +157,19 @@ _ENC_ERRORS = {
 }
 
 
-def encode(data: bytes, quality: int, lgwin: int) -> bytes:
+def encode(data: bytes, quality: int, lgwin: int,
+           mode: int = 0) -> bytes:
     """Fast native one-shot encode (quality 0-11, lgwin 10-30 incl.
     the large-window extension; q10/11 run the native optimal-parse
-    tier)."""
+    tier). `mode`: BrotliEncoderMode hint (1 TEXT forces the UTF8
+    context model, 2 FONT the signed-byte model)."""
     from ..format.dictionary import dictionary_data
     lib = get_lib()
     out_ptr = ctypes.c_void_p()
     out_len = ctypes.c_size_t()
-    rc = lib.btpu_encode(data, len(data), quality, lgwin,
-                         dictionary_data(), ctypes.byref(out_ptr),
-                         ctypes.byref(out_len))
+    rc = lib.btpu_encode2(data, len(data), quality, lgwin, mode,
+                          dictionary_data(), ctypes.byref(out_ptr),
+                          ctypes.byref(out_len))
     if rc != 0:
         raise ValueError(_ENC_ERRORS.get(rc, f"encode error {rc}"))
     try:

@@ -1655,6 +1655,8 @@ typedef struct {
   size_t n;
   int quality;
   int lgwin;
+  int ctx_mode;    /* forced literal context mode (-1 = sniff);
+                      BrotliEncoderMode TEXT/FONT hint */
   int dist_alpha;  /* 64, or 140 for large-window streams */
   size_t maxback;
   BW bw;
@@ -1760,7 +1762,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   if ((q >= 5 && nlit >= (size_t)(q >= 10 ? 256 : 1024)) ||
       ntypes > 1) {
     use_ctx = 1;
-    mode = choose_ctx_mode(data, lo, hi);
+    mode = e->ctx_mode >= 0 ? e->ctx_mode
+                             : choose_ctx_mode(data, lo, hi);
   }
   int nlit_rows = use_ctx ? ntypes * NUM_LIT_CTX : 1;
   lit_assign = (int*)malloc(sizeof(int) * (size_t)(ntypes * NUM_LIT_CTX));
@@ -2171,6 +2174,7 @@ typedef struct {
   float litc_base;     /* flat literal cost when no context model */
   float* litc;         /* per-position literal bits (metablock) */
   int dalpha;          /* distance symbol alphabet (64 / 140) */
+  int ctx_mode_force;  /* forced literal context mode (-1 = sniff) */
   float ccost[24];     /* copy-code bits incl. insert share + cmd base */
   float dsym[NUM_DIST_LW]; /* distance symbol bits */
   float stopcost[N_OPT_STOPS];  /* ccost at the fixed stop lengths */
@@ -2205,7 +2209,8 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
   uint32_t ring[4];
   memcpy(ring, ring_in, sizeof(ring));
   plan_cmds(cmds, ncmd, ring, plan);
-  int mode = choose_ctx_mode(data, lo, hi);
+  int mode = oc->ctx_mode_force >= 0 ? oc->ctx_mode_force
+                                     : choose_ctx_mode(data, lo, hi);
   const uint8_t* lut0 = kContextLut[mode];
   const uint8_t* lut1 = lut0 + 256;
   uint32_t* lh = (uint32_t*)calloc((size_t)NUM_LIT_CTX * 256,
@@ -2680,7 +2685,7 @@ typedef struct {
 } OptParseOut;
 
 static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
-                                int quality, int lgwin,
+                                int quality, int lgwin, int ctx_force,
                                 const uint8_t* dict_blob,
                                 uint8_t** out, size_t* out_len,
                                 OptParseOut* po) {
@@ -2694,6 +2699,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   e.n = n;
   e.quality = quality;
   e.lgwin = lgwin;
+  e.ctx_mode = ctx_force;
   e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
@@ -2764,6 +2770,7 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   OptCost oc;
   memset(&oc, 0, sizeof(oc));
   oc.dalpha = e.dist_alpha;
+  oc.ctx_mode_force = ctx_force;
   oc.litc = (float*)malloc(sizeof(float) * mb_max);
   uint32_t sim_ring[4];
   for (int i = 0; i < 4; i++) sim_ring[i] = kInitialRing[3 - i];
@@ -2929,10 +2936,11 @@ done:
 }
 
 static int btpu_encode_opt(const uint8_t* raw, size_t n, int quality,
-                           int lgwin, const uint8_t* dict_blob,
-                           uint8_t** out, size_t* out_len) {
-  return btpu_encode_opt_impl(raw, n, quality, lgwin, dict_blob, out,
-                              out_len, NULL);
+                           int lgwin, int ctx_force,
+                           const uint8_t* dict_blob, uint8_t** out,
+                           size_t* out_len) {
+  return btpu_encode_opt_impl(raw, n, quality, lgwin, ctx_force,
+                              dict_blob, out, out_len, NULL);
 }
 
 /* ctypes export: the q10/11 optimal PARSE alone, for the Python
@@ -2953,7 +2961,7 @@ int btpu_opt_parse(const uint8_t* raw, size_t n, int quality, int lgwin,
   po.flag = out_flag;
   po.cap = cap;
   po.cnt = 0;
-  int rc = btpu_encode_opt_impl(raw, n, quality, lgwin, dict_blob,
+  int rc = btpu_encode_opt_impl(raw, n, quality, lgwin, -1, dict_blob,
                                 NULL, NULL, &po);
   if (rc) return rc;
   *out_cnt = po.cnt;
@@ -2989,6 +2997,7 @@ int btpu_serialize(const uint8_t* data_full, size_t n, size_t lo,
   e.n = n;
   e.quality = quality;
   e.lgwin = lgwin;
+  e.ctx_mode = -1;
   e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++)
@@ -3117,14 +3126,18 @@ done:
   return 0;
 }
 
-int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
-                const uint8_t* dict_blob, uint8_t** out, size_t* out_len) {
+int btpu_encode2(const uint8_t* raw, size_t n, int quality, int lgwin,
+                 int mode, const uint8_t* dict_blob, uint8_t** out,
+                 size_t* out_len) {
   if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 30 || n == 0)
     return EERR_PARAM;
   if (n > ((size_t)1 << 32) - 32) return EERR_PARAM;
+  /* BrotliEncoderMode hint: TEXT forces the UTF8 context model, FONT
+     the signed-byte model (ChooseContextMode role) */
+  int ctx_force = mode == 1 ? 2 : mode == 2 ? 3 : -1;
   if (quality >= 10)
-    return btpu_encode_opt(raw, n, quality, lgwin, dict_blob, out,
-                           out_len);
+    return btpu_encode_opt(raw, n, quality, lgwin, ctx_force, dict_blob,
+                           out, out_len);
   /* padded input copy: match finding may read up to 8 bytes past the
      end (zero padding keeps the reads in-bounds and harmless) */
   uint8_t* data = (uint8_t*)malloc(n + 16);
@@ -3138,6 +3151,7 @@ int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
   e.n = n;
   e.quality = quality;
   e.lgwin = lgwin;
+  e.ctx_mode = ctx_force;
   e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) e.ring[i] = kInitialRing[3 - i];
@@ -3367,6 +3381,13 @@ done:
   return 0;
 }
 
+int btpu_encode(const uint8_t* raw, size_t n, int quality, int lgwin,
+                const uint8_t* dict_blob, uint8_t** out,
+                size_t* out_len) {
+  return btpu_encode2(raw, n, quality, lgwin, 0, dict_blob, out,
+                      out_len);
+}
+
 /* ctypes export: the match finder alone -- the device optimal-parse
    pipeline (ops/optimal_jax.py) seeds its DP with a fast greedy/lazy
    parse; running that seed here instead of on the accelerator frees
@@ -3523,6 +3544,7 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
   if (!S) return NULL;
   S->e.quality = quality;
   S->e.lgwin = lgwin;
+  S->e.ctx_mode = -1;
   S->e.dist_alpha = lgwin > 24 ? NUM_DIST_LW : NUM_DIST;
   S->e.maxback = ((size_t)1 << lgwin) - 16;
   for (int i = 0; i < 4; i++) S->e.ring[i] = kInitialRing[3 - i];

@@ -353,3 +353,16 @@ def test_uppercase_all_multibyte_rune_safety(lib, ref_cli, q):
                        capture_output=True)
     assert r.returncode == 0 and r.stdout == sample
     assert lib.decode(comp) == sample
+
+
+def test_mode_hint_native(testdata, ref_cli):
+    """BrotliEncoderMode hints ride the native tier: TEXT forces the
+    UTF8 context model, FONT the signed-byte model."""
+    import subprocess
+    import brotli_tpu
+    data = (testdata / "alice29.txt").read_bytes()
+    for mode in (0, 1, 2):
+        comp = brotli_tpu.compress(data, quality=9, mode=mode)
+        r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
+                           capture_output=True)
+        assert r.returncode == 0 and r.stdout == data, mode
