@@ -185,37 +185,39 @@ class Decompressor:
     def __init__(self, dictionary=None):
         import os
         self._inc = None
+        # a serialized shared dictionary (magic 0x91 0x00) must be
+        # PARSED for either backend -- passing the container blob as
+        # raw compound bytes would silently corrupt output
+        raw = None
+        shared = None
+        if dictionary:
+            d = bytes(dictionary)
+            if d[:2] == b"\x91\x00":
+                from .format import shared_dictionary as shd
+                shared = shd.parse(d)
+            else:
+                raw = d
         use_native = os.environ.get("BROTLI_TPU_DECODER",
                                     "native") == "native"
-        if use_native:
+        if use_native and (shared is None or
+                           not (shared.word_lists or
+                                shared.transform_lists)):
             # native chunked decoder: metablock-granular resume at
-            # one-shot speed; raw compound dicts ride along, custom
-            # word lists / transforms need the Python decoder
-            shared = None
-            compound = b""
-            ok = True
-            if dictionary:
-                d = bytes(dictionary)
-                if d[:2] == b"\x91\x00":
-                    from .format import shared_dictionary as shd
-                    shared = shd.parse(d)
-                    if shared.word_lists or shared.transform_lists:
-                        ok = False
-                    else:
-                        compound = b"".join(shared.prefixes)
-                else:
-                    compound = d
-            if ok:
-                try:
-                    from .native import StreamDecoder as NSD
-                    self._inc = NSD(compound=compound)
-                except (ImportError, OSError):
-                    self._inc = None
+            # one-shot speed; raw compound / prefix dicts ride along,
+            # custom word lists / transforms need the Python decoder
+            compound = raw or b""
+            if shared is not None:
+                compound = b"".join(shared.prefixes) + compound
+            try:
+                from .native import StreamDecoder as NSD
+                self._inc = NSD(compound=compound)
+            except (ImportError, OSError, subprocess_error()):
+                self._inc = None
         if self._inc is None:
             # suspend-anywhere streaming core (dec/stream.py): any-bit
             # suspension + window-bounded memory
             from .dec.stream import StreamDecoder
-            self._inc = StreamDecoder(dictionary=dictionary)
+            self._inc = StreamDecoder(dictionary=raw, shared=shared)
         self._pending = bytearray()
 
     def process(self, string=b"", output_buffer_limit=None) -> bytes:

@@ -107,11 +107,13 @@ def get_lib():
         lib.btpu_dec_new.restype = ctypes.c_void_p
         lib.btpu_dec_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_size_t, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_dec_chunk.restype = ctypes.c_int
+        lib.btpu_dec_consumed.argtypes = [ctypes.c_void_p]
+        lib.btpu_dec_consumed.restype = ctypes.c_size_t
         lib.btpu_dec_finished.argtypes = [ctypes.c_void_p]
         lib.btpu_dec_finished.restype = ctypes.c_int
         lib.btpu_dec_free.argtypes = [ctypes.c_void_p]
@@ -347,6 +349,8 @@ class StreamDecoder:
         self._compound = bytes(compound or b"")
         self._large = 1 if large_window else 0
         self._buf = bytearray()
+        self._base = 0  # absolute offset of _buf[0] (consumed prefix
+                        # is dropped: memory stays window-bounded)
         self.finished = False
 
     def feed(self, data: bytes, final: bool = False) -> bytes:
@@ -357,7 +361,7 @@ class StreamDecoder:
         out_ptr = ctypes.c_void_p()
         out_len = ctypes.c_size_t()
         rc = self._lib.btpu_dec_chunk(
-            self._st, inp, len(inp), self._dict,
+            self._st, inp, len(inp), self._base, self._dict,
             self._compound or None, len(self._compound), self._large,
             1 if final else 0, ctypes.byref(out_ptr),
             ctypes.byref(out_len))
@@ -365,6 +369,10 @@ class StreamDecoder:
             raise DecodeError(rc)
         out = (ctypes.string_at(out_ptr, out_len.value)
                if out_ptr.value and out_len.value else b"")
+        consumed = self._lib.btpu_dec_consumed(self._st)
+        if consumed > self._base:
+            del self._buf[: consumed - self._base]
+            self._base = consumed
         if rc == 0 and self._lib.btpu_dec_finished(self._st):
             self.finished = True
         return out

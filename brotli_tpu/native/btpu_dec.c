@@ -481,16 +481,21 @@ typedef struct {
   int finished;
   int wbits;
   int is_large;
-  size_t bitpos;       /* committed resume point (bits) */
+  size_t bitpos;       /* committed resume point (ABSOLUTE bits) */
   int32_t dist_rb[4];
   int rb_idx;
   Out out;             /* retained output (window + undelivered) */
+  size_t out_dropped;  /* output prefix trimmed away (absolute bytes) */
   size_t delivered;
-  size_t last_attempt; /* input bytes at the last incomplete attempt */
+  size_t last_attempt; /* ABSOLUTE input bytes at last incomplete try */
 } DecStream;
 
+/* `in` may be a TAIL of the logical stream starting at absolute byte
+   offset in_base (the chunk driver trims consumed input); bit
+   positions in S are absolute, the BitReader's are tail-relative. */
 static int btpu_decode_impl(const uint8_t* in, size_t in_len,
-                            const uint8_t* dict, const uint8_t* compound,
+                            size_t in_base, const uint8_t* dict,
+                            const uint8_t* compound,
                             size_t compound_len, int large_window,
                             int is_final, DecStream* S,
                             uint8_t** out_ptr, size_t* out_len) {
@@ -518,7 +523,7 @@ static int btpu_decode_impl(const uint8_t* in, size_t in_len,
     out = S->out;
     memcpy(dist_rb, S->dist_rb, sizeof(dist_rb));
     rb_idx = S->rb_idx;
-    br.bitpos = S->bitpos;
+    br.bitpos = S->bitpos - in_base * 8;
     memcpy(snap_rb, dist_rb, sizeof(snap_rb));
     snap_rbidx = rb_idx;
     snap_out = out.len;
@@ -561,7 +566,7 @@ header_ready:;
 
     for (;;) { /* metablock loop */
       if (S) { /* commit: ready to read the next metablock */
-        S->bitpos = br.bitpos;
+        S->bitpos = in_base * 8 + br.bitpos;
         S->out = out;
         memcpy(S->dist_rb, dist_rb, sizeof(dist_rb));
         S->rb_idx = rb_idx;
@@ -715,7 +720,9 @@ header_ready:;
         }
         /* distance */
         uint64_t max_distance =
-            out.len < max_backward ? out.len : max_backward;
+            (S ? S->out_dropped : 0) + out.len < max_backward
+                ? (S ? S->out_dropped : 0) + out.len
+                : max_backward;
         int64_t distance;
         int dist_code_zero;
         if (kCmdImplicitDist0[sym]) {
@@ -847,7 +854,7 @@ header_ready:;
     e = ERR_PADDING_2;
     goto hard;
   }
-  if (S) S->bitpos = br.bitpos;
+  if (S) S->bitpos = in_base * 8 + br.bitpos;
   *out_ptr = out.p;
   *out_len = out.len;
   return 0;
@@ -855,10 +862,13 @@ header_ready:;
 fail:
   free(lit_trees); free(cmd_trees); free(dist_trees);
   free(lit_cmap); free(dist_cmap);
-  if (S && !is_final && !S->finished) {
-    /* input likely exhausted mid-metablock: rewind to the committed
-       snapshot and wait for more input (a genuinely corrupt stream
-       surfaces the error once the caller signals final) */
+  if (S && !is_final && !S->finished &&
+      (e == ERR_TRUNCATED || !br_avail(&br, 64))) {
+    /* input exhausted mid-metablock (or failed within the final few
+       bytes where truncation cannot be ruled out): rewind to the
+       committed snapshot and wait for more input. Errors raised with
+       plenty of input still unread are genuine corruption and stay
+       hard. */
     out.len = snap_out;
     S->out = out;
     memcpy(S->dist_rb, snap_rb, sizeof(snap_rb));
@@ -878,7 +888,7 @@ hard:
 int btpu_decode_ex(const uint8_t* in, size_t in_len, const uint8_t* dict,
                    const uint8_t* compound, size_t compound_len,
                    int large_window, uint8_t** out_ptr, size_t* out_len) {
-  return btpu_decode_impl(in, in_len, dict, compound, compound_len,
+  return btpu_decode_impl(in, in_len, 0, dict, compound, compound_len,
                           large_window, 1, NULL, out_ptr, out_len);
 }
 
@@ -895,42 +905,66 @@ void* btpu_dec_new(void) {
   return S;
 }
 
-/* Feed the FULL accumulated input; returns 0 (ok; *new_len bytes of
-   fresh output), 1 (need more input), or a negative error. An
-   incomplete metablock is re-attempted whenever new input arrives
-   (work per attempt is bounded by the pending metablock; callers
-   feeding very small chunks pay proportionally more rework). */
-int btpu_dec_chunk(void* st, const uint8_t* in_all, size_t in_len,
-                   const uint8_t* dict, const uint8_t* compound,
-                   size_t compound_len, int large_window, int is_final,
+/* Feed the UNCONSUMED input tail (absolute stream offset in_base;
+   the caller may drop bytes before btpu_dec_consumed()); returns 0
+   (ok; *new_len bytes of fresh output), 1 (need more input), or a
+   negative error. An incomplete metablock is re-attempted whenever
+   new input arrives (work per attempt is bounded by the pending
+   metablock; very small chunks pay proportionally more rework).
+   Retained output is trimmed to the window once delivered. */
+int btpu_dec_chunk(void* st, const uint8_t* in_tail, size_t in_len,
+                   size_t in_base, const uint8_t* dict,
+                   const uint8_t* compound, size_t compound_len,
+                   int large_window, int is_final,
                    uint8_t** new_ptr, size_t* new_len) {
   DecStream* S = (DecStream*)st;
   *new_ptr = NULL;
   *new_len = 0;
   if (!S) return ERR_FORMAT;
+  if (in_base * 8 > S->bitpos) return ERR_FORMAT; /* dropped too much */
   if (S->finished) {
-    if (in_len > ((S->bitpos + 7) >> 3)) return ERR_PADDING_2;
+    if (in_base + in_len > ((S->bitpos + 7) >> 3)) return ERR_PADDING_2;
     return 0;
   }
-  if (!is_final && S->last_attempt && in_len <= S->last_attempt)
+  if (!is_final && S->last_attempt &&
+      in_base + in_len <= S->last_attempt)
     return 1; /* no new input since the last incomplete attempt */
+  /* window-bounded retention: bytes DELIVERED on earlier calls and
+     beyond the LZ window can go (back-references never reach past
+     1 << wbits; trimming happens before decoding so pointers returned
+     by the previous call stayed valid until now) */
+  if (S->header_done) {
+    size_t window = (size_t)1 << S->wbits;
+    size_t keep = S->out.len > window ? window : S->out.len;
+    size_t cut = S->out.len - keep;
+    if (cut > S->delivered) cut = S->delivered;
+    if (cut > (1u << 18)) { /* amortize the memmove */
+      memmove(S->out.p, S->out.p + cut, S->out.len - cut);
+      S->out.len -= cut;
+      S->delivered -= cut;
+      S->out_dropped += cut;
+    }
+  }
   uint8_t* p = NULL;
   size_t n = 0;
-  int rc = btpu_decode_impl(in_all, in_len, dict, compound, compound_len,
-                            large_window, is_final, S, &p, &n);
+  int rc = btpu_decode_impl(in_tail, in_len, in_base, dict, compound,
+                            compound_len, large_window, is_final, S,
+                            &p, &n);
   if (rc < 0) return rc;
-  if (rc == 0) {
-    S->last_attempt = 0;
-    S->out.p = p;
-    S->out.len = n;
-    if (S->out.cap < n) S->out.cap = n;
-  }
+  if (rc == 0) S->last_attempt = 0;
   if (S->out.len > S->delivered) {
     *new_ptr = S->out.p + S->delivered;
     *new_len = S->out.len - S->delivered;
     S->delivered = S->out.len;
   }
   return rc;
+}
+
+/* Absolute count of fully-consumed input bytes: the caller may drop
+   this prefix and feed tails with in_base = consumed. */
+size_t btpu_dec_consumed(void* st) {
+  DecStream* S = (DecStream*)st;
+  return S ? S->bitpos >> 3 : 0;
 }
 
 int btpu_dec_finished(void* st) {

@@ -402,16 +402,14 @@ static inline double xlogx(uint64_t x) {
 }
 
 static void ensure_xlogx(void) {
+  pthread_mutex_lock(&g_init_lock);
   if (!g_xlogx_ready) {
-    pthread_mutex_lock(&g_init_lock);
-    if (!g_xlogx_ready) {
-      g_xlogx[0] = 0.0;
-      for (int i = 1; i < 4096; i++)
-        g_xlogx[i] = (double)i * log2((double)i);
-      g_xlogx_ready = 1;
-    }
-    pthread_mutex_unlock(&g_init_lock);
+    g_xlogx[0] = 0.0;
+    for (int i = 1; i < 4096; i++)
+      g_xlogx[i] = (double)i * log2((double)i);
+    g_xlogx_ready = 1;
   }
+  pthread_mutex_unlock(&g_init_lock);
 }
 
 static double hist_cost(const uint32_t* h, int n) {
@@ -2300,18 +2298,16 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
   for (int i = 0; i < dalpha; i++)
     oc->dsym[i] = (float)(-log2((dh[i] + 0.2) / dtot) *
                           opt_dist_scale());
+  pthread_mutex_lock(&g_init_lock);
   if (!g_opt_stop_ready) {
-    pthread_mutex_lock(&g_init_lock);
-    if (!g_opt_stop_ready) {
-      for (int i = 0; i < N_OPT_STOPS; i++)
-        kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
-                                     24);
-      for (uint32_t v = 0; v < 2048; v++)
-        kCpyCodeLut[v] = (uint8_t)value_code(v, kCopyBase, 24);
-      g_opt_stop_ready = 1;
-    }
-    pthread_mutex_unlock(&g_init_lock);
+    for (int i = 0; i < N_OPT_STOPS; i++)
+      kOptStopCode[i] = value_code((uint32_t)kOptStops[i], kCopyBase,
+                                   24);
+    for (uint32_t v = 0; v < 2048; v++)
+      kCpyCodeLut[v] = (uint8_t)value_code(v, kCopyBase, 24);
+    g_opt_stop_ready = 1;
   }
+  pthread_mutex_unlock(&g_init_lock);
   for (int i = 0; i < N_OPT_STOPS; i++)
     oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
   for (int s = 0; s < 16; s++) oc->dring[s] = oc->dsym[s];
@@ -3038,10 +3034,14 @@ int btpu_serialize(const uint8_t* data_full, size_t n, size_t lo,
         cmds[ncmd].adv = (uint32_t)(adv_);                             \
         ncmd++;                                                        \
       } while (0)
-      if (carry_len) { /* right piece of a boundary-split LZ match */
-        SER_PUSH(0, carry_len, carry_dist, carry_len);
-        prev_end = blo + carry_len;
-        carry_len = 0;
+      if (carry_len) { /* right piece of a boundary-split LZ match;
+                          pieces longer than the metablock re-split */
+        uint32_t take = carry_len;
+        if ((size_t)take > bhi - blo) take = (uint32_t)(bhi - blo);
+        SER_PUSH(0, take, carry_dist, take);
+        prev_end = blo + take;
+        carry_len -= take;
+        if (carry_len && carry_len < 2) carry_len = 0; /* tail < 2 */
       }
       while (mi < nmatch) {
         size_t mp = mpos[mi];

@@ -22,36 +22,8 @@ from ..format.bitio import BitWriter
 from ..enc import bitstream, matcher
 
 
-def _ring_push_summary(dists, flags, tail=5):
-    """Entry-independent push summary of one shard's command stream:
-    the last `tail` deduped candidate-push distances (consecutive
-    duplicates collapse; the entry-ring comparison is deferred to the
-    chain). Zero-padded; real distances are never 0."""
-    cd = np.asarray(dists, dtype=np.int64)[np.asarray(flags) < 2]
-    cd = cd[cd > 0]
-    if len(cd) == 0:
-        return np.zeros(tail, np.int64)
-    keep = np.concatenate([[True], cd[1:] != cd[:-1]])
-    cand = cd[keep]
-    out = np.zeros(tail, np.int64)
-    t = cand[-tail:]
-    out[: len(t)] = t
-    return out
-
-
-def _apply_summary(ring, tail):
-    """Advance a 4-slot ring across one shard given its push summary
-    (exact: only the first candidate's push can collapse against the
-    entry ring; consecutive candidates differ by construction)."""
-    # Replaying just the tail is exact: when count > tail size, the
-    # only error source is tail[0] colliding with the stale entry
-    # ring[0], and the >= 4 remaining pushes refill the whole ring
-    # either way (that is why the tail holds 5 candidates).
-    ring = list(ring)
-    for d in (int(x) for x in tail if x > 0):
-        if d != ring[0]:
-            ring = [d, ring[0], ring[1], ring[2]]
-    return np.asarray(ring[:4], np.int64)
+# ring summaries live next to ring_after (one authority for the push
+# rule): bitstream.ring_push_summary / ring_apply_summary
 
 
 def compress_sharded_mp(data: bytes, quality: int = 5,
@@ -162,35 +134,29 @@ def compress_sharded_mp(data: bytes, quality: int = 5,
     lsum = np.zeros((len(local_sis), TAIL), np.int64)
     for r, si in enumerate(local_sis):
         _, _, dists, flags = local_matches[si]
-        lsum[r] = _ring_push_summary(dists, flags, TAIL)
+        lsum[r] = bitstream.ring_push_summary(dists, flags, TAIL)
     gsum = np.asarray(mh.process_allgather(lsum, tiled=True))
     entry = {0: None}
     ring = bitstream.initial_ring()
     for si in range(n_shards - 1):
-        ring = _apply_summary(ring, gsum[si])
+        ring = bitstream.ring_apply_summary(ring, gsum[si])
         entry[si + 1] = ring
 
     # serialize LOCAL shards (byte-aligned via trailing empty
-    # metadata); native serializer fast path mirrors parallel.shard
-    import os as _os
+    # metadata); the native fast path is shared with parallel.shard
+    from . import serialize_shard_native
     raw = bytes(data)
-    use_native_ser = _os.environ.get("BROTLI_TPU_SERIALIZER",
-                                     "auto") != "python"
     payloads = {}
     for si in local_sis:
         lo, hi = int(bounds[si]), int(bounds[si + 1])
         m, lens, dists, flags = local_matches[si]
         is_last = si == n_shards - 1
-        if use_native_ser:
-            try:
-                from .. import native
-                payloads[si], _ = native.serialize_region(
-                    raw, lo, hi, (m, lens, dists, flags), quality,
-                    lgwin, ring=entry[si], write_header=si == 0,
-                    is_last=is_last)
-                continue
-            except (ImportError, OSError, ValueError):
-                pass
+        out = serialize_shard_native(raw, lo, hi, (m, lens, dists, flags),
+                                     quality, lgwin, entry[si],
+                                     si == 0, is_last)
+        if out is not None:
+            payloads[si] = out
+            continue
         bw = BitWriter()
         if si == 0:
             bitstream.write_stream_header(bw, lgwin)

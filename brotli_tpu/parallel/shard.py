@@ -76,10 +76,8 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
     # The native serializer (btpu_serialize) is the fast path; the
     # Python store_metablock path remains for unsupported flags
     # (compound / custom-word refs) or when forced.
-    import os as _os
+    from . import serialize_shard_native
     raw = bytes(data)
-    use_native_ser = _os.environ.get("BROTLI_TPU_SERIALIZER",
-                                     "auto") != "python"
 
     def serialize(si):
         lo, hi = int(bounds[si]), int(bounds[si + 1])
@@ -88,16 +86,11 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
         # and literal gathers stay exact
         m, lens, dists, flags = shard_matches[si]
         is_last = si == n_shards - 1
-        if use_native_ser:
-            try:
-                from .. import native
-                out, _ = native.serialize_region(
-                    raw, lo, hi, (m, lens, dists, flags), quality,
-                    lgwin, ring=entry_rings[si],
-                    write_header=si == 0, is_last=is_last)
-                return out
-            except (ImportError, OSError, ValueError):
-                pass
+        out = serialize_shard_native(raw, lo, hi, (m, lens, dists, flags),
+                                     quality, lgwin, entry_rings[si],
+                                     si == 0, is_last)
+        if out is not None:
+            return out
         bw = BitWriter()
         if si == 0:
             bitstream.write_stream_header(bw, lgwin)
