@@ -156,3 +156,38 @@ def test_decompressor_streaming_compound_dict(testdata):
     for i in range(0, len(comp), 4096):
         out.append(d.process(comp[i:i + 4096]))
     assert b"".join(out) == data and d.is_finished()
+
+
+def test_chunked_decode_oneshot_agreement(testdata):
+    """Random chunk feeding reproduces one-shot output; on mutated
+    streams the chunked decoder never accepts what one-shot rejects."""
+    import random
+    from brotli_tpu import native
+    rng = random.Random(99)
+    data = (testdata / "alice29.txt").read_bytes()
+    enc = native.encode(data, 5, 22)
+    for t in range(12):
+        bad = bytearray(enc)
+        for _ in range(rng.randrange(1, 4)):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        bad = bytes(bad)
+        try:
+            one = native.decode(bad)
+            one_ok = True
+        except ValueError:
+            one_ok = False
+        d = native.StreamDecoder()
+        got = []
+        try:
+            i = 0
+            while i < len(bad):
+                step = rng.randrange(1, 50000)
+                got.append(d.feed(bad[i:i + step]))
+                i += step
+            chunk_ok = d.finished
+        except ValueError:
+            chunk_ok = False
+        if one_ok and chunk_ok:
+            assert b"".join(got) == one
+        if not one_ok:
+            assert not chunk_ok
