@@ -133,11 +133,13 @@ def main():
             [str(REF_CLI), "-q", str(QUALITY), "-w", "22", "-c"],
             input=data, capture_output=True).stdout
         size_note += f", size {len(comp) / len(ref):.3f}x ref-q{QUALITY}"
-    dev = {} if os.environ.get("BENCH_SKIP_DEVICE") else device_pass(data)
+    skip_dev = bool(os.environ.get("BENCH_SKIP_DEVICE"))
+    dev = {} if skip_dev else device_pass(data)
     dev_note = (f"; device-DP pipeline {dev['mbps']} MB/s, "
                 f"size {dev['size']}, device {dev['device_ms']}ms + "
                 f"host-serialize {dev['serialize_ms']}ms"
-                if dev else "; device pass skipped (chip unreachable)")
+                if dev else ("; device pass disabled" if skip_dev else
+                            "; device pass skipped (chip unreachable)"))
     fast_note = (f", native one-shot q1 {fast.get('q1', '?')} / "
                  f"q5 {fast.get('q5', '?')} MB/s" if fast else "")
     print(json.dumps({
