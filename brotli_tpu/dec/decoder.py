@@ -322,7 +322,9 @@ class Decoder:
                 mlen |= b << (i * 8)
             if skip_bytes:
                 mlen += 1
-            br.align_to_byte()
+            if br.align_to_byte() != 0:
+                raise FormatError("non-zero metadata padding",
+                                  E.PADDING_1)
             meta = br.read_bytes(mlen)
             if self.metadata_callback is not None:
                 self.metadata_callback(bytes(meta))

@@ -312,3 +312,33 @@ def test_error_names_mirror_reference():
     assert E.WINDOW_BITS == -13
     assert E.DISTANCE == -16
     assert E.COMPOUND_DICTIONARY == -18
+
+
+def test_metadata_padding_bits_must_be_zero():
+    """Alignment bits before a metadata block's payload must be zero
+    (reference PADDING_1; regression: the Python decoder skipped them
+    unchecked and accepted streams the reference rejects)."""
+    import pytest
+    from brotli_tpu.dec.decoder import Decoder, FormatError
+    from brotli_tpu import native
+    # stream: wbits=17 header (1 000 0 17-pattern...) -- build bitwise
+    from brotli_tpu.format.bitio import BitWriter
+    bw = BitWriter()
+    bw.write(1, 1)   # WBITS long form
+    bw.write(0, 3)
+    bw.write(0, 3)   # wbits 17
+    bw.write(0, 1)   # ISLAST = 0
+    bw.write(3, 2)   # MNIBBLES code 3 -> metadata
+    bw.write(0, 1)   # reserved
+    bw.write(1, 2)   # MSKIPBYTES = 1
+    bw.write(0, 8)   # skip length byte (-> skip 1)
+    bw.write(5, 3)   # NON-ZERO alignment bits (invalid)
+    bw.write(0x58, 8)  # skipped byte
+    bw.write(1, 1)   # ISLAST
+    bw.write(1, 1)   # ISLASTEMPTY
+    bw.align_to_byte()
+    blob = bw.getvalue()
+    with pytest.raises(FormatError):
+        Decoder().decompress(blob)
+    with pytest.raises(ValueError):
+        native.decode(blob)
