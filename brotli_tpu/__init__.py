@@ -28,6 +28,7 @@ from .api import (  # noqa: F401
     decompress,
     decompress_concatenated,
     error,
+    estimate_peak_memory,
 )
 
 __version__ = "0.1.0"

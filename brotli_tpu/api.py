@@ -36,6 +36,22 @@ def set_reporting_callbacks(on_start=None, on_finish=None):
     _on_finish = on_finish
 
 
+def estimate_peak_memory(input_size, quality=_QUALITY_DEFAULT,
+                         lgwin=_LGWIN_DEFAULT) -> int:
+    """Upper bound (bytes) on the native encoder's transient heap for
+    a one-shot `compress` of `input_size` bytes — the
+    BrotliEncoderEstimatePeakMemoryUsage role
+    (/root/reference/c/enc/encode.c:1886). The bound is computed from
+    the same formulas the allocation sites use (hasher bucket rings,
+    DP arrays, command buffers, serializer scratch, output writer) and
+    excludes the caller's own input/output copies. The JAX device
+    paths budget memory separately (device HBM, XLA-managed)."""
+    from . import native
+    lib = native.get_lib()
+    return int(lib.btpu_peak_memory(int(input_size), int(quality),
+                                    int(lgwin)))
+
+
 def compress(string, mode=MODE_GENERIC, quality=_QUALITY_DEFAULT,
              lgwin=_LGWIN_DEFAULT, lgblock=0, dictionary=None,
              large_window=False, base64_mode=False) -> bytes:

@@ -104,6 +104,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p]
         lib.btpu_serialize.restype = ctypes.c_int
+        lib.btpu_peak_memory.argtypes = [
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+        lib.btpu_peak_memory.restype = ctypes.c_size_t
         lib.btpu_dec_new.restype = ctypes.c_void_p
         lib.btpu_dec_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,

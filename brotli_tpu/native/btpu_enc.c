@@ -3860,3 +3860,58 @@ int btpu_enc_metadata(void* p, const uint8_t* payload, size_t plen,
   }
   return 0;
 }
+
+/* ---------- peak-memory estimator ----------
+ *
+ * Role parity: BrotliEncoderEstimatePeakMemoryUsage
+ * (/root/reference/c/enc/encode.c:1886): an upper bound on the
+ * encoder's transient heap for a one-shot encode of n bytes, summed
+ * from the SAME formulas the allocation sites above use (hasher
+ * bucket rings, DP arrays, command buffers, serializer scratch,
+ * output writer). The bound is pessimistic: command arrays assume the
+ * densest legal parse (one command per 4 bytes) and the writer the
+ * uncompressed-fallback ceiling. */
+size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
+  if (quality < 0) quality = 0;
+  if (quality > 11) quality = 11;
+  if (lgwin < 10) lgwin = 10;
+  if (lgwin > 30) lgwin = 30;
+  size_t total = n + 16;                 /* padded input copy */
+  total += (16 * 2 * 1200) * (sizeof(uint64_t) + 1); /* pm scratch */
+  size_t mb = n < ((size_t)1 << 22) ? n : ((size_t)1 << 22);
+  size_t mb_cmds = mb / 4 + 64;          /* densest parse of one mb */
+  /* serializer scratch: symbol stream copy, split histograms,
+     context-histogram rows (<= 16 types x 64 contexts x 256 syms),
+     switch plans */
+  size_t serial = mb * 2 + (size_t)16 * 64 * 256 * sizeof(uint32_t) +
+                  (1 << 16);
+  /* output writer: uncompressed-fallback ceiling */
+  size_t writer = n + n / 16 + 1024;
+  if (quality >= 10) {
+    MatchCfg seedc, dpc;
+    cfg_for_quality(&seedc, 7);
+    memset(&dpc, 0, sizeof(dpc));
+    dpc.hbits = 16;
+    dpc.block_bits = quality >= 11 ? 7 : 6;
+    size_t hashers =
+        ((((size_t)1 << (seedc.hbits + seedc.block_bits)) +
+          ((size_t)1 << seedc.hbits)) +
+         (quality >= 11 ? 2u : 1u) *
+             (((size_t)1 << (dpc.hbits + dpc.block_bits)) +
+              ((size_t)1 << dpc.hbits))) *
+        sizeof(uint32_t);
+    /* DP arrays: dp float + blen/bcpy/bdist/lastm, literal costs,
+       plan, and two command generations live at once */
+    size_t dp_arrays = (mb + 1) * (sizeof(float) + 4 * sizeof(uint32_t))
+                       + mb * sizeof(float);
+    size_t cmd_bufs = mb_cmds * (2 * sizeof(Cmd) + sizeof(Plan));
+    return total + hashers + dp_arrays + cmd_bufs + serial + writer;
+  }
+  MatchCfg cfg;
+  cfg_for_quality(&cfg, quality);
+  size_t hasher = (((size_t)1 << (cfg.hbits + cfg.block_bits)) +
+                   ((size_t)1 << cfg.hbits)) * sizeof(uint32_t);
+  size_t cmd_bufs = ((size_t)1 << 16) * sizeof(Cmd) +
+                    mb_cmds * sizeof(Plan);
+  return total + hasher + cmd_bufs + serial + writer;
+}

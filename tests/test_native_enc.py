@@ -366,3 +366,42 @@ def test_mode_hint_native(testdata, ref_cli):
         r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
                            capture_output=True)
         assert r.returncode == 0 and r.stdout == data, mode
+
+
+def test_estimate_peak_memory_bounds_actual_heap(testdata):
+    """estimate_peak_memory (BrotliEncoderEstimatePeakMemoryUsage role)
+    upper-bounds the native encoder's real transient heap: a fresh
+    subprocess imports the library, records baseline peak RSS, encodes
+    a 4 MB input, and the RSS growth must stay under the estimate."""
+    import subprocess
+    import sys
+    import brotli_tpu
+    est5 = brotli_tpu.estimate_peak_memory(1 << 22, quality=5)
+    est11 = brotli_tpu.estimate_peak_memory(1 << 22, quality=11)
+    # monotone in quality and size; sane magnitudes
+    assert 0 < est5 < est11
+    assert brotli_tpu.estimate_peak_memory(1 << 16, quality=5) < est5
+    assert est11 < (1 << 30)
+    code = r"""
+import resource, sys, pathlib
+sys.path.insert(0, "/root/repo")
+import brotli_tpu
+from brotli_tpu import native
+native.get_lib()  # load the shared library before the baseline
+data = (pathlib.Path("/root/reference/tests/testdata/lcet10.txt")
+        .read_bytes() * 12)[:1 << 22]
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+out = native.get_lib  # keep symbols alive
+comp = brotli_tpu.compress(data, quality=int(sys.argv[1]))
+assert brotli_tpu.decompress(comp) == data
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+print(peak - base)
+"""
+    for q, est in ((5, est5), (11, est11)):
+        r = subprocess.run([sys.executable, "-c", code, str(q)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        grown = int(r.stdout.strip())
+        # input+output copies in the Python layer aren't part of the
+        # estimate; allow them (3 x input) on top
+        assert grown <= est + 3 * (1 << 22), (q, grown, est)
