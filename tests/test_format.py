@@ -147,3 +147,29 @@ def test_params_surface():
     assert EncoderParameter.QUALITY == 1
     assert EncoderParameter.LARGE_WINDOW == 6
     assert Mode.FONT == 2
+
+
+def test_platform_info_and_configure():
+    """Capability report (the c/common/platform.h role): stable keys,
+    honest native/backend state, validated configure()."""
+    import os
+    import pytest
+    from brotli_tpu.utils import platform as plat
+    rep = plat.info()
+    for key in ("native_runtime", "decoder_path", "encoder_tiers",
+                "jax_backend", "byteorder", "env_knobs"):
+        assert key in rep, key
+    assert rep["jax_backend"] == "cpu"  # conftest pins the CPU mesh
+    assert rep["native_runtime"] is True
+    assert rep["decoder_path"] == "native"
+    with pytest.raises(ValueError):
+        plat.configure(decoder="bogus")
+    old = os.environ.get("BROTLI_TPU_DECODER")
+    try:
+        rep2 = plat.configure(decoder="python")
+        assert rep2["decoder_path"] == "python"
+    finally:
+        if old is None:
+            os.environ.pop("BROTLI_TPU_DECODER", None)
+        else:
+            os.environ["BROTLI_TPU_DECODER"] = old
