@@ -2182,6 +2182,13 @@ typedef struct {
      pricing ring probes at the explicit-symbol cost overcharges them
      by the extra-bit count and suppresses distance reuse */
   float dring[16];
+  /* joint implicit-cell pricing for dist-code-0 copies <= 69 bytes:
+     cmd cells 0-127 carry insert length, copy code AND the implied
+     distance in ONE symbol (RFC 7932 5.), so a cached-distance short
+     copy costs icell[ccode] TOTAL -- the separable model
+     (ccost + dring[0]) overprices it and suppresses the reference's
+     implicit-dist0 basin (it emits 3-10x more such commands) */
+  float icell[16];
 } OptCost;
 
 static inline float opt_dist_cost(const OptCost* oc, uint32_t dist) {
@@ -2311,6 +2318,23 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
   for (int i = 0; i < N_OPT_STOPS; i++)
     oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
   for (int s = 0; s < 16; s++) oc->dring[s] = oc->dsym[s];
+  {
+    /* pad swept on Canterbury + mapsdatazrh: 2.0 bits counters the
+       optimism of summing 8 insert cells (the edge relaxation cannot
+       know which insert length the final parse lands on) */
+    const char* v = getenv("BTPU_OPT_ICELL_PAD");
+    double pad = v ? atof(v) : 2.0;
+    for (int cc = 0; cc < 16; cc++) {
+      if (jtot > 16) {
+        double f = 0.2;
+        for (int ic = 0; ic < 8; ic++)
+          f += jh[(cc >= 8 ? 64 : 0) + (ic << 3) + (cc & 7)];
+        oc->icell[cc] = (float)(-log2(f / jtot) + kCopyExtra[cc] + pad);
+      } else {
+        oc->icell[cc] = oc->ccost[cc] + oc->dsym[0];
+      }
+    }
+  }
 }
 
 /* Forward shortest-path over [lo, hi): backptr arrays encode each
@@ -2465,9 +2489,44 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         const uint8_t* q = p - d;
         if (q[0] != p[0]) continue;
         size_t l = common_len(p, q, limit);
-        if (l >= 3) {
+        /* len-2 copies are in the command alphabet and pay no match
+           discovery: on cached distances they beat two literals
+           whenever the short code is cheap (the reference zopfli
+           allows len 2 for distance-cache matches too,
+           backward_references_hq.c); gate len >= 3 only for the
+           offset probes (s >= 4), whose extra rarely amortizes */
+        if (l >= (size_t)(s < 4 ? 2 : 3)) {
           OPT_RELAX(l, d, (size_t)0, oc->dring[s]);
           if (l > best_len) best_len = l;
+        }
+        if (s == 0 && l >= 2) {
+          /* re-relax short lengths at the joint implicit-cell price */
+          size_t lcap = l <= 69 ? l : 69;
+          size_t lset[4] = {lcap, 2, 3, 0};
+          int nls = lcap > 3 ? 3 : (lcap == 3 ? 2 : 1);
+          for (int t = 0; t < nls; t++) {
+            size_t l2 = lset[t];
+            float c_ = dp[ii] + oc->icell[cpy_code_fast((uint32_t)l2)];
+            if (c_ < dp[ii + l2]) {
+              dp[ii + l2] = c_;
+              blen[ii + l2] = (uint32_t)l2;
+              bcpy[ii + l2] = (uint32_t)l2;
+              bdist[ii + l2] = (uint32_t)d;
+              lastm[ii + l2] = (uint32_t)(ii + l2);
+            }
+          }
+          for (int t = 0; t < N_OPT_STOPS; t++) {
+            size_t l2 = (size_t)kOptStops[t];
+            if (l2 >= lcap) break;
+            float c_ = dp[ii] + oc->icell[kOptStopCode[t]];
+            if (c_ < dp[ii + l2]) {
+              dp[ii + l2] = c_;
+              blen[ii + l2] = (uint32_t)l2;
+              bcpy[ii + l2] = (uint32_t)l2;
+              bdist[ii + l2] = (uint32_t)d;
+              lastm[ii + l2] = (uint32_t)(ii + l2);
+            }
+          }
         }
       }
       /* bucket-ring walk, nearest to farthest: within the walk, a
