@@ -1365,6 +1365,7 @@ static void put_mlen_header(BW* bw, size_t mlen, int is_last,
    Python enc/block_split.split_symbols) ---------- */
 
 typedef struct {
+  double gain;     /* net split gain in bits (0 when no split) */
   int ntypes;      /* 1 = no split (rtype/rlen NULL) */
   uint8_t* rtype;  /* run block types, first-appearance numbered */
   uint32_t* rlen;  /* run lengths in SYMBOLS of the category stream */
@@ -1385,7 +1386,9 @@ static void split_free(Split* sp) {
    the entropy gain beats the tree/switch overhead. Returns 0 (sp
    filled; ntypes == 1 means "no split") or EERR_ALLOC. */
 static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
-                           int chunk, int max_types, Split* sp) {
+                           int chunk, int max_types, double type_bits,
+                           Split* sp) {
+  sp->gain = 0.0;
   sp->ntypes = 1;
   sp->rtype = NULL;
   sp->rlen = NULL;
@@ -1504,11 +1507,13 @@ static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
       }
       if (c && assign[c] != assign[c - 1]) nswitches++;
     }
-    double overhead = 256.0 * npresent + 12.0 * (double)nswitches + 100.0;
+    double overhead = type_bits * npresent + 12.0 * (double)nswitches +
+                      100.0;
     if (npresent <= 1 || base_cost - split_cost < overhead) {
       rc = 0;
       goto done;
     }
+    sp->gain = base_cost - split_cost - overhead;
   }
   /* renumber in first-appearance order and build runs */
   {
@@ -1692,9 +1697,9 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   }
 
   /* ---- block splitting (q >= 10) ---- */
-  Split lsp = {1, NULL, NULL, 0};
-  Split csp = {1, NULL, NULL, 0};
-  Split dsp = {1, NULL, NULL, 0};
+  Split lsp = {.gain = 0.0, .ntypes = 1};
+  Split csp = {.gain = 0.0, .ntypes = 1};
+  Split dsp = {.gain = 0.0, .ntypes = 1};
   uint32_t* lit_hist = NULL;
   uint32_t* cmd_hist = NULL;
   uint32_t* dist_hist = NULL;
@@ -1720,7 +1725,39 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
       /* literal chunk swept on the 16MB corpus: 128 > 96/192/256.
          Type budget 8 also swept best: 16 types (map buffers now hold
          16 * 64 entries) lose ~0.2% to context-map + tree overhead. */
-      rc = split_symbols_c(s16, nlit, NUM_LIT, 128, 8, &lsp);
+      {
+        /* With context modeling on, every literal type multiplies 64
+           context-map rows and the clustered tree set; the gain check
+           must price that (swept: homogeneous text collapses to 1-2
+           types, the mixed 16MB corpus keeps its splits). Sweep
+           knobs: BTPU_LIT_TYPES / BTPU_LIT_TYPE_BITS. */
+        double tbits = 2048.0;
+        const char* v = getenv("BTPU_LIT_TYPE_BITS");
+        if (v) tbits = atof(v);
+        v = getenv("BTPU_LIT_TYPES");
+        if (v) {
+          int lt = atoi(v) > 16 ? 16 : atoi(v);
+          rc = split_symbols_c(s16, nlit, NUM_LIT, 128, lt, tbits,
+                               &lsp);
+        } else {
+          /* the k-means is cheap next to the DP: try the budget
+             ladder and keep the best net gain (homogeneous text
+             settles at 1-2 types, mixed corpora keep richer splits) */
+          static const int kLitK[3] = {2, 4, 8};
+          rc = 0;
+          for (int t = 0; t < 3 && rc == 0; t++) {
+            Split cand;
+            rc = split_symbols_c(s16, nlit, NUM_LIT, 128, kLitK[t],
+                                 tbits, &cand);
+            if (rc == 0 && cand.ntypes > 1 && cand.gain > lsp.gain) {
+              split_free(&lsp);
+              lsp = cand;
+            } else {
+              split_free(&cand);
+            }
+          }
+        }
+      }
       if (rc) {
         free(s16);
         goto done;
@@ -1728,7 +1765,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     }
     if (ncmd >= 2048) {
       for (size_t i = 0; i < ncmd; i++) s16[i] = plan[i].cmd_sym;
-      rc = split_symbols_c(s16, ncmd, NUM_CMD, 256, 6, &csp);
+      rc = split_symbols_c(s16, ncmd, NUM_CMD, 256, 6, 256.0, &csp);
       if (rc) {
         free(s16);
         goto done;
@@ -1738,7 +1775,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
       size_t w = 0;
       for (size_t i = 0; i < ncmd; i++)
         if (plan[i].has_dist) s16[w++] = plan[i].dcode;
-      rc = split_symbols_c(s16, ndist_syms, dalpha, 256, 4, &dsp);
+      rc = split_symbols_c(s16, ndist_syms, dalpha, 256, 4, 256.0,
+                           &dsp);
       if (rc) {
         free(s16);
         goto done;
