@@ -262,6 +262,12 @@ class Decoder:
         # metablock appends a dict of header fields (mlen, block
         # types, npostfix/ndirect, tree counts, header bit span)
         self.structure = None
+        # per-category bit accounting (dissector): when a dict, every
+        # bit consumed is attributed to a category (block_headers,
+        # dist_params, cmap_lit/cmap_dist, trees_lit/cmd/dist,
+        # cmd_syms, lits, dist_syms, switches) -- the per-bit field
+        # breakdown role of research/brotlidump.py
+        self.bit_account = None
 
     def decompress(self, data) -> bytes:
         out, _ = self._decompress_impl(data, allow_trailing=False)
@@ -353,23 +359,43 @@ class Decoder:
     def _metablock(self, br, out, mlen, max_backward, dist_rb, rb_idx,
                    is_large) -> int:
         hdr_bit0 = br.bitpos
+        acct = self.bit_account
+        if acct is not None:
+            def _acc(cat, t0):
+                acct[cat] = acct.get(cat, 0) + (br.bitpos - t0)
+                return br.bitpos
+            t = hdr_bit0
         blocks = [_BlockState(br) for _ in range(3)]  # L, I, D
+        if acct is not None:
+            t = _acc("block_headers", t)
         npostfix = br.take(2)
         ndirect = br.take(4) << npostfix
         context_modes = [br.take(2) for _ in range(blocks[0].num_types)]
+        if acct is not None:
+            t = _acc("dist_params", t)
         lit_cmap, n_lit_trees = read_context_map(
             br, blocks[0].num_types << C.LITERAL_CONTEXT_BITS)
+        if acct is not None:
+            t = _acc("cmap_lit", t)
         dist_cmap, n_dist_trees = read_context_map(
             br, blocks[2].num_types << C.DISTANCE_CONTEXT_BITS)
+        if acct is not None:
+            t = _acc("cmap_dist", t)
         lit_trees = [read_huffman_code(br, C.NUM_LITERAL_SYMBOLS)
                      for _ in range(n_lit_trees)]
+        if acct is not None:
+            t = _acc("trees_lit", t)
         cmd_trees = [read_huffman_code(br, C.NUM_COMMAND_SYMBOLS)
                      for _ in range(blocks[1].num_types)]
+        if acct is not None:
+            t = _acc("trees_cmd", t)
         maxnbits = (C.LARGE_MAX_DISTANCE_BITS if is_large
                     else C.MAX_DISTANCE_BITS)
         dist_alpha = C.distance_alphabet_size(npostfix, ndirect, maxnbits)
         dist_trees = [read_huffman_code(br, dist_alpha)
                       for _ in range(n_dist_trees)]
+        if acct is not None:
+            t = _acc("trees_dist", t)
         if self.structure is not None:
             self.structure.append({
                 "mlen": mlen,
@@ -390,8 +416,12 @@ class Decoder:
         remaining = mlen
         while remaining > 0:
             # --- command symbol
+            if acct is not None:
+                t = br.bitpos
             if blocks[1].length == 0:
                 cmd_block = blocks[1].switch(br)
+                if acct is not None:
+                    t = _acc("switches", t)
             blocks[1].length -= 1
             tbl = cmd_trees[cmd_block]
             sym, used = tbl.decode(br.peek(tbl.max_len))
@@ -402,12 +432,18 @@ class Decoder:
                 br.take(int(cmd_lut["copy_extra"][sym]))
             implicit_dist0 = bool(cmd_lut["implicit_dist0"][sym])
             dctx = int(cmd_lut["dist_context"][sym])
+            if acct is not None:
+                t = _acc("cmd_syms", t)
 
             # --- literals
             for _ in range(insert_len):
                 if blocks[0].length == 0:
+                    if acct is not None:
+                        t = _acc("lits", t)  # pending run so far
                     lit_block = blocks[0].switch(br)
                     lit_lut = ctx.context_lut(context_modes[lit_block])
+                    if acct is not None:
+                        t = _acc("switches", t)
                 blocks[0].length -= 1
                 p1 = out[-1] if out else 0
                 p2 = out[-2] if len(out) >= 2 else 0
@@ -417,6 +453,8 @@ class Decoder:
                 lit, used = tree.decode(br.peek(tree.max_len))
                 br.skip(used)
                 out.append(lit)
+            if acct is not None and insert_len:
+                t = _acc("lits", t)
             remaining -= insert_len
             if remaining <= 0:
                 if self.trace is not None:
@@ -430,7 +468,11 @@ class Decoder:
                 dist_code_is_zero = True
             else:
                 if blocks[2].length == 0:
+                    if acct is not None:
+                        t = br.bitpos
                     dist_block = blocks[2].switch(br)
+                    if acct is not None:
+                        t = _acc("switches", t)
                 blocks[2].length -= 1
                 dtree = dist_trees[dist_cmap[
                     (dist_block << C.DISTANCE_CONTEXT_BITS) + dctx]]
@@ -445,6 +487,8 @@ class Decoder:
                 else:
                     extra = br.take(int(dist_extra[dcode]))
                     distance = int(dist_offset[dcode]) + (extra << npostfix)
+                if acct is not None:
+                    t = _acc("dist_syms", t)
 
             if self.trace is not None:
                 self.trace.append((

@@ -149,8 +149,8 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
         try:
             from ..utils.jaxcfg import backend_or_cpu
             if backend_or_cpu() != "cpu":
-                out = _encode_q11_streamed(bw, arr, n, maxback, quality,
-                                           lgblock)
+                out = _encode_q11_streamed(arr, n, maxback, quality,
+                                           lgblock, lgwin)
                 if len(out) >= n + 4:
                     return _store_uncompressed(arr, lgwin)
                 return out
@@ -201,10 +201,18 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     return out
 
 
-def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
+def _encode_q11_streamed(arr, n, maxback, quality, lgblock, lgwin):
     """Producer/consumer q11 encode: the device DP streams finished
-    metablock spans (ops/optimal_jax._stream_blocks) into a
-    serialization worker, hiding the host writer under device time."""
+    metablock spans (ops/optimal_jax) into a serialization worker,
+    hiding the host writer under device time.
+
+    Every span serializes to a byte-aligned blob (non-last spans end
+    with an empty metadata block -- the BROTLI_OPERATION_FLUSH stitch,
+    ~2 bytes per span), so the native matches-array serializer
+    (native.serialize_region, ~20x the Python host stage) and the
+    Python store_metablock fallback can interleave freely; the 4-slot
+    distance ring carries across spans in either representation
+    (both are newest-first)."""
     import queue
     import threading
 
@@ -214,6 +222,41 @@ def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
     q = queue.Queue(maxsize=4)
     err = []
     state = {"ring": None}
+    parts = []
+    try:
+        from .. import native
+        native.get_lib()
+    except (ImportError, OSError, ValueError,
+            __import__("subprocess").CalledProcessError):
+        native = None
+    data_bytes = arr.tobytes() if native is not None else None
+
+    def serialize_span(lo, hi, matches):
+        if native is not None:
+            try:
+                blob, ring = native.serialize_region(
+                    data_bytes, lo, hi, matches, quality, lgwin,
+                    ring=state["ring"], write_header=(lo == 0),
+                    is_last=hi >= n, align_end=True)
+                state["ring"] = ring
+                parts.append(blob)
+                return
+            except ValueError:
+                pass  # unsupported flags: python span below
+        bw = BitWriter()
+        if lo == 0:
+            bitstream.write_stream_header(bw, lgwin)
+        cmds = matcher.matches_to_commands(*matches, lo, hi)
+        state["ring"] = bitstream.store_metablock(
+            bw, arr, lo, hi - lo, cmds, hi >= n, state["ring"],
+            quality=quality)
+        if hi < n:
+            bw.write(0, 1)   # ISLAST
+            bw.write(3, 2)   # MNIBBLES code -> metadata block
+            bw.write(0, 1)   # reserved
+            bw.write(0, 2)   # MSKIPBYTES = 0
+        bw.align_to_byte()
+        parts.append(bw.getvalue())
 
     def worker():
         try:
@@ -221,12 +264,8 @@ def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
                 item = q.get()
                 if item is None:
                     return
-                lo, hi, matches = item
-                cmds = matcher.matches_to_commands(*matches, lo, hi)
                 with trace.stage("serialize"):
-                    state["ring"] = bitstream.store_metablock(
-                        bw, arr, lo, hi - lo, cmds, hi >= n,
-                        state["ring"], quality=quality)
+                    serialize_span(*item)
         except BaseException as e:  # surfaced on the producer thread
             err.append(e)
             # keep draining so a blocked producer can always make
@@ -252,8 +291,7 @@ def _encode_q11_streamed(bw, arr, n, maxback, quality, lgblock):
         t.join()
     if err:
         raise err[0]
-    bw.align_to_byte()
-    return bw.getvalue()
+    return b"".join(parts)
 
 
 def _lift_dictionary_matches(matches, D, maxback):

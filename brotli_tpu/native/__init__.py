@@ -107,6 +107,11 @@ def get_lib():
         lib.btpu_peak_memory.argtypes = [
             ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
         lib.btpu_peak_memory.restype = ctypes.c_size_t
+        lib.btpu_lit_cost.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
+            ctypes.c_int, ctypes.c_void_p]
+        lib.btpu_lit_cost.restype = ctypes.c_int
         lib.btpu_dec_new.restype = ctypes.c_void_p
         lib.btpu_dec_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
@@ -294,6 +299,26 @@ class StreamEncoder:
         if st:
             self._lib.btpu_enc_free_stream(st)
             self._st = None
+
+
+def lit_cost(data: bytes, mpos, mlen, surcharge: float = 1.1,
+             use_utf8: bool = True):
+    """Exact per-position literal bit cost for the device DP, uint8 at
+    1/8 bit: 2nd-order context-modeled bits from the seed parse's
+    literal histogram, optionally blended with the sliding-window UTF8
+    position-in-codepoint model (c/enc/literal_cost.c role)."""
+    import numpy as np
+    lib = get_lib()
+    mp = np.ascontiguousarray(mpos, np.uint32)
+    ml = np.ascontiguousarray(mlen, np.uint32)
+    out = np.empty(len(data), np.uint8)
+    rc = lib.btpu_lit_cost(
+        data, len(data), mp.ctypes.data_as(ctypes.c_void_p),
+        ml.ctypes.data_as(ctypes.c_void_p), len(mp), surcharge,
+        1 if use_utf8 else 0, out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"lit_cost error {rc}"))
+    return out
 
 
 def serialize_region(data: bytes, lo: int, hi: int, matches,

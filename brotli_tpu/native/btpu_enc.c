@@ -37,9 +37,9 @@
 #define NUM_DIST_LW 140
 #define NUM_LIT_CTX 64
 #define MAX_LIT_TREES 48
-#define MAX_LIT_TYPES 8
-#define MAX_CMD_TYPES 6
-#define MAX_DIST_TYPES 4
+#define MAX_LIT_TYPES 16
+#define MAX_CMD_TYPES 8
+#define MAX_DIST_TYPES 6
 #define MAX_DIST_TREES 8
 
 /* ---------- bit writer ---------- */
@@ -245,6 +245,92 @@ static int emit_repeat(BW* bw, const uint16_t* cl_codes,
     bw_put(bw, (uint64_t)stack[sp], (unsigned)extra_bits);
   }
   return 0;
+}
+
+/* Histogram RLE smoothing before tree building (role parity:
+   BrotliOptimizeHistograms / BrotliOptimizeHistogramRle,
+   entropy_encode.c:241): replace stretches of similar nonzero counts
+   by their average so package-merge assigns them EQUAL depths and the
+   code-length sequence collapses into repeat-16 runs. Trades a
+   fraction of a percent of payload entropy for a much cheaper tree
+   description. Never zeroes a used symbol, so every stream symbol
+   keeps a code. Writes the smoothed copy into `out` (>= n). */
+static void smooth_hist_rle(const uint32_t* h, int n, uint32_t* out,
+                            uint32_t ratio, int min_run) {
+  uint64_t total = 0;
+  for (int i = 0; i < n; i++) total += h[i];
+  memcpy(out, h, (size_t)n * sizeof(uint32_t));
+  if (total < 64) return;
+  int i = 0;
+  while (i < n) {
+    if (!h[i]) {
+      i++;
+      continue;
+    }
+    /* maximal run [i, j) of similar counts (max <= ratio*min + 4) */
+    int j = i + 1;
+    uint32_t mn = h[i], mx = h[i];
+    uint64_t sum = h[i];
+    while (j < n && h[j]) {
+      uint32_t nm = h[j] < mn ? h[j] : mn;
+      uint32_t nx = h[j] > mx ? h[j] : mx;
+      if ((uint64_t)nx > (uint64_t)ratio * nm + 4) break;
+      mn = nm;
+      mx = nx;
+      sum += h[j];
+      j++;
+    }
+    if (j - i >= min_run) {
+      uint32_t avg = (uint32_t)((sum + (uint64_t)(j - i) / 2) /
+                                (uint64_t)(j - i));
+      if (avg == 0) avg = 1;
+      for (int k = i; k < j; k++) out[k] = avg;
+    }
+    i = j;
+  }
+}
+
+static int write_huffman_code_c(BW* bw, const uint8_t* lengths, int n,
+                                int alphabet_size, PmScratch* pm);
+
+/* total bits of (tree description + payload) for `lens` against the
+   TRUE histogram; the description is measured exactly by serializing
+   into a scratch writer */
+static uint64_t tree_total_bits(const uint32_t* h, int n,
+                                int alphabet_size, const uint8_t* lens,
+                                PmScratch* pm) {
+  BW scratch;
+  memset(&scratch, 0, sizeof(scratch));
+  write_huffman_code_c(&scratch, lens, n, alphabet_size, pm);
+  uint64_t bits = scratch.len * 8ull + scratch.nacc;
+  free(scratch.buf);
+  for (int s = 0; s < n; s++)
+    bits += (uint64_t)h[s] * lens[s];
+  return bits;
+}
+
+/* depth-limited lengths, picking the cheaper of the plain optimal
+   depths vs depths from the RLE-smoothed histogram, scored by true
+   payload + measured description (the smoothing is a heuristic; this
+   makes it never-worse per tree) */
+static void pm_lengths_rle(const uint32_t* h, int n, int alphabet_size,
+                           uint8_t* lens, PmScratch* pm) {
+  pm_lengths(h, n, MAX_HUFF_LEN, lens, pm);
+  uint64_t best = tree_total_bits(h, n, alphabet_size, lens, pm);
+  static const uint32_t kRatio[] = {2, 4, 8, 24};
+  static const int kRun[] = {4, 4, 3, 3};
+  uint32_t sm[1200];
+  uint8_t lens2[1200];
+  for (int v = 0; v < 4; v++) {
+    smooth_hist_rle(h, n, sm, kRatio[v], kRun[v]);
+    if (memcmp(sm, h, (size_t)n * sizeof(uint32_t)) == 0) continue;
+    pm_lengths(sm, n, MAX_HUFF_LEN, lens2, pm);
+    uint64_t cost = tree_total_bits(h, n, alphabet_size, lens2, pm);
+    if (cost < best) {
+      best = cost;
+      memcpy(lens, lens2, (size_t)n);
+    }
+  }
 }
 
 static int write_huffman_code_c(BW* bw, const uint8_t* lengths, int n,
@@ -1387,7 +1473,7 @@ static void split_free(Split* sp) {
    filled; ntypes == 1 means "no split") or EERR_ALLOC. */
 static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
                            int chunk, int max_types, double type_bits,
-                           Split* sp) {
+                           double sw_bits, Split* sp) {
   sp->gain = 0.0;
   sp->ntypes = 1;
   sp->rtype = NULL;
@@ -1405,7 +1491,11 @@ static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
   float* logpT = (float*)malloc((size_t)alphabet * k * sizeof(float));
   uint8_t* assign = (uint8_t*)calloc(nch, 1);
   uint32_t* thist = (uint32_t*)calloc((size_t)(k + 1) * alphabet, 4);
-  if (!H || !seeds || !logpT || !assign || !thist) goto done;
+  uint8_t* sym_assign = (uint8_t*)malloc(n);
+  uint8_t* bp = (uint8_t*)malloc(n * (size_t)k);
+  if (!H || !seeds || !logpT || !assign || !thist || !sym_assign ||
+      !bp)
+    goto done;
   for (size_t c = 0; c < nch; c++) {
     uint16_t* row = H + c * (size_t)alphabet;
     const uint16_t* s = syms + c * (size_t)chunk;
@@ -1477,54 +1567,112 @@ static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
       free(prev_seeds);
     }
   }
-  /* merge isolated single-chunk islands into the left neighbor */
-  for (size_t c = 1; c + 1 < nch; c++)
-    if (assign[c] != assign[c - 1] && assign[c] != assign[c + 1])
-      assign[c] = assign[c - 1];
-  /* entropy-gain check: per-type histograms + the whole-stream row */
+  /* --- symbol-level refinement (the reference FindBlocks role,
+     block_splitter_inc.h): the chunk k-means above provides type
+     seeds; a Viterbi pass over the raw symbol stream then places
+     switches optimally (ANY position, not chunk boundaries), the
+     type histograms are rebuilt from the new segmentation, and the
+     pass repeats. Switch cost `sw_bits` prices a block-switch
+     command (type code + block-count code). --- */
   {
-    uint32_t* whole = thist + (size_t)k * alphabet;
-    for (size_t c = 0; c < nch; c++) {
-      uint32_t* dst = thist + (size_t)assign[c] * alphabet;
-      const uint16_t* row = H + c * (size_t)alphabet;
-      for (int s = 0; s < alphabet; s++) {
-        dst[s] += row[s];
-        whole[s] += row[s];
+    double sw_eff = sw_bits;
+    size_t nswitches = 0;
+    for (int attempt = 0; attempt < 3; attempt++) {
+      for (int vit = 0; vit < 2; vit++) {
+        /* -log2 p(sym | type) table from current seeds */
+        for (int t = 0; t < k; t++) {
+          double tot = 0;
+          for (int s = 0; s < alphabet; s++)
+            tot += seeds[(size_t)t * alphabet + s];
+          if (tot < 1) tot = 1;
+          double lt = log2(tot);
+          for (int s = 0; s < alphabet; s++) {
+            double v = seeds[(size_t)t * alphabet + s];
+            if (v < 0.5) v = 0.5;
+            logpT[(size_t)s * k + t] = (float)(lt - log2(v));
+          }
+        }
+        float dp[16];
+        for (int t = 0; t < k; t++) dp[t] = 0.0f;
+        for (size_t i = 0; i < n; i++) {
+          int best = 0;
+          for (int t = 1; t < k; t++)
+            if (dp[t] < dp[best]) best = t;
+          float swv = dp[best] + (float)sw_eff;
+          uint8_t* bpi = bp + i * (size_t)k;
+          const float* lp = logpT + (size_t)syms[i] * k;
+          for (int t = 0; t < k; t++) {
+            if (swv < dp[t]) {
+              dp[t] = swv;
+              bpi[t] = (uint8_t)best;
+            } else {
+              bpi[t] = (uint8_t)t;
+            }
+            dp[t] += lp[t];
+          }
+          if ((i & 8191) == 8191) { /* renormalize (float headroom) */
+            float mn = dp[0];
+            for (int t = 1; t < k; t++)
+              if (dp[t] < mn) mn = dp[t];
+            for (int t = 0; t < k; t++) dp[t] -= mn;
+          }
+        }
+        int cur = 0;
+        for (int t = 1; t < k; t++)
+          if (dp[t] < dp[cur]) cur = t;
+        for (size_t i = n; i-- > 0;) {
+          sym_assign[i] = (uint8_t)cur;
+          cur = bp[i * (size_t)k + cur];
+        }
+        /* rebuild seeds from the refined segmentation */
+        memset(seeds, 0, (size_t)k * alphabet * sizeof(double));
+        for (size_t i = 0; i < n; i++)
+          seeds[(size_t)sym_assign[i] * alphabet + syms[i]] += 1.0;
       }
+      nswitches = 0;
+      for (size_t i = 1; i < n; i++)
+        if (sym_assign[i] != sym_assign[i - 1]) nswitches++;
+      if (nswitches < 32000) break; /* SwitchPlan run capacity */
+      sw_eff *= 2.0;
+    }
+    if (nswitches >= 32000) {
+      rc = 0; /* pathological: keep the unsplit stream */
+      goto done;
+    }
+    /* entropy-gain check: per-type histograms + the whole-stream row */
+    uint32_t* whole = thist + (size_t)k * alphabet;
+    memset(thist, 0, (size_t)(k + 1) * alphabet * sizeof(uint32_t));
+    for (size_t i = 0; i < n; i++) {
+      thist[(size_t)sym_assign[i] * alphabet + syms[i]]++;
+      whole[syms[i]]++;
     }
     double base_cost = hist_cost(whole, alphabet);
     double split_cost = 0.0;
     int npresent = 0;
-    size_t nswitches = 0;
     int seen[16];
     memset(seen, 0, sizeof(seen));
-    for (size_t c = 0; c < nch; c++) {
-      if (!seen[assign[c]]) {
-        seen[assign[c]] = 1;
+    for (size_t i = 0; i < n; i++) {
+      if (!seen[sym_assign[i]]) {
+        seen[sym_assign[i]] = 1;
         npresent++;
-        split_cost += hist_cost(thist + (size_t)assign[c] * alphabet,
-                                alphabet);
+        split_cost += hist_cost(
+            thist + (size_t)sym_assign[i] * alphabet, alphabet);
       }
-      if (c && assign[c] != assign[c - 1]) nswitches++;
     }
-    double overhead = type_bits * npresent + 12.0 * (double)nswitches +
-                      100.0;
+    double overhead = type_bits * npresent +
+                      sw_eff * (double)nswitches + 100.0;
     if (npresent <= 1 || base_cost - split_cost < overhead) {
       rc = 0;
       goto done;
     }
     sp->gain = base_cost - split_cost - overhead;
-  }
-  /* renumber in first-appearance order and build runs */
-  {
+    /* renumber in first-appearance order and build runs */
     int remap[16];
     for (int t = 0; t < k; t++) remap[t] = -1;
     int ntypes = 0;
-    size_t nruns = 1;
-    for (size_t c = 0; c < nch; c++) {
-      if (remap[assign[c]] < 0) remap[assign[c]] = ntypes++;
-      if (c && assign[c] != assign[c - 1]) nruns++;
-    }
+    size_t nruns = nswitches + 1;
+    for (size_t i = 0; i < n; i++)
+      if (remap[sym_assign[i]] < 0) remap[sym_assign[i]] = ntypes++;
     sp->rtype = (uint8_t*)malloc(nruns);
     sp->rlen = (uint32_t*)malloc(nruns * 4);
     if (!sp->rtype || !sp->rlen) {
@@ -1532,17 +1680,16 @@ static int split_symbols_c(const uint16_t* syms, size_t n, int alphabet,
       goto done;
     }
     size_t r = 0;
-    sp->rtype[0] = (uint8_t)remap[assign[0]];
-    sp->rlen[0] = (uint32_t)chunk;
-    for (size_t c = 1; c < nch; c++) {
-      if (assign[c] != assign[c - 1]) {
+    sp->rtype[0] = (uint8_t)remap[sym_assign[0]];
+    sp->rlen[0] = 1;
+    for (size_t i = 1; i < n; i++) {
+      if (sym_assign[i] != sym_assign[i - 1]) {
         r++;
-        sp->rtype[r] = (uint8_t)remap[assign[c]];
+        sp->rtype[r] = (uint8_t)remap[sym_assign[i]];
         sp->rlen[r] = 0;
       }
-      sp->rlen[r] += (uint32_t)chunk;
+      sp->rlen[r]++;
     }
-    sp->rlen[r] += (uint32_t)(n - nch * (size_t)chunk); /* tail */
     sp->nruns = nruns;
     sp->ntypes = ntypes;
   }
@@ -1553,6 +1700,8 @@ done:
   free(logpT);
   free(assign);
   free(thist);
+  free(sym_assign);
+  free(bp);
   return rc;
 }
 
@@ -1738,17 +1887,17 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
         if (v) {
           int lt = atoi(v) > 16 ? 16 : atoi(v);
           rc = split_symbols_c(s16, nlit, NUM_LIT, 128, lt, tbits,
-                               &lsp);
+                               28.1, &lsp);
         } else {
           /* the k-means is cheap next to the DP: try the budget
              ladder and keep the best net gain (homogeneous text
              settles at 1-2 types, mixed corpora keep richer splits) */
-          static const int kLitK[3] = {2, 4, 8};
+          static const int kLitK[4] = {2, 4, 8, 16};
           rc = 0;
-          for (int t = 0; t < 3 && rc == 0; t++) {
+          for (int t = 0; t < 4 && rc == 0; t++) {
             Split cand;
             rc = split_symbols_c(s16, nlit, NUM_LIT, 128, kLitK[t],
-                                 tbits, &cand);
+                                 tbits, 28.1, &cand);
             if (rc == 0 && cand.ntypes > 1 && cand.gain > lsp.gain) {
               split_free(&lsp);
               lsp = cand;
@@ -1765,7 +1914,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     }
     if (ncmd >= 2048) {
       for (size_t i = 0; i < ncmd; i++) s16[i] = plan[i].cmd_sym;
-      rc = split_symbols_c(s16, ncmd, NUM_CMD, 256, 6, 256.0, &csp);
+      rc = split_symbols_c(s16, ncmd, NUM_CMD, 256, 6, 256.0, 13.5,
+                           &csp);
       if (rc) {
         free(s16);
         goto done;
@@ -1776,7 +1926,7 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
       for (size_t i = 0; i < ncmd; i++)
         if (plan[i].has_dist) s16[w++] = plan[i].dcode;
       rc = split_symbols_c(s16, ndist_syms, dalpha, 256, 4, 256.0,
-                           &dsp);
+                           14.6, &dsp);
       if (rc) {
         free(s16);
         goto done;
@@ -1933,8 +2083,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   uint16_t lit_codes[MAX_LIT_TREES][NUM_LIT];
   uint8_t lit_emit[MAX_LIT_TREES]; /* 0 => single-symbol, emit 0 bits */
   for (int t = 0; t < n_lit_trees; t++) {
-    pm_lengths(lit_hist + (size_t)lit_reps[t] * NUM_LIT, NUM_LIT,
-               MAX_HUFF_LEN, lit_lens[t], &e->pm);
+    pm_lengths_rle(lit_hist + (size_t)lit_reps[t] * NUM_LIT, NUM_LIT,
+                   NUM_LIT, lit_lens[t], &e->pm);
     int used = 0;
     for (int s = 0; s < NUM_LIT; s++)
       if (lit_lens[t][s]) used++;
@@ -1945,8 +2095,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   uint16_t cmd_codes[MAX_CMD_TYPES][NUM_CMD];
   uint8_t cmd_emit[MAX_CMD_TYPES];
   for (int t = 0; t < ntypes_i; t++) {
-    pm_lengths(cmd_hist + (size_t)t * NUM_CMD, NUM_CMD, MAX_HUFF_LEN,
-               cmd_lens[t], &e->pm);
+    pm_lengths_rle(cmd_hist + (size_t)t * NUM_CMD, NUM_CMD, NUM_CMD,
+                   cmd_lens[t], &e->pm);
     int used = 0;
     for (int s = 0; s < NUM_CMD; s++)
       if (cmd_lens[t][s]) used++;
@@ -1957,8 +2107,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   uint16_t dist_codes[MAX_DIST_TREES][NUM_DIST_LW];
   uint8_t dist_emit[MAX_DIST_TREES];
   for (int t = 0; t < n_dist_trees; t++) {
-    pm_lengths(dist_hist + (size_t)dist_reps[t] * dalpha, dalpha,
-               MAX_HUFF_LEN, dist_lens[t], &e->pm);
+    pm_lengths_rle(dist_hist + (size_t)dist_reps[t] * dalpha, dalpha,
+                   dalpha, dist_lens[t], &e->pm);
     int used = 0;
     for (int s = 0; s < dalpha; s++)
       if (dist_lens[t][s]) used++;
@@ -4011,4 +4161,147 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
   size_t cmd_bufs = ((size_t)1 << 16) * sizeof(Cmd) +
                     mb_cmds * sizeof(Plan);
   return total + hasher + cmd_bufs + serial + writer;
+}
+
+/* ---------- exact per-position literal cost (device DP host stage)
+ *
+ * Role parity: c/enc/literal_cost.c BrotliEstimateBitCostsForLiterals
+ * blended with the 2nd-order context-modeled pricing the DP cost model
+ * uses (ops/optimal_jax._cost_tables exact path, previously ~25 s of
+ * numpy on a 16 MB input).  Two models per position:
+ *   1. context bits: -log2 of the seed parse's literal histogram row
+ *      [lut0[p1] | lut1[p2]] (+1 smoothing), UTF8 context LUT;
+ *   2. (optional) UTF8 position-in-codepoint model: a +-495-byte
+ *      sliding window of (class, byte) counts, class = position in
+ *      codepoint, with the reference's squash + prologue surcharge.
+ * Output is the blended cost quantized to uint8 at 1/8 bit, scaled by
+ * `surcharge` (tree-quantization slack, default 1.1). */
+
+#define LCW 495 /* sliding half-window (literal_cost.c window) */
+
+int btpu_lit_cost(const uint8_t* data, size_t n, const uint32_t* mpos,
+                  const uint32_t* mlen, size_t nmatch, double surcharge,
+                  int use_utf8, uint8_t* out) {
+  if (n == 0) return 0;
+  const uint8_t* lut0 = kContextLut[2]; /* UTF8 mode, like the host DP */
+  const uint8_t* lut1 = lut0 + 256;
+  uint32_t* lh = (uint32_t*)calloc((size_t)NUM_LIT_CTX * 256,
+                                   sizeof(uint32_t));
+  float* bits_tab = (float*)malloc((size_t)NUM_LIT_CTX * 256 *
+                                   sizeof(float));
+  /* log2 LUT: window counts <= 2*LCW+1, histogram rows use libm log2 */
+  float* lg = (float*)malloc(sizeof(float) * (2 * LCW + 3));
+  if (!lh || !bits_tab || !lg) {
+    free(lh);
+    free(bits_tab);
+    free(lg);
+    return EERR_ALLOC;
+  }
+  lg[0] = 0.0f;
+  for (int i = 1; i < 2 * LCW + 3; i++) lg[i] = (float)log2((double)i);
+
+  /* 1. seed-literal histogram over (context, byte) */
+  size_t pos = 0;
+  for (size_t i = 0; i <= nmatch; i++) {
+    size_t stop = i < nmatch ? mpos[i] : n;
+    if (stop > n) stop = n;
+    for (size_t pp = pos; pp < stop; pp++) {
+      uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
+      uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+      lh[(size_t)(lut0[p1] | lut1[p2]) * 256 + data[pp]]++;
+    }
+    if (i < nmatch) {
+      size_t e = mpos[i] + mlen[i];
+      pos = e > pos ? e : pos;
+    }
+  }
+  for (int cx = 0; cx < NUM_LIT_CTX; cx++) {
+    uint64_t t = 0;
+    for (int b = 0; b < 256; b++) t += lh[(size_t)cx * 256 + b];
+    double lt = log2((double)t + 256.0);
+    for (int b = 0; b < 256; b++)
+      bits_tab[(size_t)cx * 256 + b] =
+          (float)(lt - log2((double)(lh[(size_t)cx * 256 + b] + 1)));
+  }
+
+  /* 2. UTF8 sliding-window model (only when the input samples UTF8) */
+  uint8_t* cls = NULL;
+  float* ucost = NULL;
+  if (use_utf8 && choose_ctx_mode(data, 0, n) == 2) {
+    cls = (uint8_t*)malloc(n);
+    ucost = (float*)malloc(n * sizeof(float));
+    if (!cls || !ucost) {
+      free(cls);
+      free(ucost);
+      free(lh);
+      free(bits_tab);
+      free(lg);
+      return EERR_ALLOC;
+    }
+    /* stats level: classes with max_utf8 = 2, then pick the level
+       (literal_cost.c DecideMultiByteStatsLevel) */
+    size_t c1 = 0, c2 = 0;
+    for (size_t p = 0; p < n; p++) {
+      uint8_t c = p >= 1 ? data[p - 1] : 0;
+      uint8_t last = p >= 2 ? data[p - 2] : 0;
+      int k = c < 128 ? 0 : (c >= 192 ? 1 : (last < 0xE0 ? 0 : 2));
+      if (k == 1) c1++;
+      if (k == 2) c2++;
+    }
+    int max_utf8 = 1; /* ref: "should be 2, but 1 compresses better" */
+    if (c1 + c2 < 25) max_utf8 = 0;
+    for (size_t p = 0; p < n; p++) {
+      uint8_t c = p >= 1 ? data[p - 1] : 0;
+      uint8_t last = p >= 2 ? data[p - 2] : 0;
+      int k = c < 128 ? 0
+                      : (c >= 192 ? (1 < max_utf8 ? 1 : max_utf8)
+                                  : (last < 0xE0 ? 0
+                                     : (2 < max_utf8 ? 2 : max_utf8)));
+      cls[p] = (uint8_t)k;
+    }
+    uint32_t wh[3][256];
+    uint32_t wt[3] = {0, 0, 0};
+    memset(wh, 0, sizeof(wh));
+    size_t wend = n < LCW ? n : LCW; /* window [p-LCW, p+LCW] */
+    for (size_t q = 0; q < wend; q++) {
+      wh[cls[q]][data[q]]++;
+      wt[cls[q]]++;
+    }
+    for (size_t p = 0; p < n; p++) {
+      if (p + LCW < n) {
+        wh[cls[p + LCW]][data[p + LCW]]++;
+        wt[cls[p + LCW]]++;
+      }
+      /* window includes p itself once the entering edge passed */
+      if (p >= LCW + 1) {
+        wh[cls[p - LCW - 1]][data[p - LCW - 1]]--;
+        wt[cls[p - LCW - 1]]--;
+      }
+      int k = cls[p];
+      uint32_t h = wh[k][data[p]];
+      if (h < 1) h = 1;
+      float cost = lg[wt[k]] - lg[h] + 0.02905f;
+      if (cost < 1.0f) cost = cost * 0.5f + 0.5f;
+      if (p < 2000)
+        cost += 0.35f + (0.35f / 2000.0f) * (float)p;
+      ucost[p] = cost;
+    }
+  }
+
+  /* 3. blend + quantize (1/8-bit units, uint8) */
+  double s8 = surcharge * 8.0;
+  for (size_t p = 0; p < n; p++) {
+    uint8_t p1 = p >= 1 ? data[p - 1] : 0;
+    uint8_t p2 = p >= 2 ? data[p - 2] : 0;
+    float cb = bits_tab[(size_t)(lut0[p1] | lut1[p2]) * 256 + data[p]];
+    float lit = ucost ? 0.5f * (cb + ucost[p]) : cb;
+    double q = (double)lit * s8 + 0.5;
+    out[p] = q < 0.0 ? 0 : (q > 255.0 ? 255 : (uint8_t)q);
+  }
+  free(cls);
+  free(ucost);
+  free(lh);
+  free(bits_tab);
+  free(lg);
+  return 0;
 }

@@ -61,15 +61,29 @@ SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
 # (remote compile service)
 _BUCKETS = [1 << 21]
 
-# scan v2: hoist the per-slot relaxation out of the sequential scan --
-# the edges kernel pre-reduces the slots into a (position, length)
-# suffix-min table (one massive parallel reduction over the full
-# segment), and the scan step shrinks from (nslots, nb, W) work to
-# (nb, W). Same arithmetic, moved from the 4096-step sequential loop
-# to the embarrassingly parallel axis. Env-gated until measured on
-# hardware (each variant is its own minutes-long remote compile).
+# DP pipeline modes (BROTLI_TPU_DP env; default picked per backend):
+#   v1 -- pure-XLA wavefront: the scan step reduces all nslots slots
+#         (measured 460 ms of the ~610 ms per 2 MB segment on TPU v5e;
+#         the step is compute-bound at (nslots, nb, W) work).
+#   v3 -- Pallas suffix-min pre-reduction: a kernel collapses the
+#         nslots edge slots into a dense per-position (cost, payload)
+#         table over the W window columns (embarrassingly parallel,
+#         VMEM-resident tiles), so the sequential scan step shrinks to
+#         one (nb, W) compare-update. Round-2's "V2" attempted the
+#         same pre-reduction in raw XLA and materialized 29 full
+#         (n, W) intermediates (measured 194 s vs v1's 6 s on the
+#         16 MB corpus) -- the fusion Pallas provides is the point.
+# v3 is the TPU default; v1 remains the CPU/testing path (v3 runs
+# under pallas interpret mode off-TPU for correctness tests).
 import os as _os_mod
-_V2 = _os_mod.environ.get("BROTLI_TPU_DP_V2", "0") == "1"
+
+
+def _dp_mode() -> str:
+    forced = _os_mod.environ.get("BROTLI_TPU_DP", "")
+    if forced in ("v1", "v3"):
+        return forced
+    from ..utils.jaxcfg import backend_or_cpu
+    return "v3" if backend_or_cpu() == "tpu" else "v1"
 
 
 def _bucket(n: int) -> int:
@@ -150,12 +164,12 @@ def _level_candidates(w, pos, npos, max_distance, nslots, hval):
     return cand_packed
 
 
-@jax.jit
-def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
-                  dist_sym_bits_q, seed_pos, seed_len, seed_dist):
-    """Candidates (tiered sort-carry levels) + continuation edges +
-    literal costs, emitted in blocked (B, nslots, nb) layout for the
-    DP scan."""
+def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
+                 seed_pos, seed_len, seed_dist):
+    """Per-slot edges shared by the v1 and v3 pipelines: tiered
+    sort-carry candidate levels + seed continuation edges, flat
+    (nslots, n) layout, block-boundary clipped. Returns
+    (ls_flat, cs_flat, ds_flat)."""
     n = data.shape[0]
     d32 = data.astype(jnp.uint32)
     nw = CAPD // 4
@@ -202,24 +216,10 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     # the cycle corpus by +3 bytes; the continuation slot already
     # covers the distances the fill can supply)
 
-    # literal cost per position. v1: host prepares litbits_q as a
-    # [p1, byte] (256 x 256) table -- the p1-driven part of the context
-    # model with p2 marginalized out. v2: litbits_q IS the exact
-    # per-position cost (full 2nd-order context + the windowed UTF8
-    # model, computed on host, uint8 at 1/8-bit resolution).
-    if _V2:
-        litq = litbits_q.astype(jnp.int32) * 2
-    else:
-        p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
-        litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
-
-    # per-slot edge (len, dist-costq), flat (nslots, n); one transpose
-    # to the scan's (B, nslots, nb) layout at the end (layout passes
-    # choke on many small per-slot transposes). The copy-code side of
-    # the command cost is added per relaxed length inside the scan --
-    # the rolling W-window gives the all-length relaxation of the
+    # per-slot edge (len, dist-costq), flat (nslots, n). The copy-code
+    # side of the command cost is added per relaxed length downstream
+    # -- the rolling W-window gives the all-length relaxation of the
     # reference zopfli DP for free (the length axis IS the window).
-    nb = n // B
     slots_len = []
     slots_cost = []
     for k in range(num_candidates):
@@ -252,37 +252,31 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     i_in_b = (pos % B)[None, :]
     ls_flat = jnp.minimum(ls_flat, B - i_in_b)
     cs_flat = jnp.where(ls_flat >= 2, cs_flat, 1 << 28)
+    return (ls_flat.astype(jnp.int32), cs_flat.astype(jnp.int32),
+            ds_flat.astype(jnp.int32))
+
+
+@jax.jit
+def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
+                  dist_sym_bits_q, seed_pos, seed_len, seed_dist):
+    """v1 edges: slots + table-marginalized literal costs, emitted in
+    blocked (B, nslots, nb) layout for the all-slots DP scan."""
+    n = data.shape[0]
+    nb = n // B
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ls_flat, cs_flat, ds_flat = _edges_slots(
+        data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
+        seed_dist)
+    nslots = ls_flat.shape[0]
+    # literal cost per position: host prepares litbits_q as a
+    # [p1, byte] (256 x 256) table -- the p1-driven part of the context
+    # model with p2 marginalized out (v3 ships the exact per-position
+    # cost instead; see dp_parse_block_v3).
+    p1 = jnp.where(pos >= 1, jnp.roll(data, 1), 0).astype(jnp.int32)
+    litq = litbits_q.reshape(-1)[(p1 << 8) | data.astype(jnp.int32)]
     # payload = len<<25 | dist: the winning edge's distance rides the
     # DP scan, so backtracking needs no per-slot candidate gathers
     litq_b = litq.reshape(nb, B).T
-    if _V2:
-        # suffix-min over the length axis: column c holds the cheapest
-        # edge of length >= c (its cost + the landed copy-code cost)
-        # and that edge's distance; the scan then relaxes one (nb, W)
-        # table per step instead of reducing nslots slots
-        iota_w = jnp.arange(W, dtype=jnp.int32)
-        INF = jnp.int32(1 << 28)
-        BIGD = jnp.int32(0x7FFFFFFF)
-        Mv = jnp.full((n, W), INF, jnp.int32)
-        for s in range(nslots):
-            hit = (iota_w[None, :] <= ls_flat[s][:, None]) & \
-                (iota_w[None, :] >= 2)
-            Mv = jnp.minimum(Mv, jnp.where(hit, cs_flat[s][:, None],
-                                           INF))
-        PMd = jnp.full((n, W), BIGD, jnp.int32)
-        for s in range(nslots):
-            hit = (iota_w[None, :] <= ls_flat[s][:, None]) & \
-                (iota_w[None, :] >= 2) & \
-                (cs_flat[s][:, None] == Mv)
-            PMd = jnp.minimum(PMd, jnp.where(hit, ds_flat[s][:, None],
-                                             BIGD))
-        copyq_w = copyq[jnp.minimum(iota_w, copyq.shape[0] - 1)]
-        Mv = Mv + copyq_w[None, :]
-        pay = jnp.where(PMd != BIGD, (iota_w[None, :] << 25) | PMd, 0)
-        M_all = Mv.reshape(nb, B, W).transpose(1, 0, 2)
-        P_all = pay.reshape(nb, B, W).transpose(1, 0, 2)
-        return (M_all.astype(jnp.int32), P_all.astype(jnp.int32),
-                litq_b)
     pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
     pd_all = pd_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
     cs_all = cs_flat.reshape(nslots, nb, B).transpose(2, 0, 1)
@@ -351,17 +345,20 @@ def _scan_kernel(pd_all, cs_all, litq_b, copyq):
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
-@jax.jit
-def _scan_kernel_v2(M_all, P_all, litq_b):
-    """The v2 DP wavefront: the edges kernel already reduced the slots
-    into per-position (cost, payload) tables over the W columns, so a
-    step is one (nb, W) compare-update -- nslots-times less sequential
-    work than _scan_kernel."""
+def _scan_math_v3(mp_all, litq_b):
+    """The v3 DP wavefront: the Pallas pre-reduction already collapsed
+    the slots into per-position (cost, payload) tables over the W
+    columns (packed [M | P] in the 128-lane minor dim), so a step is
+    one (nb, W) compare-update -- nslots-times less sequential work
+    than _scan_kernel."""
     INF = jnp.int32(1 << 30)
+    nb = litq_b.shape[1]
 
     def step(carry, xs):
         F, P = carry
-        lq, M, PY = xs  # (nb,), (nb, W), (nb, W)
+        lq, mp = xs  # (nb,), (nb, 2 * W)
+        M = mp[:, :W]
+        PY = mp[:, W:]
         cost_i = F[:, 0]
         pay_i = P[:, 0]
         lv = cost_i + lq
@@ -372,22 +369,18 @@ def _scan_kernel_v2(M_all, P_all, litq_b):
         better = minv < F
         F = jnp.where(better, minv, F)
         P = jnp.where(better, PY, P)
-        F = jnp.concatenate([F[:, 1:], jnp.full((F.shape[0], 1), INF)],
+        F = jnp.concatenate([F[:, 1:], jnp.full((nb, 1), INF)], axis=1)
+        P = jnp.concatenate([P[:, 1:], jnp.zeros((nb, 1), jnp.int32)],
                             axis=1)
-        P = jnp.concatenate([P[:, 1:], jnp.zeros((P.shape[0], 1),
-                                                 jnp.int32)], axis=1)
         return (F, P), pay_i
 
-    nb = litq_b.shape[1]
     F0 = jnp.full((nb, W), INF, jnp.int32).at[:, 0].set(0)
     P0 = jnp.zeros((nb, W), jnp.int32)
-    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0),
-                                      (litq_b, M_all, P_all))
+    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0), (litq_b, mp_all))
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
-@jax.jit
-def _finish_kernel(paymat, npos):
+def _finish_math(paymat, npos):
     """Backtrack every block and compact matches (the payload already
     carries len<<25|dist, so no candidate lookups are needed)."""
     nb = paymat.shape[0]
@@ -419,6 +412,9 @@ def _finish_kernel(paymat, npos):
     return count, jnp.stack([pos_c[:half], pay_c[:half]])
 
 
+_finish_kernel = jax.jit(_finish_math)
+
+
 def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
                    dist_sym_bits_q, seed_pos, seed_len, seed_dist):
     """One segment's optimal parse, entirely on device (three jits;
@@ -426,14 +422,241 @@ def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
     a, b, litq_b = _edges_kernel(
         data, npos, max_distance, litbits_q, copyq, dist_sym_bits_q,
         seed_pos, seed_len, seed_dist)
-    if _V2:
-        paymat = _scan_kernel_v2(a, b, litq_b)
-    else:
-        paymat = _scan_kernel(a, b, litq_b, copyq)
+    paymat = _scan_kernel(a, b, litq_b, copyq)
     return _finish_kernel(paymat, npos)
 
 
-def _cost_tables(data: np.ndarray, seed):
+# ---------------------------------------------------------------------
+# v3 pipeline: Pallas suffix-min pre-reduction + light scan + batched
+# single-transfer collect. One jit per segment (one tunnel dispatch).
+# ---------------------------------------------------------------------
+
+SEG_V3 = 1 << 22          # v3 segment size
+_BUCKETS_V3 = [1 << 21, 1 << 22]
+CAPM_DIV = 8              # batched-collect match cap = bucket // 8
+W_CAND = 33               # candidate slots cap at CAPD=32; only the
+                          # continuation slot reaches W-1
+
+
+def _bucket_v3(n: int) -> int:
+    for b in _BUCKETS_V3:
+        if n <= b:
+            return b
+    return _BUCKETS_V3[-1]
+
+
+def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
+    """Collapse the edge slots of one DP block into dense per-position
+    (cost, payload) tables over the W window columns.
+
+    pd/cs: (nslots, B) packed len<<25|dist and dist-cost per slot;
+    cq: (1, 128) with the per-landed-length copy-code cost in [:W];
+    mp out: (B, 1, 2W) = [M | P] packed so the minor dim is one full
+    128-lane tile. Column c of M = min cost over edges with len >= c,
+    plus copyq[c]; P = (c << 25) | argmin edge's distance.
+
+    This is the reduction round-2's raw-XLA "V2" materialized as 29
+    full (n, W) intermediates (190 s); here each (B, W) tile lives in
+    VMEM/registers and HBM sees only the final packed write."""
+    from jax.experimental import pallas as pl
+    nslots = pd_ref.shape[0]
+    Bk = pd_ref.shape[1]
+    INF = jnp.int32(1 << 28)
+    BIGD = jnp.int32(0x7FFFFFFF)
+    MASK25 = jnp.int32((1 << 25) - 1)
+    CH = 256  # position sub-tiles keep the live (CH, W) temporaries
+              # small; a fori_loop (not an unrolled python loop) so the
+              # VMEM stack is shared across iterations (a full (B, W)
+              # working set register-spilled ~160 MB; 8 unrolled
+              # 512-chunks still overflowed the 16 MB scoped budget)
+
+    def chunk(j, carry):
+        base = pl.multiple_of(j * CH, CH)
+        # candidate slots: lengths <= 32, so only columns 2..32 can hit
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (CH, W_CAND), 1)
+        acc_c = jnp.full((CH, W_CAND), INF, jnp.int32)
+        pay_c = jnp.full((CH, W_CAND), BIGD, jnp.int32)
+        for s in range(nslots - 1):
+            pd = pd_ref[s, pl.ds(base, CH)]
+            ls = pd >> 25
+            ds = pd & MASK25
+            hit = (iota_c <= ls[:, None]) & (iota_c >= 2)
+            v = jnp.where(hit, cs_ref[s, pl.ds(base, CH)][:, None], INF)
+            upd = v < acc_c
+            acc_c = jnp.where(upd, v, acc_c)
+            pay_c = jnp.where(upd, ds[:, None], pay_c)
+        # continuation slot (last) across the full width
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
+        pdk = pd_ref[nslots - 1, pl.ds(base, CH)]
+        lsk = pdk >> 25
+        dsk = pdk & MASK25
+        hitk = (iota_w <= lsk[:, None]) & (iota_w >= 2)
+        vk = jnp.where(hitk, cs_ref[nslots - 1, pl.ds(base, CH)][:, None],
+                       INF)
+        acc = jnp.concatenate(
+            [acc_c, jnp.full((CH, W - W_CAND), INF, jnp.int32)], axis=1)
+        pay = jnp.concatenate(
+            [pay_c, jnp.full((CH, W - W_CAND), BIGD, jnp.int32)],
+            axis=1)
+        upd = vk < acc
+        acc = jnp.where(upd, vk, acc)
+        pay = jnp.where(upd, dsk[:, None], pay)
+        cq = cq_ref[0, :W]
+        m = jnp.where(acc < INF, acc + cq[None, :], jnp.int32(1 << 29))
+        p = jnp.where(pay != BIGD, (iota_w << 25) | pay, 0)
+        mp_ref[pl.ds(base, CH), :] = jnp.concatenate([m, p], axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, Bk // CH, chunk, 0)
+
+
+def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
+    """(nslots, n) slots -> (n, 2W) packed [M | P] tables (one DP block
+    of positions per grid step; rows = positions so both block dims
+    satisfy the (8, 128) tile rule)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    nslots, n = pd_flat.shape
+    nb = n // B
+    return pl.pallas_call(
+        _suffix_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((nslots, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nslots, B), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, 2 * W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * W), jnp.int32),
+        interpret=interpret,
+    )(pd_flat, cs_flat, copyq_row)
+
+
+@functools.partial(jax.jit, static_argnames=("capm", "interpret"))
+def dp_parse_block_v3(data, npos, max_distance, litq_u8, copyq_row,
+                      dist_sym_bits_q, seed_pos, seed_len, seed_dist,
+                      *, capm, interpret=False):
+    """One segment's v3 optimal parse as a single dispatch: edges ->
+    Pallas suffix-min -> light scan -> backtrack, with the compacted
+    matches packed for a batched one-transfer collect.
+
+    Returns (packed, full): packed is (2, capm + 8) uint32 with the
+    match count at [0, capm]; full is the uncapped (2, n//2)
+    compaction, fetched only if count overflows capm."""
+    n = data.shape[0]
+    nb = n // B
+    ls_flat, cs_flat, ds_flat = _edges_slots(
+        data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
+        seed_dist)
+    pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
+    mp_flat = _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret)
+    mp_all = mp_flat.reshape(nb, B, 2 * W).transpose(1, 0, 2)
+    # exact per-position literal cost (uint8 at 1/8 bit -> 1/16 units)
+    litq_b = (litq_u8.astype(jnp.int32) * 2).reshape(nb, B).T
+    paymat = _scan_math_v3(mp_all, litq_b)
+    count, stacked = _finish_math(paymat, npos)
+    packed = jnp.zeros((2, capm + 8), jnp.uint32)
+    packed = packed.at[:, :capm].set(stacked[:, :capm])
+    packed = packed.at[0, capm].set(count.astype(jnp.uint32))
+    return packed, stacked
+
+
+@jax.jit
+def _stack_jit(xs):
+    return jnp.stack(xs)
+
+
+def _seg_seed_edges(seeds_list, lo, hi, cap):
+    """Seed matches intersected with segment [lo, hi) (a suffix of an
+    LZ match is a match at the same distance, so a giant match spanning
+    several segments seeds each of them); fixed pad size keeps one
+    compiled shape. Short seeds are redundant with the segment-local
+    candidates and their H2D upload was a measurable stall."""
+    spos_parts, slen_parts, sdist_parts = [], [], []
+    for (qm, ql, qd, qf) in seeds_list:
+        start = np.maximum(qm, lo)
+        end = np.minimum(qm + ql, hi)
+        in_seg = (end - start >= 16) & (qf < 2)
+        spos_parts.append((start[in_seg] - lo).astype(np.int32))
+        slen_parts.append((end - start)[in_seg].astype(np.int32))
+        sdist_parts.append(qd[in_seg].astype(np.int32))
+    spos = np.concatenate(spos_parts)
+    slen = np.concatenate(slen_parts)
+    sdist = np.concatenate(sdist_parts)
+    if len(spos) > cap:  # keep the longest seeds
+        keep = np.argsort(slen)[::-1][:cap]
+        keep.sort()
+        spos, slen, sdist = spos[keep], slen[keep], sdist[keep]
+    pad = cap - len(spos)
+    return (np.pad(spos, (0, pad)), np.pad(slen, (0, pad)),
+            np.pad(sdist, (0, pad)))
+
+
+def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
+    """Dispatch every segment's v3 DP (async; one jit call each)."""
+    litpos, copyq, distq = tables
+    copyq_row = np.zeros((1, 128), np.int32)
+    copyq_row[0, :W] = copyq[:W]
+    cq = jnp.asarray(copyq_row)
+    dq = jnp.asarray(distq)
+    from ..utils.jaxcfg import backend_or_cpu
+    interp = backend_or_cpu() != "tpu"
+    handles = []
+    for lo in range(0, n, SEG_V3):
+        hi = min(lo + SEG_V3, n)
+        b = _bucket_v3(hi - lo)
+        capm = b // CAPM_DIV
+        padded = np.zeros(b, np.uint8)
+        padded[:hi - lo] = arr[lo:hi]
+        lit = np.zeros(b, np.uint8)
+        lit[:hi - lo] = litpos[lo:hi]
+        spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi, b // 32)
+        npos = max(hi - lo - 3, 0)
+        packed, full = dp_parse_block_v3(
+            jnp.asarray(padded), jnp.int32(npos),
+            jnp.int32(max_distance), jnp.asarray(lit), cq, dq,
+            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist),
+            capm=capm, interpret=interp)
+        handles.append((lo, capm, packed, full))
+    return handles
+
+
+def _collect_v3(handles):
+    """One stacked D2H per packed shape (the tunnel charges ~0.6 s per
+    transfer regardless of size, so segment results ship together)."""
+    groups = {}
+    for i, (_lo, _capm, packed, _full) in enumerate(handles):
+        groups.setdefault(packed.shape, []).append(i)
+    fetched = [None] * len(handles)
+    for _shape, idxs in groups.items():
+        if len(idxs) == 1:
+            fetched[idxs[0]] = np.asarray(handles[idxs[0]][2])
+        else:
+            host = np.asarray(_stack_jit(
+                tuple(handles[i][2] for i in idxs)))
+            for j, i in enumerate(idxs):
+                fetched[i] = host[j]
+    all_m, all_l, all_d = [], [], []
+    for (lo, capm, _packed, full), hp in zip(handles, fetched):
+        cnt = int(hp[0, capm])
+        if cnt > capm:  # rare overflow: fetch the uncapped compaction
+            hostf = np.asarray(full)
+            pos_c, pay_c = hostf[0, :cnt], hostf[1, :cnt]
+        else:
+            pos_c, pay_c = hp[0, :cnt], hp[1, :cnt]
+        if cnt == 0:
+            continue
+        all_m.append(pos_c.astype(np.int64) + lo)
+        all_l.append((pay_c >> 25).astype(np.int64))
+        all_d.append((pay_c & np.uint32((1 << 25) - 1)).astype(np.int64))
+    return all_m, all_l, all_d
+
+
+def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
     """Host-side cost tables from the seed parse (a few KB; avoids
     CostModel's per-position arrays -- the device computes those)."""
     from ..enc.optimal import QB as QBH, CMD_BASE_Q
@@ -511,7 +734,7 @@ def _cost_tables(data: np.ndarray, seed):
     # clustering losses the ideal entropy table does not see
     import os as _os
     _sur = float(_os.environ.get("BROTLI_TPU_LIT_SURCHARGE", "1.1"))
-    if not _V2:
+    if not exact_lit:
         # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1
         # takes only a handful of values -- weight each by
         # P(lut1[p2] | p1) over adjacent byte pairs (sampled: the mix
@@ -533,22 +756,34 @@ def _cost_tables(data: np.ndarray, seed):
         l0 = lut[0][np.arange(256)].astype(np.int64)
         for j, v in enumerate(vals):
             tab += wt[:, j:j + 1] * bits[l0 | v]
-    if _V2:
+    if exact_lit:
         # exact per-position literal cost (full 2nd-order context
-        # model + the windowed UTF8 model, like the host DP) -- the v2
-        # kernel takes it directly instead of a marginalized table
-        cid_all = (lut[0][np.concatenate([[0], data[:-1]]).astype(
-            np.int64)] | lut[1][np.concatenate(
-                [[0, 0], data[:-2]]).astype(np.int64)])
-        litpos = bits[cid_all, data.astype(np.int64)]
-        from ..enc.literal_cost import (estimate_literal_bits,
-                                        is_mostly_utf8)
-        if (_os.environ.get("BROTLI_TPU_LIT_UTF8", "1") == "1"
-                and is_mostly_utf8(data)):
-            u = estimate_literal_bits(np.asarray(data))
-            litpos = (litpos + u) / 2
-        litbits_q = np.clip(np.round(litpos * _sur * QBH / 2), 0,
-                            255).astype(np.uint8)
+        # model + the windowed UTF8 model, like the host DP) -- the v3
+        # path ships it per segment instead of a marginalized table.
+        # Native fast path: one O(n) C pass (the numpy window model
+        # measured ~25 s on 16 MB).
+        use_u = _os.environ.get("BROTLI_TPU_LIT_UTF8", "1") == "1"
+        litbits_q = None
+        try:
+            from .. import native
+            litbits_q = native.lit_cost(
+                np.ascontiguousarray(data).tobytes(), m, lens,
+                surcharge=_sur, use_utf8=use_u)
+        except (ImportError, OSError, ValueError,
+                subprocess.CalledProcessError):
+            pass
+        if litbits_q is None:
+            cid_all = (lut[0][np.concatenate([[0], data[:-1]]).astype(
+                np.int64)] | lut[1][np.concatenate(
+                    [[0, 0], data[:-2]]).astype(np.int64)])
+            litpos = bits[cid_all, data.astype(np.int64)]
+            from ..enc.literal_cost import (estimate_literal_bits,
+                                            is_mostly_utf8)
+            if use_u and is_mostly_utf8(data):
+                u = estimate_literal_bits(np.asarray(data))
+                litpos = (litpos + u) / 2
+            litbits_q = np.clip(np.round(litpos * _sur * QBH / 2), 0,
+                                255).astype(np.uint8)
     else:
         litbits_q = np.minimum(tab * _sur * QBH, 24 * QBH).astype(
             np.int32)
@@ -622,80 +857,58 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     # seed overlaps their dispatch; device sort-carry is the fallback.
     with trace.stage("dp.seed"):
         seed = _seed_parse(arr, max_distance, base)
-    sm, sl, sd, sf = seed
+    mode = _dp_mode()
     m = lens = dists = None
     for it in range(iterations):
         prev = seed if it == 0 else (m, lens, dists,
                                      np.zeros(len(m), np.int64))
         with trace.stage("dp.cost-tables"):
-            tables = _cost_tables(arr, prev)
-        # v2: tables[0] is the exact per-position literal cost (uint8)
-        # and ships per segment; v1's (256, 256) table uploads once
-        dev_tables = [None if _V2 else jnp.asarray(tables[0]),
-                      jnp.asarray(tables[1]), jnp.asarray(tables[2])]
-        handles = []
-        for lo in range(0, n, SEG):
-            hi = min(lo + SEG, n)
-            chunk = arr[lo:hi]
-            b = _bucket(len(chunk))
-            padded = np.zeros(b, np.uint8)
-            padded[:len(chunk)] = chunk
-            if _V2:
-                litseg = np.zeros(b, np.uint8)
-                litseg[:len(chunk)] = tables[0][lo:hi]
-                dev_tables[0] = jnp.asarray(litseg)
-            npos = max(len(chunk) - 3, 0)
-            # seed matches intersected with the segment (a suffix of an
-            # LZ match is a match at the same distance, so a giant match
-            # spanning several segments seeds each of them); fixed pad
-            # size keeps one compiled shape. Later iterations seed with
-            # the union of the greedy parse and the previous DP parse.
-            spos_parts, slen_parts, sdist_parts = [], [], []
-            for (qm, ql, qd, qf) in ([seed] if it == 0 else
-                                     [seed, prev]):
-                start = np.maximum(qm, lo)
-                # continuation edges only add value for matches the
-                # segment-local candidates cannot reproduce: longer
-                # runs and cross-boundary sources. Short seeds are
-                # redundant and their H2D upload (3MB/segment through
-                # the tunnel) was a measurable stall.
-                end = np.minimum(qm + ql, hi)
-                in_seg = (end - start >= 16) & (qf < 2)
-                spos_parts.append((start[in_seg] - lo).astype(np.int32))
-                slen_parts.append((end - start)[in_seg].astype(np.int32))
-                sdist_parts.append(qd[in_seg].astype(np.int32))
-            spos = np.concatenate(spos_parts)
-            slen = np.concatenate(slen_parts)
-            sdist = np.concatenate(sdist_parts)
-            cap = SEG // 32
-            if len(spos) > cap:  # keep the longest seeds
-                keep = np.argsort(slen)[::-1][:cap]
-                keep.sort()
-                spos, slen, sdist = spos[keep], slen[keep], sdist[keep]
-            pad = cap - len(spos)
-            spos = np.pad(spos, (0, pad))
-            slen = np.pad(slen, (0, pad))
-            sdist = np.pad(sdist, (0, pad))
-            # async dispatch: H2D/compute/D2H pipeline across segments
-            handles.append((lo, dp_parse_block(
-                jnp.asarray(padded), jnp.int32(npos),
-                jnp.int32(max_distance), *dev_tables,
-                jnp.asarray(spos), jnp.asarray(slen),
-                jnp.asarray(sdist))))
+            tables = _cost_tables(arr, prev, exact_lit=(mode == "v3"))
+        # later iterations seed with the union of the greedy parse and
+        # the previous DP parse
+        seeds_list = [seed] if it == 0 else [seed, prev]
+        if mode == "v3":
+            with trace.stage("dp.device"):
+                handles = _dispatch_v3(arr, n, max_distance, tables,
+                                       seeds_list)
+                all_m, all_l, all_d = _collect_v3(handles)
+        else:
+            dev_tables = [jnp.asarray(t) for t in tables]
+            handles = []
+            for lo in range(0, n, SEG):
+                hi = min(lo + SEG, n)
+                chunk = arr[lo:hi]
+                b = _bucket(len(chunk))
+                padded = np.zeros(b, np.uint8)
+                padded[:len(chunk)] = chunk
+                npos = max(len(chunk) - 3, 0)
+                spos, slen, sdist = _seg_seed_edges(
+                    seeds_list, lo, hi, SEG // 32)
+                # async dispatch: H2D/compute/D2H pipeline across segs
+                handles.append((lo, dp_parse_block(
+                    jnp.asarray(padded), jnp.int32(npos),
+                    jnp.int32(max_distance), *dev_tables,
+                    jnp.asarray(spos), jnp.asarray(slen),
+                    jnp.asarray(sdist))))
 
-        if on_block is not None:
-            assert iterations == 1 and mb_size is not None
-            _stream_blocks(arr, handles, n, mb_size, max_distance,
-                           base, on_block)
-            return None
-        all_m, all_l, all_d = [], [], []
-        for lo, (count, out) in handles:
-            mm, ml, md = _collect_segment(lo, count, out)
-            if len(mm):
-                all_m.append(mm)
-                all_l.append(ml)
-                all_d.append(md)
+            if on_block is not None:
+                assert iterations == 1 and mb_size is not None
+                _stream_blocks(arr, handles, n, mb_size, max_distance,
+                               base, on_block)
+                return None
+            all_m, all_l, all_d = [], [], []
+            for lo, (count, out) in handles:
+                mm, ml, md = _collect_segment(lo, count, out)
+                if len(mm):
+                    all_m.append(mm)
+                    all_l.append(ml)
+                    all_d.append(md)
         if not all_m:
+            if on_block is not None:
+                _emit_spans(arr, np.zeros(0, np.int64),
+                            np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            n, mb_size, max_distance, base, on_block)
+                return None
             z = np.zeros(0, np.int64)
             return z, z, z, z
         m = np.concatenate(all_m)
@@ -704,6 +917,10 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         from ..enc.optimal import bridge_matches
         m, lens, dists, _f = bridge_matches(arr, *_coalesce(
             m, lens, dists, np.zeros(len(m), np.int64)))
+    if on_block is not None:  # v3 streaming: emit spans after collect
+        _emit_spans(arr, m, lens, dists, n, mb_size, max_distance,
+                    base, on_block)
+        return None
     flags = np.zeros(len(m), np.int64)
     with trace.stage("dp.dict-post"):
         return add_dictionary_matches(arr, m, lens, dists, flags,
@@ -764,3 +981,27 @@ def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
                 active_from=emitted)
             on_block(emitted, mb_hi, (bm, bl, bd, bf))
             emitted = mb_hi
+
+
+def _emit_spans(arr, m, lens, dists, n, mb_size, max_distance, base,
+                on_block):
+    """Emit the finished parse as metablock spans (v3 streaming tail:
+    the batched collect already has the whole parse; the consumer
+    thread still overlaps dictionary post-pass + serialization)."""
+    from ..enc.matcher import add_dictionary_matches, split_matches_at
+
+    pm, pl, pd = m, lens, dists
+    emitted = 0
+    while emitted < n:
+        mb_hi = min(emitted + mb_size, n)
+        pm, pl, pd, _pf = split_matches_at(
+            pm, pl, pd, np.zeros(len(pm), np.int64), [mb_hi, n + 1])
+        take = pm < mb_hi
+        bm, bl, bd = pm[take], pl[take], pd[take]
+        pm, pl, pd = pm[~take], pl[~take], pd[~take]
+        bf = np.zeros(len(bm), np.int64)
+        bm, bl, bd, bf = add_dictionary_matches(
+            arr[:mb_hi], bm, bl, bd, bf, max_distance, base,
+            active_from=emitted)
+        on_block(emitted, mb_hi, (bm, bl, bd, bf))
+        emitted = mb_hi

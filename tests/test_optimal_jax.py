@@ -81,7 +81,9 @@ def test_cost_tables_cover_unseen_bytes(testdata):
 
 def test_streamed_q11_matches_batch(small_segments, testdata, ref_cli):
     """The pipelined q11 encode (serialization overlapped with device
-    compute) must produce byte-identical output to the batch path."""
+    compute; native matches-array serializer with byte-aligned span
+    stitches) must be reference-decodable and within a whisker of the
+    batch path's size (spans add ~2 bytes of flush stitch each)."""
     import subprocess
     from brotli_tpu.enc import bitstream, encoder as E
     from brotli_tpu.format.bitio import BitWriter
@@ -90,9 +92,7 @@ def test_streamed_q11_matches_batch(small_segments, testdata, ref_cli):
         (testdata / "asyoulik.txt").read_bytes()
     arr = np.frombuffer(data, np.uint8)
     maxback = C.max_backward_distance(22)
-    bw = BitWriter()
-    bitstream.write_stream_header(bw, 22)
-    comp = E._encode_q11_streamed(bw, arr, len(arr), maxback, 11, 17)
+    comp = E._encode_q11_streamed(arr, len(arr), maxback, 11, 17, 22)
     r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
                        capture_output=True)
     assert r.returncode == 0 and r.stdout == data
@@ -102,4 +102,5 @@ def test_streamed_q11_matches_batch(small_segments, testdata, ref_cli):
     E._write_blocks(bw2, arr, 0, len(arr), m, 17, is_last=True,
                     ring=None, quality=11, ctx_floor=0)
     bw2.align_to_byte()
-    assert comp == bw2.getvalue()
+    batch = bw2.getvalue()
+    assert len(comp) < len(batch) * 1.02 + 64
