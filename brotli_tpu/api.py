@@ -145,10 +145,37 @@ def subprocess_error():
 
 def decompress_concatenated(string) -> bytes:
     """Decode back-to-back concatenated streams (parity: the reference
-    CLI's brcat / --concatenated mode, c/tools/brotli.c -K)."""
-    from .format.bitio import BitReader
-    from .dec.decoder import Decoder
+    CLI's brcat / --concatenated mode, c/tools/brotli.c -K).
+
+    Native fast path: the chunked C decoder reports the exact consumed
+    offset of each stream end, so every stream decodes at native
+    speed; the spec-driven Python decoder remains the fallback."""
     data = bytes(string)
+    import os
+    native_mod = None
+    if os.environ.get("BROTLI_TPU_DECODER", "native") == "native":
+        try:
+            from . import native as native_mod
+            native_mod.get_lib()
+        except (ImportError, OSError, subprocess_error()):
+            native_mod = None
+    if native_mod is not None:
+        out = []
+        offset = 0
+        while offset < len(data):
+            sd = native_mod.StreamDecoder(allow_trailing=True)
+            try:
+                out.append(sd.feed(data[offset:]))
+            except native_mod.DecodeError as e:
+                raise error(str(e)) from e
+            if not sd.finished:
+                raise error("truncated concatenated stream")
+            consumed = sd.consumed
+            if consumed == 0:
+                raise error("stalled decoding concatenated stream")
+            offset += consumed
+        return b"".join(out)
+    from .dec.decoder import Decoder
     out = []
     offset = 0
     while offset < len(data):

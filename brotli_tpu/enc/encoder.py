@@ -373,11 +373,13 @@ class StreamingEncoder:
         self._bw = BitWriter()
         self._history = bytearray()
         self._ring = None
-        # native streaming path (persistent hash-chain state across
-        # chunks; no re-finding over history): q0-9, generic mode
+        # native streaming path (persistent hash/DP state across
+        # chunks; no re-finding over history): every quality incl. the
+        # q10/11 optimal-parse tier (flush = O(chunk); parity:
+        # encode.h:100-116), generic mode
         self._native = None
         enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
-        if enc_sel != "python" and quality <= 9 and mode == 0:
+        if enc_sel != "python" and mode == 0:
             try:
                 from .. import native
                 self._native = native.StreamEncoder(self.params[0],

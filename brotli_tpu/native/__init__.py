@@ -124,6 +124,9 @@ def get_lib():
         lib.btpu_dec_consumed.restype = ctypes.c_size_t
         lib.btpu_dec_finished.argtypes = [ctypes.c_void_p]
         lib.btpu_dec_finished.restype = ctypes.c_int
+        lib.btpu_dec_allow_trailing.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int]
+        lib.btpu_dec_allow_trailing.restype = None
         lib.btpu_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -367,12 +370,17 @@ class StreamDecoder:
     input; each feed() returns the newly decoded bytes. `finished`
     mirrors dec/stream.StreamDecoder."""
 
-    def __init__(self, compound: bytes = b"", large_window: bool = False):
+    def __init__(self, compound: bytes = b"", large_window: bool = False,
+                 allow_trailing: bool = False):
         from ..format.dictionary import dictionary_data
         self._lib = get_lib()
         self._st = self._lib.btpu_dec_new()
         if not self._st:
             raise MemoryError("decoder state")
+        if allow_trailing:
+            # brcat mode: bytes after the stream end belong to the
+            # next concatenated stream (`consumed` marks the boundary)
+            self._lib.btpu_dec_allow_trailing(self._st, 1)
         self._dict = dictionary_data()
         self._compound = bytes(compound or b"")
         self._large = 1 if large_window else 0
@@ -404,6 +412,15 @@ class StreamDecoder:
         if rc == 0 and self._lib.btpu_dec_finished(self._st):
             self.finished = True
         return out
+
+    @property
+    def consumed(self) -> int:
+        """Absolute input bytes consumed so far (after `finished`,
+        the exact end of the stream -- the brcat concatenation
+        point)."""
+        if self._st is None:
+            raise ValueError("decoder closed")
+        return int(self._lib.btpu_dec_consumed(self._st))
 
     def __del__(self):
         st = getattr(self, "_st", None)

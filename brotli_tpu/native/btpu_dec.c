@@ -488,6 +488,8 @@ typedef struct {
   size_t out_dropped;  /* output prefix trimmed away (absolute bytes) */
   size_t delivered;
   size_t last_attempt; /* ABSOLUTE input bytes at last incomplete try */
+  int allow_trailing;  /* brcat mode: bytes after stream end are the
+                          next stream, not garbage */
 } DecStream;
 
 /* `in` may be a TAIL of the logical stream starting at absolute byte
@@ -850,7 +852,9 @@ header_ready:;
       goto hard;
     }
   }
-  if (((br.bitpos + 7) >> 3) < br.len || (is_final && br.bitpos != br.len * 8)) {
+  if (!(S && S->allow_trailing && S->finished) &&
+      (((br.bitpos + 7) >> 3) < br.len ||
+       (is_final && br.bitpos != br.len * 8))) {
     e = ERR_PADDING_2;
     goto hard;
   }
@@ -923,7 +927,9 @@ int btpu_dec_chunk(void* st, const uint8_t* in_tail, size_t in_len,
   if (!S) return ERR_FORMAT;
   if (in_base * 8 > S->bitpos) return ERR_FORMAT; /* dropped too much */
   if (S->finished) {
-    if (in_base + in_len > ((S->bitpos + 7) >> 3)) return ERR_PADDING_2;
+    if (!S->allow_trailing &&
+        in_base + in_len > ((S->bitpos + 7) >> 3))
+      return ERR_PADDING_2;
     return 0;
   }
   if (!is_final && S->last_attempt &&
@@ -965,6 +971,14 @@ int btpu_dec_chunk(void* st, const uint8_t* in_tail, size_t in_len,
 size_t btpu_dec_consumed(void* st) {
   DecStream* S = (DecStream*)st;
   return S ? S->bitpos >> 3 : 0;
+}
+
+/* brcat / -K mode: input bytes beyond the stream end belong to the
+   NEXT concatenated stream (btpu_dec_consumed() marks the boundary)
+   instead of being padding garbage. */
+void btpu_dec_allow_trailing(void* st, int v) {
+  DecStream* S = (DecStream*)st;
+  if (S) S->allow_trailing = v;
 }
 
 int btpu_dec_finished(void* st) {

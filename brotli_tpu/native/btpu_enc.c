@@ -2391,6 +2391,9 @@ static inline float opt_dist_cost(const OptCost* oc, uint32_t dist) {
 }
 
 
+static int utf8_window_cost(const uint8_t* data, size_t lo, size_t hi,
+                            float* ucost);
+
 /* Build the cost model from a seed command array (costs mirror
    ops/optimal_jax._cost_tables: +1 smoothing, 1.1 literal surcharge,
    measured insert share, 1-bit command floor). */
@@ -2462,6 +2465,24 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
       oc->litc[pp - lo] = bits_tab[(size_t)cx * 256 + data[pp]];
     }
     free(bits_tab);
+    }
+    /* literal-model mode (BTPU_OPT_LIT_MODE): ctx (default) prices
+       literals by the seed parse's 2nd-order context histogram; win
+       swaps in the reference's UTF8 sliding-window model
+       (literal_cost.c); blend averages the two (the device DP's
+       exact-lit blend) */
+    const char* lm = getenv("BTPU_OPT_LIT_MODE");
+    if (lm && (lm[0] == 'w' || lm[0] == 'b')) {
+      float* uc = (float*)malloc((hi - lo) * sizeof(float));
+      if (uc && utf8_window_cost(data, lo, hi, uc) == 0) {
+        double ls = opt_lit_scale();
+        for (size_t pp = lo; pp < hi; pp++) {
+          float w = (float)(uc[pp - lo] * ls);
+          oc->litc[pp - lo] = lm[0] == 'w'
+              ? w : 0.5f * (oc->litc[pp - lo] + w);
+        }
+      }
+      free(uc);
     }
   }
   free(lh);
@@ -2953,13 +2974,16 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   cfg_seed.use_dict = 0;
   memset(&cfg_dp, 0, sizeof(cfg_dp));
   cfg_dp.hbits = 16;
-  /* q11 sweep on the 16MB corpus: 128-entry rings, deep first walk,
-     shallow recost walk (540,088 B @ 7.2 MB/s beats 64/64/64's
-     541,935 @ 8.9 and 128/128/128's 540,291 @ 7.0); q10 depth 64
-     reaches reference-q10 size parity (538,524 vs 538,204) while
-     staying faster than its 8.9 MB/s */
-  cfg_dp.block_bits = quality >= 11 ? 7 : 6;
-  cfg_dp.depth = quality >= 11 ? 128 : 64;
+  /* q11: 2048-entry rings (block_bits 11). The reference's H10
+     binary tree remembers window-wide sources; 128-entry rings forgot
+     far occurrences of common 4-grams and lost ~1,300 long matches at
+     median distance ~150 KB on plrabn12 alone (round-3 sweep:
+     Canterbury-4+maps 529,345 -> 527,314, +0.8 s on 1.6 MB). RSS
+     stays modest: calloc maps lazily, so pages materialize only for
+     touched ring slots (~bytes inserted). q10 keeps the fast
+     64-entry config (reference-q10 size parity at higher speed). */
+  cfg_dp.block_bits = quality >= 11 ? 11 : 6;
+  cfg_dp.depth = quality >= 11 ? 2048 : 64;
   cfg_dp.lazy = 0;
   cfg_dp.min_len = 4;
   cfg_dp.use_dict = 1;
@@ -3781,12 +3805,21 @@ typedef struct {
   Cmd* cmds;
   size_t ncmd, cmd_cap;
   int started, finished;
+  /* q10/11 opt-tier streaming (NULL below q10): persistent DP hash
+     states + scratch so every flush runs seed -> cost model -> DP
+     only over the NEW bytes (O(chunk) flushes at the default
+     quality; parity contract: encode.h:100-116) */
+  MatchCfg cfg_dp, cfg_dp2;
+  float* odp;
+  uint32_t *oblen, *obcpy, *obdist, *olastm;
+  OptCost oc;
 } EncStream;
 
 #define SPAD 16 /* zero slack past the buffered end for 64-bit loads */
 
 void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
-  if (quality < 0 || quality > 9 || lgwin < 10 || lgwin > 30) return NULL;
+  if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 30)
+    return NULL;
   EncStream* S = (EncStream*)calloc(1, sizeof(EncStream));
   if (!S) return NULL;
   S->e.quality = quality;
@@ -3798,7 +3831,10 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
   memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
   S->e.pm.w = (uint64_t*)malloc(sizeof(uint64_t) * 16 * 2 * 1200);
   S->e.pm.leaf = (uint8_t*)malloc(16 * 2 * 1200);
-  cfg_for_quality(&S->cfg, quality);
+  /* q10/11: S->cfg is the q7-grade SEED matcher; the DP walks its own
+     deep rings (mirrors btpu_encode_opt_impl) */
+  cfg_for_quality(&S->cfg, quality >= 10 ? 7 : quality);
+  if (quality >= 10) S->cfg.use_dict = 0;
   if (S->cfg.use_dict && dict_blob) {
     if (dict_index_init(dict_blob)) S->cfg.use_dict = 0;
   } else if (S->cfg.use_dict && !g_dict.ready) {
@@ -3810,10 +3846,57 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
   S->cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
   S->cmd_cap = 1 << 12;
   S->cmds = (Cmd*)malloc(sizeof(Cmd) * S->cmd_cap);
-  if (!S->e.pm.w || !S->e.pm.leaf || !S->cfg.bucket || !S->cfg.num ||
-      !S->cmds) {
+  int ok = S->e.pm.w && S->e.pm.leaf && S->cfg.bucket && S->cfg.num &&
+           S->cmds;
+  if (ok && quality >= 10) {
+    size_t mb_max = (size_t)1 << 22;
+    memset(&S->cfg_dp, 0, sizeof(S->cfg_dp));
+    S->cfg_dp.hbits = 16;
+    S->cfg_dp.block_bits = quality >= 11 ? 11 : 6;
+    S->cfg_dp.depth = quality >= 11 ? 2048 : 64;
+    S->cfg_dp.lazy = 0;
+    S->cfg_dp.min_len = 4;
+    S->cfg_dp.use_dict = 1;
+    S->cfg_dp.h4 = 1;
+    if (dict_blob) {
+      if (dict_index_init(dict_blob)) S->cfg_dp.use_dict = 0;
+    } else if (!g_dict.ready) {
+      S->cfg_dp.use_dict = 0;
+    }
+    S->cfg_dp.bucket = (uint32_t*)calloc(
+        (size_t)1 << (S->cfg_dp.hbits + S->cfg_dp.block_bits),
+        sizeof(uint32_t));
+    S->cfg_dp.num = (uint32_t*)calloc((size_t)1 << S->cfg_dp.hbits,
+                                      sizeof(uint32_t));
+    S->cfg_dp2 = S->cfg_dp;
+    S->cfg_dp2.depth = 32;
+    S->cfg_dp2.bucket = NULL;
+    S->cfg_dp2.num = NULL;
+    if (quality >= 11) {
+      S->cfg_dp2.bucket = (uint32_t*)calloc(
+          (size_t)1 << (S->cfg_dp2.hbits + S->cfg_dp2.block_bits),
+          sizeof(uint32_t));
+      S->cfg_dp2.num = (uint32_t*)calloc(
+          (size_t)1 << S->cfg_dp2.hbits, sizeof(uint32_t));
+    }
+    S->odp = (float*)malloc(sizeof(float) * (mb_max + 1));
+    S->oblen = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+    S->obcpy = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+    S->obdist = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+    S->olastm = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
+    S->oc.dalpha = S->e.dist_alpha;
+    S->oc.ctx_mode_force = -1;
+    S->oc.litc = (float*)malloc(sizeof(float) * mb_max);
+    ok = S->cfg_dp.bucket && S->cfg_dp.num && S->odp && S->oblen &&
+         S->obcpy && S->obdist && S->olastm && S->oc.litc &&
+         (quality < 11 || (S->cfg_dp2.bucket && S->cfg_dp2.num));
+  }
+  if (!ok) {
     free(S->e.pm.w); free(S->e.pm.leaf); free(S->cfg.bucket);
-    free(S->cfg.num); free(S->cmds); free(S);
+    free(S->cfg.num); free(S->cmds); free(S->cfg_dp.bucket);
+    free(S->cfg_dp.num); free(S->cfg_dp2.bucket); free(S->cfg_dp2.num);
+    free(S->odp); free(S->oblen); free(S->obcpy); free(S->obdist);
+    free(S->olastm); free(S->oc.litc); free(S);
     return NULL;
   }
   return S;
@@ -3825,6 +3908,10 @@ void btpu_enc_free_stream(void* p) {
   free(S->e.pm.w); free(S->e.pm.leaf); free(S->e.plan);
   free(S->cfg.bucket); free(S->cfg.num);
   free(S->cmds); free(S->buf); free(S->e.bw.buf);
+  free(S->cfg_dp.bucket); free(S->cfg_dp.num);
+  free(S->cfg_dp2.bucket); free(S->cfg_dp2.num);
+  free(S->odp); free(S->oblen); free(S->obcpy); free(S->obdist);
+  free(S->olastm); free(S->oc.litc);
   free(S);
 }
 
@@ -3961,6 +4048,83 @@ static void stream_trim(EncStream* S) {
   S->len -= drop;
 }
 
+/* q10/11 streaming consume: seed -> cost model -> DP -> emit per
+   metablock over [S->pos, until), with ALL hash/ring/window state
+   persistent across calls -- a flush costs O(new bytes), never a
+   re-find over history (the round-2 gap this closes: the default
+   Compressor quality is 11). `last` marks the metablock ending at
+   `until` as ISLAST. */
+static int opt_stream_consume(EncStream* S, size_t until, int last) {
+  const uint8_t* data = S->buf - S->base;
+  size_t n = S->base + S->len;
+  const size_t mb_target = (size_t)1 << 22;
+  int rc = 0;
+  while (S->pos < until) {
+    size_t lo = S->pos;
+    size_t hi = lo + mb_target < until ? lo + mb_target : until;
+    Cmd* seed = NULL;
+    size_t nseed = 0;
+    rc = opt_seed_pass(data, n, lo, hi, S->e.maxback, &S->cfg,
+                       S->sim_ring, &seed, &nseed);
+    if (rc) return rc;
+    if (nseed > S->e.plan_cap) {
+      free(S->e.plan);
+      S->e.plan_cap = nseed + 64;
+      S->e.plan = (Plan*)malloc(sizeof(Plan) * S->e.plan_cap);
+      if (!S->e.plan) {
+        free(seed);
+        return EERR_ALLOC;
+      }
+    }
+    opt_costs_from_seed(data, lo, hi, seed, nseed, S->e.ring,
+                        S->e.plan, &S->oc);
+    Cmd* cmds = NULL;
+    size_t ncmd = 0;
+    rc = opt_parse_block(data, n, lo, hi, S->e.maxback, &S->cfg_dp,
+                         seed, nseed, S->e.ring, &S->oc, S->odp,
+                         S->oblen, S->obcpy, S->obdist, S->olastm,
+                         &cmds, &ncmd);
+    free(seed);
+    if (rc) return rc;
+    if (S->e.quality >= 11) { /* recost iteration (ZopfliIterate) */
+      if (ncmd > S->e.plan_cap) {
+        free(S->e.plan);
+        S->e.plan_cap = ncmd + 64;
+        S->e.plan = (Plan*)malloc(sizeof(Plan) * S->e.plan_cap);
+        if (!S->e.plan) {
+          free(cmds);
+          return EERR_ALLOC;
+        }
+      }
+      opt_costs_from_seed(data, lo, hi, cmds, ncmd, S->e.ring,
+                          S->e.plan, &S->oc);
+      Cmd* cmds2 = NULL;
+      size_t ncmd2 = 0;
+      rc = opt_parse_block(data, n, lo, hi, S->e.maxback, &S->cfg_dp2,
+                           cmds, ncmd, S->e.ring, &S->oc, S->odp,
+                           S->oblen, S->obcpy, S->obdist, S->olastm,
+                           &cmds2, &ncmd2);
+      if (rc) {
+        free(cmds);
+        return rc;
+      }
+      free(cmds);
+      cmds = cmds2;
+      ncmd = ncmd2;
+    }
+    S->e.data = data;
+    rc = emit_metablock(&S->e, cmds, ncmd, lo, hi,
+                        last && hi >= until);
+    free(cmds);
+    if (rc) return rc;
+    memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+    S->pos = hi;
+    S->lit_start = hi;
+    S->mb_lo = hi;
+  }
+  return 0;
+}
+
 /* op: 0 = process (buffer, bounded emit), 1 = flush, 2 = finish.
    Emits accumulated output bytes (possibly none for op 0). */
 int btpu_enc_chunk(void* p, const uint8_t* in, size_t in_len, int op,
@@ -3992,43 +4156,65 @@ int btpu_enc_chunk(void* p, const uint8_t* in, size_t in_len, int op,
     S->pos = S->lit_start = S->mb_lo = 0;
   }
   size_t n = S->base + S->len;
+  int opt = S->e.quality >= 10;
   if (op == 0) {
-    /* consume all but a lazy-window tail; metablocks emit as they fill */
+    /* consume all but a lazy-window tail; metablocks emit as they fill
+       (q10/11: only FULL metablocks -- a partial span waits for more
+       input or a flush, so mid-stream commands never split early) */
     size_t hold = 512;
-    if (n > S->pos + hold) rc = stream_consume(S, n - hold);
-  } else {
-    rc = stream_consume(S, n);
-    if (rc == 0 && S->pos < n) { /* sparse-probe overshoot guard */
-      S->pos = n;
-    }
-    if (rc == 0) {
-      int is_last = (op == 2);
-      if (S->lit_start < n) {
-        rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0, 0);
-        S->lit_start = n;
+    if (n > S->pos + hold) {
+      size_t tgt = n - hold;
+      if (opt) {
+        size_t mb = (size_t)1 << 22;
+        size_t full = S->pos + ((tgt - S->pos) / mb) * mb;
+        if (full > S->pos) rc = opt_stream_consume(S, full, 0);
+      } else {
+        rc = stream_consume(S, tgt);
       }
-      if (rc == 0 && n > S->mb_lo) {
-        S->e.data = S->buf - S->base;
-        rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n,
-                            is_last);
-        memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
-        S->ncmd = 0;
-        S->copy_bytes = 0;
-        S->mb_lo = n;
-      } else if (rc == 0 && is_last) {
+    }
+  } else {
+    int is_last = (op == 2);
+    if (opt) {
+      size_t before = S->pos;
+      rc = opt_stream_consume(S, n, is_last);
+      if (rc == 0 && is_last && before >= n) {
         bw_put(&S->e.bw, 1, 1); /* ISLAST */
         bw_put(&S->e.bw, 1, 1); /* ISLASTEMPTY */
       }
-      if (rc == 0 && !is_last) {
-        /* empty metadata block: byte-aligns the flushed prefix */
-        bw_put(&S->e.bw, 0, 1);
-        bw_put(&S->e.bw, 3, 2);
-        bw_put(&S->e.bw, 0, 1);
-        bw_put(&S->e.bw, 0, 2);
+    } else {
+      rc = stream_consume(S, n);
+      if (rc == 0 && S->pos < n) { /* sparse-probe overshoot guard */
+        S->pos = n;
       }
-      if (rc == 0) rc = bw_flush_align(&S->e.bw);
-      if (op == 2) S->finished = 1;
+      if (rc == 0) {
+        if (S->lit_start < n) {
+          rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0,
+                               0);
+          S->lit_start = n;
+        }
+        if (rc == 0 && n > S->mb_lo) {
+          S->e.data = S->buf - S->base;
+          rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n,
+                              is_last);
+          memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+          S->ncmd = 0;
+          S->copy_bytes = 0;
+          S->mb_lo = n;
+        } else if (rc == 0 && is_last) {
+          bw_put(&S->e.bw, 1, 1); /* ISLAST */
+          bw_put(&S->e.bw, 1, 1); /* ISLASTEMPTY */
+        }
+      }
     }
+    if (rc == 0 && !is_last) {
+      /* empty metadata block: byte-aligns the flushed prefix */
+      bw_put(&S->e.bw, 0, 1);
+      bw_put(&S->e.bw, 3, 2);
+      bw_put(&S->e.bw, 0, 1);
+      bw_put(&S->e.bw, 0, 2);
+    }
+    if (rc == 0) rc = bw_flush_align(&S->e.bw);
+    if (rc == 0 && op == 2) S->finished = 1;
   }
   if (rc) return rc;
   stream_trim(S);
@@ -4063,22 +4249,27 @@ int btpu_enc_metadata(void* p, const uint8_t* payload, size_t plen,
     S->started = 1;
   }
   size_t n = S->base + S->len;
-  rc = stream_consume(S, n);
-  if (rc) return rc;
-  if (S->pos < n) S->pos = n;
-  if (S->lit_start < n) {
-    rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0, 0);
+  if (S->e.quality >= 10) {
+    rc = opt_stream_consume(S, n, 0);
     if (rc) return rc;
-    S->lit_start = n;
-  }
-  if (n > S->mb_lo) {
-    S->e.data = S->buf - S->base;
-    rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n, 0);
+  } else {
+    rc = stream_consume(S, n);
     if (rc) return rc;
-    memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
-    S->ncmd = 0;
-    S->copy_bytes = 0;
-    S->mb_lo = n;
+    if (S->pos < n) S->pos = n;
+    if (S->lit_start < n) {
+      rc = stream_push_cmd(S, (uint32_t)(n - S->lit_start), 0, 0, 0);
+      if (rc) return rc;
+      S->lit_start = n;
+    }
+    if (n > S->mb_lo) {
+      S->e.data = S->buf - S->base;
+      rc = emit_metablock(&S->e, S->cmds, S->ncmd, S->mb_lo, n, 0);
+      if (rc) return rc;
+      memcpy(S->sim_ring, S->e.ring, sizeof(S->sim_ring));
+      S->ncmd = 0;
+      S->copy_bytes = 0;
+      S->mb_lo = n;
+    }
   }
   BW* bw = &S->e.bw;
   bw_put(bw, 0, 1);  /* ISLAST = 0 */
@@ -4139,7 +4330,7 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
     cfg_for_quality(&seedc, 7);
     memset(&dpc, 0, sizeof(dpc));
     dpc.hbits = 16;
-    dpc.block_bits = quality >= 11 ? 7 : 6;
+    dpc.block_bits = quality >= 11 ? 11 : 6;
     size_t hashers =
         ((((size_t)1 << (seedc.hbits + seedc.block_bits)) +
           ((size_t)1 << seedc.hbits)) +
@@ -4177,7 +4368,78 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
  * Output is the blended cost quantized to uint8 at 1/8 bit, scaled by
  * `surcharge` (tree-quantization slack, default 1.1). */
 
+
 #define LCW 495 /* sliding half-window (literal_cost.c window) */
+
+/* UTF8 position-in-codepoint sliding-window literal cost over
+   data[lo, hi) into ucost[0, hi-lo) (the literal_cost.c model:
+   +-LCW window of (class, byte) counts, squash, prologue surcharge).
+   Returns 0, or -1 when the region does not sample as UTF8 / OOM. */
+static int utf8_window_cost(const uint8_t* data, size_t lo, size_t hi,
+                            float* ucost) {
+  size_t n = hi - lo;
+  if (n == 0 || choose_ctx_mode(data, lo, hi) != 2) return -1;
+  uint8_t* cls = (uint8_t*)malloc(n);
+  float* lg = (float*)malloc(sizeof(float) * (2 * LCW + 3));
+  if (!cls || !lg) {
+    free(cls);
+    free(lg);
+    return -1;
+  }
+  lg[0] = 0.0f;
+  for (int i = 1; i < 2 * LCW + 3; i++) lg[i] = (float)log2((double)i);
+  /* stats level (literal_cost.c DecideMultiByteStatsLevel) */
+  size_t c1 = 0, c2 = 0;
+  for (size_t p = 0; p < n; p++) {
+    size_t gp = lo + p;
+    uint8_t c = gp >= 1 ? data[gp - 1] : 0;
+    uint8_t last = gp >= 2 ? data[gp - 2] : 0;
+    int k = c < 128 ? 0 : (c >= 192 ? 1 : (last < 0xE0 ? 0 : 2));
+    if (k == 1) c1++;
+    if (k == 2) c2++;
+  }
+  int max_utf8 = 1; /* ref: "should be 2, but 1 compresses better" */
+  if (c1 + c2 < 25) max_utf8 = 0;
+  for (size_t p = 0; p < n; p++) {
+    size_t gp = lo + p;
+    uint8_t c = gp >= 1 ? data[gp - 1] : 0;
+    uint8_t last = gp >= 2 ? data[gp - 2] : 0;
+    int k = c < 128 ? 0
+                    : (c >= 192 ? (1 < max_utf8 ? 1 : max_utf8)
+                                : (last < 0xE0 ? 0
+                                   : (2 < max_utf8 ? 2 : max_utf8)));
+    cls[p] = (uint8_t)k;
+  }
+  uint32_t wh[3][256];
+  uint32_t wt[3] = {0, 0, 0};
+  memset(wh, 0, sizeof(wh));
+  size_t wend = n < LCW ? n : LCW; /* window [p-LCW, p+LCW] */
+  for (size_t q = 0; q < wend; q++) {
+    wh[cls[q]][data[lo + q]]++;
+    wt[cls[q]]++;
+  }
+  for (size_t p = 0; p < n; p++) {
+    if (p + LCW < n) {
+      wh[cls[p + LCW]][data[lo + p + LCW]]++;
+      wt[cls[p + LCW]]++;
+    }
+    if (p >= LCW + 1) {
+      wh[cls[p - LCW - 1]][data[lo + p - LCW - 1]]--;
+      wt[cls[p - LCW - 1]]--;
+    }
+    int k = cls[p];
+    uint32_t h = wh[k][data[lo + p]];
+    if (h < 1) h = 1;
+    float cost = lg[wt[k]] - lg[h] + 0.02905f;
+    if (cost < 1.0f) cost = cost * 0.5f + 0.5f;
+    if (lo + p < 2000)
+      cost += 0.35f + (0.35f / 2000.0f) * (float)(lo + p);
+    ucost[p] = cost;
+  }
+  free(cls);
+  free(lg);
+  return 0;
+}
 
 int btpu_lit_cost(const uint8_t* data, size_t n, const uint32_t* mpos,
                   const uint32_t* mlen, size_t nmatch, double surcharge,
@@ -4189,16 +4451,11 @@ int btpu_lit_cost(const uint8_t* data, size_t n, const uint32_t* mpos,
                                    sizeof(uint32_t));
   float* bits_tab = (float*)malloc((size_t)NUM_LIT_CTX * 256 *
                                    sizeof(float));
-  /* log2 LUT: window counts <= 2*LCW+1, histogram rows use libm log2 */
-  float* lg = (float*)malloc(sizeof(float) * (2 * LCW + 3));
-  if (!lh || !bits_tab || !lg) {
+  if (!lh || !bits_tab) {
     free(lh);
     free(bits_tab);
-    free(lg);
     return EERR_ALLOC;
   }
-  lg[0] = 0.0f;
-  for (int i = 1; i < 2 * LCW + 3; i++) lg[i] = (float)log2((double)i);
 
   /* 1. seed-literal histogram over (context, byte) */
   size_t pos = 0;
@@ -4225,66 +4482,12 @@ int btpu_lit_cost(const uint8_t* data, size_t n, const uint32_t* mpos,
   }
 
   /* 2. UTF8 sliding-window model (only when the input samples UTF8) */
-  uint8_t* cls = NULL;
   float* ucost = NULL;
-  if (use_utf8 && choose_ctx_mode(data, 0, n) == 2) {
-    cls = (uint8_t*)malloc(n);
+  if (use_utf8) {
     ucost = (float*)malloc(n * sizeof(float));
-    if (!cls || !ucost) {
-      free(cls);
+    if (ucost && utf8_window_cost(data, 0, n, ucost) != 0) {
       free(ucost);
-      free(lh);
-      free(bits_tab);
-      free(lg);
-      return EERR_ALLOC;
-    }
-    /* stats level: classes with max_utf8 = 2, then pick the level
-       (literal_cost.c DecideMultiByteStatsLevel) */
-    size_t c1 = 0, c2 = 0;
-    for (size_t p = 0; p < n; p++) {
-      uint8_t c = p >= 1 ? data[p - 1] : 0;
-      uint8_t last = p >= 2 ? data[p - 2] : 0;
-      int k = c < 128 ? 0 : (c >= 192 ? 1 : (last < 0xE0 ? 0 : 2));
-      if (k == 1) c1++;
-      if (k == 2) c2++;
-    }
-    int max_utf8 = 1; /* ref: "should be 2, but 1 compresses better" */
-    if (c1 + c2 < 25) max_utf8 = 0;
-    for (size_t p = 0; p < n; p++) {
-      uint8_t c = p >= 1 ? data[p - 1] : 0;
-      uint8_t last = p >= 2 ? data[p - 2] : 0;
-      int k = c < 128 ? 0
-                      : (c >= 192 ? (1 < max_utf8 ? 1 : max_utf8)
-                                  : (last < 0xE0 ? 0
-                                     : (2 < max_utf8 ? 2 : max_utf8)));
-      cls[p] = (uint8_t)k;
-    }
-    uint32_t wh[3][256];
-    uint32_t wt[3] = {0, 0, 0};
-    memset(wh, 0, sizeof(wh));
-    size_t wend = n < LCW ? n : LCW; /* window [p-LCW, p+LCW] */
-    for (size_t q = 0; q < wend; q++) {
-      wh[cls[q]][data[q]]++;
-      wt[cls[q]]++;
-    }
-    for (size_t p = 0; p < n; p++) {
-      if (p + LCW < n) {
-        wh[cls[p + LCW]][data[p + LCW]]++;
-        wt[cls[p + LCW]]++;
-      }
-      /* window includes p itself once the entering edge passed */
-      if (p >= LCW + 1) {
-        wh[cls[p - LCW - 1]][data[p - LCW - 1]]--;
-        wt[cls[p - LCW - 1]]--;
-      }
-      int k = cls[p];
-      uint32_t h = wh[k][data[p]];
-      if (h < 1) h = 1;
-      float cost = lg[wt[k]] - lg[h] + 0.02905f;
-      if (cost < 1.0f) cost = cost * 0.5f + 0.5f;
-      if (p < 2000)
-        cost += 0.35f + (0.35f / 2000.0f) * (float)p;
-      ucost[p] = cost;
+      ucost = NULL;
     }
   }
 
@@ -4298,10 +4501,8 @@ int btpu_lit_cost(const uint8_t* data, size_t n, const uint32_t* mpos,
     double q = (double)lit * s8 + 0.5;
     out[p] = q < 0.0 ? 0 : (q > 255.0 ? 255 : (uint8_t)q);
   }
-  free(cls);
   free(ucost);
   free(lh);
   free(bits_tab);
-  free(lg);
   return 0;
 }

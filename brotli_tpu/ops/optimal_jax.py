@@ -43,13 +43,19 @@ HASH_MUL2 = np.uint32(0x9E3779B1)
 CAPD = 32         # candidate match-length cap (8 carried words)
 W = 64            # DP window: max edge length W-1
 B = 4096          # DP block size (hard parse boundary)
-NCD = 16          # device candidate slots, 4-byte-prefix level
-# hierarchical candidate levels (prefix bytes, slots): common 4-grams
-# flood a single-hash nearest-k list and hide longer matches farther
-# back; longer-prefix levels guarantee any length-P match survives
-# unless > k same-prefix occurrences intervene (mirrors the host DP's
-# _CAND_LEVELS / the reference binary-tree hasher's longest-match role)
-LEVELS = ((4, NCD), (8, 8), (16, 4))
+# hierarchical candidate levels (prefix bytes, occurrence ranks):
+# rank r = the r-th nearest prior occurrence sharing the prefix, via
+# sort-carry row shifts. Common 4-grams flood a nearest-k list and
+# hide longer matches farther back, so longer-prefix levels carry
+# exponentially spaced FAR ranks too -- the reference H10 binary tree
+# remembers window-wide sources, and the round-3 native sweep showed
+# shallow pools lose ~1,300 long matches at median distance ~150 KB
+# on plrabn12 alone (mirrors the native DP's 2048-entry rings).
+LEVELS = (
+    (4, tuple(range(1, 13))),
+    (8, tuple(range(1, 9)) + (16, 32, 64, 128, 256)),
+    (16, (1, 2, 3, 4, 8, 16, 32, 64)),
+)
 QB = 16           # cost quantization (1/16 bit), matches host DP
 SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
                   # (expensive) kernel compile count at one; long-range
@@ -116,12 +122,12 @@ def _dist_cost_q(dist, dist_sym_bits_q):
     return dist_sym_bits_q[sym] + nbits * QB
 
 
-def _level_candidates(w, pos, npos, max_distance, nslots, hval):
-    """One prefix level's nearest-k candidates via sort-carry.
+def _level_candidates(w, pos, npos, max_distance, ranks, hval):
+    """One prefix level's rank-r candidates via sort-carry.
 
     hval: uint32 hash of this level's prefix (17 significant bits).
-    Returns a list of nslots packed (len<<25 | dist) arrays in
-    position order."""
+    Returns a list of len(ranks) packed (len<<25 | dist) arrays in
+    position order (rank r = r-th nearest prior same-hash row)."""
     n = pos.shape[0]
     nw = len(w)
     # single packed sort key: 17-bit hash | coarse position. Variadic
@@ -137,7 +143,7 @@ def _level_candidates(w, pos, npos, max_distance, nslots, hval):
     pos_s = pos_u.astype(jnp.int32)
 
     packed_s = []
-    for k in range(1, nslots + 1):
+    for k in ranks:
         same = (h_s == _shift_up(h_s, k, jnp.uint32(0xFFFFFFFF))) & \
             (key_s < (jnp.uint32(1) << 31))
         dist = pos_s - _shift_up(pos_s, k, jnp.int32(-1))
@@ -180,7 +186,7 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
         w[r] = jnp.roll(w[0], -4 * r)
     pos = jnp.arange(n, dtype=jnp.int32)
     cand_packed = []
-    for plen, k in LEVELS:
+    for plen, ranks in LEVELS:
         if plen == 4:
             hval = (w[0] * HASH_MUL) >> jnp.uint32(15)
         elif plen == 8:
@@ -192,7 +198,7 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
                     (w[3] * jnp.uint32(0xC2B2AE3D))) >> jnp.uint32(15)
         lvl_npos = jnp.maximum(npos - (plen - 4), 0)
         cand_packed.extend(_level_candidates(
-            w, pos, lvl_npos, max_distance, k, hval))
+            w, pos, lvl_npos, max_distance, ranks, hval))
     num_candidates = len(cand_packed)
 
     # continuation edges from seed matches: scatter (end, dist) at each
@@ -464,11 +470,13 @@ def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
     INF = jnp.int32(1 << 28)
     BIGD = jnp.int32(0x7FFFFFFF)
     MASK25 = jnp.int32((1 << 25) - 1)
-    CH = 256  # position sub-tiles keep the live (CH, W) temporaries
+    CH = 128  # position sub-tiles keep the live (CH, W) temporaries
               # small; a fori_loop (not an unrolled python loop) so the
               # VMEM stack is shared across iterations (a full (B, W)
               # working set register-spilled ~160 MB; 8 unrolled
-              # 512-chunks still overflowed the 16 MB scoped budget)
+              # 512-chunks overflowed the 16 MB scoped budget, and the
+              # unrolled slot loop's live temps scale with nslots --
+              # 34 slots at CH=256 hit 17.96 M)
 
     def chunk(j, carry):
         base = pl.multiple_of(j * CH, CH)
@@ -598,6 +606,7 @@ def _seg_seed_edges(seeds_list, lo, hi, cap):
 
 def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
     """Dispatch every segment's v3 DP (async; one jit call each)."""
+    from ..utils import trace
     litpos, copyq, distq = tables
     copyq_row = np.zeros((1, 128), np.int32)
     copyq_row[0, :W] = copyq[:W]
@@ -610,17 +619,20 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
         hi = min(lo + SEG_V3, n)
         b = _bucket_v3(hi - lo)
         capm = b // CAPM_DIV
-        padded = np.zeros(b, np.uint8)
-        padded[:hi - lo] = arr[lo:hi]
-        lit = np.zeros(b, np.uint8)
-        lit[:hi - lo] = litpos[lo:hi]
-        spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi, b // 32)
+        with trace.stage("dp.seg-prep"):
+            padded = np.zeros(b, np.uint8)
+            padded[:hi - lo] = arr[lo:hi]
+            lit = np.zeros(b, np.uint8)
+            lit[:hi - lo] = litpos[lo:hi]
+            spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi,
+                                                b // 32)
         npos = max(hi - lo - 3, 0)
-        packed, full = dp_parse_block_v3(
-            jnp.asarray(padded), jnp.int32(npos),
-            jnp.int32(max_distance), jnp.asarray(lit), cq, dq,
-            jnp.asarray(spos), jnp.asarray(slen), jnp.asarray(sdist),
-            capm=capm, interpret=interp)
+        with trace.stage("dp.dispatch"):
+            packed, full = dp_parse_block_v3(
+                jnp.asarray(padded), jnp.int32(npos),
+                jnp.int32(max_distance), jnp.asarray(lit), cq, dq,
+                jnp.asarray(spos), jnp.asarray(slen),
+                jnp.asarray(sdist), capm=capm, interpret=interp)
         handles.append((lo, capm, packed, full))
     return handles
 
@@ -628,18 +640,20 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
 def _collect_v3(handles):
     """One stacked D2H per packed shape (the tunnel charges ~0.6 s per
     transfer regardless of size, so segment results ship together)."""
+    from ..utils import trace
     groups = {}
     for i, (_lo, _capm, packed, _full) in enumerate(handles):
         groups.setdefault(packed.shape, []).append(i)
     fetched = [None] * len(handles)
-    for _shape, idxs in groups.items():
-        if len(idxs) == 1:
-            fetched[idxs[0]] = np.asarray(handles[idxs[0]][2])
-        else:
-            host = np.asarray(_stack_jit(
-                tuple(handles[i][2] for i in idxs)))
-            for j, i in enumerate(idxs):
-                fetched[i] = host[j]
+    with trace.stage("dp.fetch"):
+        for _shape, idxs in groups.items():
+            if len(idxs) == 1:
+                fetched[idxs[0]] = np.asarray(handles[idxs[0]][2])
+            else:
+                host = np.asarray(_stack_jit(
+                    tuple(handles[i][2] for i in idxs)))
+                for j, i in enumerate(idxs):
+                    fetched[i] = host[j]
     all_m, all_l, all_d = [], [], []
     for (lo, capm, _packed, full), hp in zip(handles, fetched):
         cnt = int(hp[0, capm])
@@ -990,18 +1004,21 @@ def _emit_spans(arr, m, lens, dists, n, mb_size, max_distance, base,
     thread still overlaps dictionary post-pass + serialization)."""
     from ..enc.matcher import add_dictionary_matches, split_matches_at
 
+    from ..utils import trace
     pm, pl, pd = m, lens, dists
     emitted = 0
     while emitted < n:
         mb_hi = min(emitted + mb_size, n)
-        pm, pl, pd, _pf = split_matches_at(
-            pm, pl, pd, np.zeros(len(pm), np.int64), [mb_hi, n + 1])
-        take = pm < mb_hi
-        bm, bl, bd = pm[take], pl[take], pd[take]
-        pm, pl, pd = pm[~take], pl[~take], pd[~take]
-        bf = np.zeros(len(bm), np.int64)
-        bm, bl, bd, bf = add_dictionary_matches(
-            arr[:mb_hi], bm, bl, bd, bf, max_distance, base,
-            active_from=emitted)
+        with trace.stage("dp.span-split"):
+            pm, pl, pd, _pf = split_matches_at(
+                pm, pl, pd, np.zeros(len(pm), np.int64), [mb_hi, n + 1])
+            take = pm < mb_hi
+            bm, bl, bd = pm[take], pl[take], pd[take]
+            pm, pl, pd = pm[~take], pl[~take], pd[~take]
+            bf = np.zeros(len(bm), np.int64)
+        with trace.stage("dp.dict-post"):
+            bm, bl, bd, bf = add_dictionary_matches(
+                arr[:mb_hi], bm, bl, bd, bf, max_distance, base,
+                active_from=emitted)
         on_block(emitted, mb_hi, (bm, bl, bd, bf))
         emitted = mb_hi

@@ -187,6 +187,52 @@ def test_streaming_native_linear_scaling(lib):
     assert t32 < t8 * 8, (t8, t32)
 
 
+def test_streaming_native_q11(lib, testdata, ref_cli):
+    """Streaming at the DEFAULT quality (11) through the native
+    optimal-parse tier: persistent hash/DP state across chunks, flush
+    = O(chunk), decodable prefixes, size ~= one-shot (round-2 weak #4:
+    Compressor(quality=11) re-found matches over history per flush;
+    parity contract: encode.h:100-116)."""
+    import subprocess
+    import time
+
+    data = (testdata / "lcet10.txt").read_bytes() * 4
+    enc = native.StreamEncoder(11, 22)
+    out = []
+    CH = 1 << 18
+    for i in range(0, len(data), CH):
+        out.append(enc.process(data[i:i + CH]))
+        if (i // CH) % 3 == 2:
+            out.append(enc.flush())
+    out.append(enc.finish())
+    blob = b"".join(out)
+    r = subprocess.run([ref_cli, "-d", "-c"], input=blob,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
+    one = native.encode(data, 11, 22)
+    assert len(blob) < len(one) * 1.01 + 256
+
+    # flush cost must be O(chunk), not O(history): time flushes over a
+    # growing stream of fresh random-ish chunks
+    rng = np.random.default_rng(7)
+    words = [b"alpha ", b"beta ", b"gamma ", b"delta ", b"eps "]
+    chunk = b"".join(words[i] for i in rng.integers(0, 5, 40_000))
+
+    def run(nflushes):
+        e2 = native.StreamEncoder(11, 22)
+        t0 = time.perf_counter()
+        for _ in range(nflushes):
+            e2.process(chunk)
+            e2.flush()
+        e2.finish()
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    t4 = run(4)
+    t16 = run(16)
+    assert t16 < t4 * 8, (t4, t16)  # quadratic would be ~16x
+
+
 def test_api_streaming_uses_native(testdata):
     import brotli_tpu
     c = brotli_tpu.Compressor(quality=5)
@@ -381,7 +427,10 @@ def test_estimate_peak_memory_bounds_actual_heap(testdata):
     # monotone in quality and size; sane magnitudes
     assert 0 < est5 < est11
     assert brotli_tpu.estimate_peak_memory(1 << 16, quality=5) < est5
-    assert est11 < (1 << 30)
+    # q11's deep DP rings (block_bits 11, two iterations) put the
+    # worst-case VIRTUAL bound past 1 GiB; actual RSS stays far below
+    # (calloc maps lazily -- the RSS check below is the real contract)
+    assert est11 < (3 << 30)
     code = r"""
 import resource, sys, pathlib
 sys.path.insert(0, "/root/repo")
