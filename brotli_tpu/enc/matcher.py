@@ -289,7 +289,29 @@ def add_dictionary_matches(data, m, lens, dists, flags, max_distance,
     `base` is the absolute stream offset of `data` (decode-time
     max_distance depends on absolute position). `active_from`: skip
     positions before it (window-history prefix of a segment buffer).
+
+    Native fast path: one O(n) C pass (btpu_dict_post) probing the
+    gaps with the same transform set; the numpy pass below is the
+    fallback.
     """
+    import os
+    if (len(data) >= (1 << 14)
+            and not os.environ.get("BROTLI_TPU_NO_NATIVE_DICT")):
+        try:
+            from .. import native
+            dp_, dl_, dd_, df_ = native.dict_post(
+                np.ascontiguousarray(data).tobytes(), m, lens,
+                max_distance, base, active_from)
+            if len(dp_) == 0:
+                return m, lens, dists, flags
+            nm = np.concatenate([m, dp_])
+            nl = np.concatenate([lens, dl_])
+            nd = np.concatenate([dists, dd_])
+            nf = np.concatenate([flags, df_])
+            order = np.argsort(nm, kind="stable")
+            return nm[order], nl[order], nd[order], nf[order]
+        except (ImportError, OSError, ValueError):
+            pass
     from . import static_dict
     n = len(data)
     covered = np.zeros(n + 1, np.int32)

@@ -112,6 +112,14 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
             ctypes.c_int, ctypes.c_void_p]
         lib.btpu_lit_cost.restype = ctypes.c_int
+        lib.btpu_dict_post.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_dict_post.restype = ctypes.c_int
         lib.btpu_dec_new.restype = ctypes.c_void_p
         lib.btpu_dec_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
@@ -322,6 +330,38 @@ def lit_cost(data: bytes, mpos, mlen, surcharge: float = 1.1,
     if rc != 0:
         raise ValueError(_ENC_ERRORS.get(rc, f"lit_cost error {rc}"))
     return out
+
+
+def dict_post(data: bytes, mpos, mlen, max_distance: int,
+              base: int = 0, active_from: int = 0):
+    """Static-dictionary post-pass over parse gaps (the
+    add_dictionary_matches role in one O(n) C pass): returns the NEW
+    word references as (pos, out_advance, dist, flag) int64 arrays
+    (flag = 2000 + word length)."""
+    import numpy as np
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    mp = np.ascontiguousarray(mpos, np.uint32)
+    ml = np.ascontiguousarray(mlen, np.uint32)
+    cap = max(len(data) // 8 + 64, 1024)
+    op = np.empty(cap, np.uint32)
+    ol = np.empty(cap, np.uint32)
+    od = np.empty(cap, np.uint32)
+    of = np.empty(cap, np.uint32)
+    cnt = ctypes.c_size_t()
+    rc = lib.btpu_dict_post(
+        data, len(data), base, active_from, max_distance,
+        dictionary_data(), mp.ctypes.data_as(ctypes.c_void_p),
+        ml.ctypes.data_as(ctypes.c_void_p), len(mp),
+        op.ctypes.data_as(ctypes.c_void_p),
+        ol.ctypes.data_as(ctypes.c_void_p),
+        od.ctypes.data_as(ctypes.c_void_p),
+        of.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(cnt))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"dict_post error {rc}"))
+    k = cnt.value
+    return (op[:k].astype(np.int64), ol[:k].astype(np.int64),
+            od[:k].astype(np.int64), of[:k].astype(np.int64))
 
 
 def serialize_region(data: bytes, lo: int, hi: int, matches,
