@@ -120,6 +120,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_dict_post.restype = ctypes.c_int
+        lib.btpu_dict_probe_all.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_dict_probe_all.restype = ctypes.c_int
         lib.btpu_dec_new.restype = ctypes.c_void_p
         lib.btpu_dec_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
@@ -362,6 +369,33 @@ def dict_post(data: bytes, mpos, mlen, max_distance: int,
     k = cnt.value
     return (op[:k].astype(np.int64), ol[:k].astype(np.int64),
             od[:k].astype(np.int64), of[:k].astype(np.int64))
+
+
+def dict_probe_all(data: bytes, mpos, mlen, base: int = 0,
+                   maxback: int = (1 << 22) - 16):
+    """Static-dictionary probe wherever the seed parse is weak (dict
+    edges for the device DP), gated by the synthetic-distance
+    word-length rule. Returns (pos u32, payload u32) sparse arrays;
+    payload = out_advance << 22 | word_len << 17 | dictoff."""
+    import numpy as np
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    mp = np.ascontiguousarray(mpos, np.uint32)
+    ml = np.ascontiguousarray(mlen, np.uint32)
+    cap = max(len(data) // 8 + 64, 1024)
+    op = np.empty(cap, np.uint32)
+    pl = np.empty(cap, np.uint32)
+    cnt = ctypes.c_size_t()
+    rc = lib.btpu_dict_probe_all(
+        data, len(data), base, maxback, dictionary_data(),
+        mp.ctypes.data_as(ctypes.c_void_p),
+        ml.ctypes.data_as(ctypes.c_void_p), len(mp),
+        op.ctypes.data_as(ctypes.c_void_p),
+        pl.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(cnt))
+    if rc != 0:
+        raise ValueError(_ENC_ERRORS.get(rc, f"probe error {rc}"))
+    k = cnt.value
+    return op[:k].copy(), pl[:k].copy()
 
 
 def serialize_region(data: bytes, lo: int, hi: int, matches,

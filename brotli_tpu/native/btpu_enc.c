@@ -4568,3 +4568,59 @@ int btpu_dict_post(const uint8_t* data, size_t n, size_t base,
   *out_cnt = cnt;
   return 0;
 }
+
+/* Probe the static dictionary at EVERY position (the H10-style "dict
+   edges inside the DP" role for the device pipeline: the parse-stats
+   diff showed the gap-only post-pass finds 396 word refs on 2 MB
+   where the native DP's in-parse dictionary edges find 7,580).
+   Sparse output: hit positions (ascending) + packed payloads
+   (out_advance << 22 | wlen << 17 | dictoff) where dictoff =
+   (transform_id << size_bits[wlen]) + index -- the decode-time
+   distance is min(pos + base, maxback) + 1 + dictoff, computed where
+   the consumer knows the position space. */
+int btpu_dict_probe_all(const uint8_t* data, size_t n, size_t base,
+                        size_t maxback, const uint8_t* dict_blob,
+                        const uint32_t* mpos, const uint32_t* mlen,
+                        size_t nmatch, uint32_t* out_pos,
+                        uint32_t* out_payload, size_t cap,
+                        size_t* out_cnt) {
+  *out_cnt = 0;
+  if (dict_blob) {
+    if (dict_index_init(dict_blob)) return 0;
+  } else if (!g_dict.ready) {
+    return 0;
+  }
+  size_t cnt = 0;
+  size_t mi = 0;
+  for (size_t p = 0; p + 4 <= n; p++) {
+    /* probe only where the seed parse is weak (the native DP probes
+       when its walk found < 16): skip the interior of seed matches
+       of length >= 12 -- ungated, >24% of text positions carry a
+       word hit and would flood the sparse channel */
+    while (mi < nmatch && (size_t)mpos[mi] + mlen[mi] <= p) mi++;
+    if (mi < nmatch && (size_t)mpos[mi] <= p && mlen[mi] >= 12) {
+      p = (size_t)mpos[mi] + mlen[mi] - 1; /* ++ in the loop */
+      continue;
+    }
+    /* the word-length gate by synthetic-distance magnitude (the
+       add_dictionary_matches rule): a far dictionary distance costs
+       ~22+ bits, so short words never win there -- shipping them
+       would flood the sparse channel (ungated: >25% of positions) */
+    size_t maxd = p + base < maxback ? p + base : maxback;
+    int gate = maxd + 1 >= (1u << 18) ? 7
+               : maxd + 1 >= (1u << 12) ? 6 : 5;
+    int dcopy = 0, dtid = 0, dwlen = 0;
+    uint32_t didx = 0;
+    int dout = dict_probe(data, p, n, gate, 3, &dcopy, &dtid, &didx,
+                          &dwlen);
+    if (dout < gate) continue;
+    uint32_t off = ((uint32_t)dtid << kDictSizeBits[dwlen]) + didx;
+    if (cnt >= cap) return EERR_PARAM;
+    out_pos[cnt] = (uint32_t)p;
+    out_payload[cnt] = ((uint32_t)dout << 22) |
+                       ((uint32_t)dwlen << 17) | off;
+    cnt++;
+  }
+  *out_cnt = cnt;
+  return 0;
+}

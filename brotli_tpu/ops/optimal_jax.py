@@ -456,6 +456,9 @@ def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
     (cost, payload) tables over the W window columns.
 
     pd/cs: (nslots, B) packed len<<25|dist and dist-cost per slot;
+    slot layout: [candidates... (len <= 32), dict (ATOMIC: only its
+    exact output length relaxes -- a word reference cannot be taken
+    partially), continuation (<= W-1)].
     cq: (1, 128) with the per-landed-length copy-code cost in [:W];
     mp out: (B, 1, 2W) = [M | P] packed so the minor dim is one full
     128-lane tile. Column c of M = min cost over edges with len >= c,
@@ -484,7 +487,7 @@ def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (CH, W_CAND), 1)
         acc_c = jnp.full((CH, W_CAND), INF, jnp.int32)
         pay_c = jnp.full((CH, W_CAND), BIGD, jnp.int32)
-        for s in range(nslots - 1):
+        for s in range(nslots - 2):
             pd = pd_ref[s, pl.ds(base, CH)]
             ls = pd >> 25
             ds = pd & MASK25
@@ -493,19 +496,30 @@ def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
             upd = v < acc_c
             acc_c = jnp.where(upd, v, acc_c)
             pay_c = jnp.where(upd, ds[:, None], pay_c)
-        # continuation slot (last) across the full width
+        acc = jnp.concatenate(
+            [acc_c, jnp.full((CH, W - W_CAND), INF, jnp.int32)], axis=1)
+        pay = jnp.concatenate(
+            [pay_c, jnp.full((CH, W - W_CAND), BIGD, jnp.int32)],
+            axis=1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
+        # dict slot (second-to-last): ATOMIC -- only the exact output
+        # length relaxes (a word reference cannot be taken partially)
+        pdd = pd_ref[nslots - 2, pl.ds(base, CH)]
+        lsd = pdd >> 25
+        dsd = pdd & MASK25
+        hitd = (iota_w == lsd[:, None]) & (iota_w >= 2)
+        vd = jnp.where(hitd, cs_ref[nslots - 2, pl.ds(base, CH)][:, None],
+                       INF)
+        upd = vd < acc
+        acc = jnp.where(upd, vd, acc)
+        pay = jnp.where(upd, dsd[:, None], pay)
+        # continuation slot (last) across the full width
         pdk = pd_ref[nslots - 1, pl.ds(base, CH)]
         lsk = pdk >> 25
         dsk = pdk & MASK25
         hitk = (iota_w <= lsk[:, None]) & (iota_w >= 2)
         vk = jnp.where(hitk, cs_ref[nslots - 1, pl.ds(base, CH)][:, None],
                        INF)
-        acc = jnp.concatenate(
-            [acc_c, jnp.full((CH, W - W_CAND), INF, jnp.int32)], axis=1)
-        pay = jnp.concatenate(
-            [pay_c, jnp.full((CH, W - W_CAND), BIGD, jnp.int32)],
-            axis=1)
         upd = vk < acc
         acc = jnp.where(upd, vk, acc)
         pay = jnp.where(upd, dsk[:, None], pay)
@@ -547,10 +561,19 @@ def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
 @functools.partial(jax.jit, static_argnames=("capm", "interpret"))
 def dp_parse_block_v3(data, npos, max_distance, litq_u8, copyq_row,
                       dist_sym_bits_q, seed_pos, seed_len, seed_dist,
-                      *, capm, interpret=False):
+                      dict_pos, dict_pay, seg_base, *, capm,
+                      interpret=False):
     """One segment's v3 optimal parse as a single dispatch: edges ->
     Pallas suffix-min -> light scan -> backtrack, with the compacted
     matches packed for a batched one-transfer collect.
+
+    dict_pos/dict_pay: sparse static-dictionary edges from the host
+    probe (payload = advance << 22 | wlen << 17 | dictoff); they
+    become an ATOMIC slot in the DP so word references compete inside
+    the parse instead of only patching its gaps (the parse-stats diff
+    vs the native DP showed 19x fewer word refs without this).
+    seg_base: absolute stream offset of data[0] (dictionary distances
+    are position-dependent).
 
     Returns (packed, full): packed is (2, capm + 8) uint32 with the
     match count at [0, capm]; full is the uncapped (2, n//2)
@@ -561,6 +584,25 @@ def dp_parse_block_v3(data, npos, max_distance, litq_u8, copyq_row,
         data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
         seed_dist)
     pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
+    # dict slot row (inserted before the continuation slot)
+    pos_i = jnp.arange(n, dtype=jnp.int32)
+    val = dict_pay.astype(jnp.int32)
+    dpp = jnp.clip(dict_pos, 0, n - 1)
+    dls = jnp.zeros(n, jnp.int32).at[dpp].max(
+        jnp.where(val > 0, (val >> 22) & 0x3FF, 0))
+    doff = jnp.zeros(n, jnp.int32).at[dpp].max(
+        jnp.where(val > 0, val & ((1 << 17) - 1), 0))
+    dls = jnp.where(dls <= B - (pos_i % B), dls, 0)  # atomic: no split
+    maxd_at = jnp.minimum(seg_base + pos_i, max_distance)
+    ddist = jnp.where(dls >= 2, maxd_at + 1 + doff, 0)
+    dcost = jnp.where(dls >= 2,
+                      _dist_cost_q(ddist, dist_sym_bits_q),
+                      jnp.int32(1 << 28))
+    pdD = (dls << 25) | jnp.where(dls >= 2, ddist, 0)
+    pd_flat = jnp.concatenate([pd_flat[:-1], pdD[None, :],
+                               pd_flat[-1:]], axis=0)
+    cs_flat = jnp.concatenate([cs_flat[:-1], dcost[None, :],
+                               cs_flat[-1:]], axis=0)
     mp_flat = _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret)
     mp_all = mp_flat.reshape(nb, B, 2 * W).transpose(1, 0, 2)
     # exact per-position literal cost (uint8 at 1/8 bit -> 1/16 units)
@@ -604,8 +646,10 @@ def _seg_seed_edges(seeds_list, lo, hi, cap):
             np.pad(sdist, (0, pad)))
 
 
-def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
-    """Dispatch every segment's v3 DP (async; one jit call each)."""
+def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
+    """Dispatch every segment's v3 DP (async; one jit call each).
+    Returns (handles, dict_table): dict_table = (global hit positions,
+    word lengths) for flag recovery at collect time."""
     from ..utils import trace
     litpos, copyq, distq = tables
     copyq_row = np.zeros((1, 128), np.int32)
@@ -614,6 +658,21 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
     dq = jnp.asarray(distq)
     from ..utils.jaxcfg import backend_or_cpu
     interp = backend_or_cpu() != "tpu"
+    # static-dictionary edges: one native probe over the whole input
+    # (seed-gated; ~1% of positions), sliced per segment below
+    dpos_g = np.zeros(0, np.uint32)
+    dpay_g = np.zeros(0, np.uint32)
+    with trace.stage("dp.dict-probe"):
+        try:
+            from .. import native
+            qm, ql = seeds_list[0][0], seeds_list[0][1]
+            dpos_g, dpay_g = native.dict_probe_all(
+                np.ascontiguousarray(arr).tobytes(), qm, ql, base,
+                max_distance)
+        except (ImportError, OSError, ValueError,
+                subprocess.CalledProcessError):
+            pass
+    dwlen_g = ((dpay_g >> 17) & 0x1F).astype(np.int64)
     handles = []
     for lo in range(0, n, SEG_V3):
         hi = min(lo + SEG_V3, n)
@@ -626,21 +685,41 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list):
             lit[:hi - lo] = litpos[lo:hi]
             spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi,
                                                 b // 32)
+            # dict edges inside [lo, hi) whose word fits the segment
+            douts = (dpay_g >> 22).astype(np.int64)
+            in_seg = (dpos_g >= lo) & (dpos_g + douts <= hi)
+            dp_loc = (dpos_g[in_seg].astype(np.int64) - lo).astype(
+                np.int32)
+            dp_val = dpay_g[in_seg].astype(np.int32)
+            cap_d = b // 64
+            if len(dp_loc) > cap_d:  # keep the longest words
+                keep = np.argsort(dp_val >> 22)[::-1][:cap_d]
+                keep.sort()
+                dp_loc, dp_val = dp_loc[keep], dp_val[keep]
+            pad = cap_d - len(dp_loc)
+            dp_loc = np.pad(dp_loc, (0, pad))
+            dp_val = np.pad(dp_val, (0, pad))
         npos = max(hi - lo - 3, 0)
         with trace.stage("dp.dispatch"):
             packed, full = dp_parse_block_v3(
                 jnp.asarray(padded), jnp.int32(npos),
                 jnp.int32(max_distance), jnp.asarray(lit), cq, dq,
                 jnp.asarray(spos), jnp.asarray(slen),
-                jnp.asarray(sdist), capm=capm, interpret=interp)
+                jnp.asarray(sdist), jnp.asarray(dp_loc),
+                jnp.asarray(dp_val), jnp.int32(lo + base), capm=capm,
+                interpret=interp)
         handles.append((lo, capm, packed, full))
-    return handles
+    return handles, (dpos_g.astype(np.int64), dwlen_g)
 
 
-def _collect_v3(handles):
+def _collect_v3(handles, dict_table, max_distance, base=0):
     """One stacked D2H per packed shape (the tunnel charges ~0.6 s per
-    transfer regardless of size, so segment results ship together)."""
+    transfer regardless of size, so segment results ship together).
+    Matches whose distance exceeds the window at their position are
+    the DP's dictionary edges; their word-length flags (2000 + wlen)
+    come back from the host probe table."""
     from ..utils import trace
+    dpos_g, dwlen_g = dict_table
     groups = {}
     for i, (_lo, _capm, packed, _full) in enumerate(handles):
         groups.setdefault(packed.shape, []).append(i)
@@ -654,7 +733,7 @@ def _collect_v3(handles):
                     tuple(handles[i][2] for i in idxs)))
                 for j, i in enumerate(idxs):
                     fetched[i] = host[j]
-    all_m, all_l, all_d = [], [], []
+    all_m, all_l, all_d, all_f = [], [], [], []
     for (lo, capm, _packed, full), hp in zip(handles, fetched):
         cnt = int(hp[0, capm])
         if cnt > capm:  # rare overflow: fetch the uncapped compaction
@@ -664,10 +743,25 @@ def _collect_v3(handles):
             pos_c, pay_c = hp[0, :cnt], hp[1, :cnt]
         if cnt == 0:
             continue
-        all_m.append(pos_c.astype(np.int64) + lo)
-        all_l.append((pay_c >> 25).astype(np.int64))
-        all_d.append((pay_c & np.uint32((1 << 25) - 1)).astype(np.int64))
-    return all_m, all_l, all_d
+        mm = pos_c.astype(np.int64) + lo
+        ml = (pay_c >> 25).astype(np.int64)
+        md = (pay_c & np.uint32((1 << 25) - 1)).astype(np.int64)
+        mf = np.zeros(len(mm), np.int64)
+        isd = md > np.minimum(mm + base, max_distance)
+        if isd.any() and len(dpos_g):
+            di = np.searchsorted(dpos_g, mm[isd])
+            di = np.minimum(di, len(dpos_g) - 1)
+            found = dpos_g[di] == mm[isd]
+            w = np.where(found, 2000 + dwlen_g[di], 0)
+            mf[np.flatnonzero(isd)] = w
+        # a dict-flagged match whose probe lookup failed is
+        # unserializable -- drop it (its span falls back to literals)
+        keep = ~isd | (mf >= 2000)
+        all_m.append(mm[keep])
+        all_l.append(ml[keep])
+        all_d.append(md[keep])
+        all_f.append(mf[keep])
+    return all_m, all_l, all_d, all_f
 
 
 def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
@@ -872,10 +966,9 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     with trace.stage("dp.seed"):
         seed = _seed_parse(arr, max_distance, base)
     mode = _dp_mode()
-    m = lens = dists = None
+    m = lens = dists = flags = None
     for it in range(iterations):
-        prev = seed if it == 0 else (m, lens, dists,
-                                     np.zeros(len(m), np.int64))
+        prev = seed if it == 0 else (m, lens, dists, flags)
         with trace.stage("dp.cost-tables"):
             tables = _cost_tables(arr, prev, exact_lit=(mode == "v3"))
         # later iterations seed with the union of the greedy parse and
@@ -883,9 +976,10 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         seeds_list = [seed] if it == 0 else [seed, prev]
         if mode == "v3":
             with trace.stage("dp.device"):
-                handles = _dispatch_v3(arr, n, max_distance, tables,
-                                       seeds_list)
-                all_m, all_l, all_d = _collect_v3(handles)
+                handles, dict_table = _dispatch_v3(
+                    arr, n, max_distance, tables, seeds_list, base)
+                all_m, all_l, all_d, all_f = _collect_v3(
+                    handles, dict_table, max_distance, base)
         else:
             dev_tables = [jnp.asarray(t) for t in tables]
             handles = []
@@ -910,32 +1004,32 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                 _stream_blocks(arr, handles, n, mb_size, max_distance,
                                base, on_block)
                 return None
-            all_m, all_l, all_d = [], [], []
+            all_m, all_l, all_d, all_f = [], [], [], []
             for lo, (count, out) in handles:
                 mm, ml, md = _collect_segment(lo, count, out)
                 if len(mm):
                     all_m.append(mm)
                     all_l.append(ml)
                     all_d.append(md)
+                    all_f.append(np.zeros(len(mm), np.int64))
         if not all_m:
-            if on_block is not None:
-                _emit_spans(arr, np.zeros(0, np.int64),
-                            np.zeros(0, np.int64), np.zeros(0, np.int64),
-                            n, mb_size, max_distance, base, on_block)
-                return None
             z = np.zeros(0, np.int64)
+            if on_block is not None:
+                _emit_spans(arr, z, z, z, z, n, mb_size, max_distance,
+                            base, on_block)
+                return None
             return z, z, z, z
         m = np.concatenate(all_m)
         lens = np.concatenate(all_l)
         dists = np.concatenate(all_d)
+        flags = np.concatenate(all_f)
         from ..enc.optimal import bridge_matches
-        m, lens, dists, _f = bridge_matches(arr, *_coalesce(
-            m, lens, dists, np.zeros(len(m), np.int64)))
+        m, lens, dists, flags = bridge_matches(arr, *_coalesce(
+            m, lens, dists, flags))
     if on_block is not None:  # v3 streaming: emit spans after collect
-        _emit_spans(arr, m, lens, dists, n, mb_size, max_distance,
-                    base, on_block)
+        _emit_spans(arr, m, lens, dists, flags, n, mb_size,
+                    max_distance, base, on_block)
         return None
-    flags = np.zeros(len(m), np.int64)
     with trace.stage("dp.dict-post"):
         return add_dictionary_matches(arr, m, lens, dists, flags,
                                       max_distance, base)
@@ -997,25 +1091,25 @@ def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
             emitted = mb_hi
 
 
-def _emit_spans(arr, m, lens, dists, n, mb_size, max_distance, base,
-                on_block):
+def _emit_spans(arr, m, lens, dists, flags, n, mb_size, max_distance,
+                base, on_block):
     """Emit the finished parse as metablock spans (v3 streaming tail:
     the batched collect already has the whole parse; the consumer
     thread still overlaps dictionary post-pass + serialization)."""
     from ..enc.matcher import add_dictionary_matches, split_matches_at
 
     from ..utils import trace
-    pm, pl, pd = m, lens, dists
+    pm, pl, pd, pf = m, lens, dists, flags
     emitted = 0
     while emitted < n:
         mb_hi = min(emitted + mb_size, n)
         with trace.stage("dp.span-split"):
-            pm, pl, pd, _pf = split_matches_at(
-                pm, pl, pd, np.zeros(len(pm), np.int64), [mb_hi, n + 1])
+            pm, pl, pd, pf = split_matches_at(
+                pm, pl, pd, pf, [mb_hi, n + 1])
             take = pm < mb_hi
-            bm, bl, bd = pm[take], pl[take], pd[take]
-            pm, pl, pd = pm[~take], pl[~take], pd[~take]
-            bf = np.zeros(len(bm), np.int64)
+            bm, bl, bd, bf = pm[take], pl[take], pd[take], pf[take]
+            pm, pl, pd, pf = (pm[~take], pl[~take], pd[~take],
+                              pf[~take])
         with trace.stage("dp.dict-post"):
             bm, bl, bd, bf = add_dictionary_matches(
                 arr[:mb_hi], bm, bl, bd, bf, max_distance, base,

@@ -29,12 +29,17 @@ def _device_count():
 
 def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
                      n_shards: int = None, use_device: bool = True,
-                     gather: str = "host") -> bytes:
+                     gather: str = "host",
+                     serializer: str = "native") -> bytes:
     """Compress with one shard per device; returns a single RFC 7932
     stream (decodable by any conforming decoder). `gather`: "host"
     concatenates shard bytes locally; "collective" all-gathers the
     ordered payloads over the mesh first (multi-host pods: ICI/DCN
-    instead of a hand-rolled transport)."""
+    instead of a hand-rolled transport). `serializer`: "native" runs
+    the host C matches-array serializer per shard; "device" plans the
+    symbol stream and packs the payload bits ON each shard's device
+    (ops/bitpack.py -- trivial single-tree metablocks, slightly larger
+    output, near-zero host bytes/shard: SURVEY section 7 step 3)."""
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     if n_shards is None:
@@ -86,6 +91,13 @@ def compress_sharded(data: bytes, quality: int = 5, lgwin: int = 22,
         # and literal gathers stay exact
         m, lens, dists, flags = shard_matches[si]
         is_last = si == n_shards - 1
+        if serializer == "device":
+            from .device_serialize import serialize_shard_device
+            out = serialize_shard_device(
+                arr, lo, hi, (m, lens, dists, flags),
+                entry_rings[si], lgwin, si == 0, is_last)
+            if out is not None:
+                return out
         out = serialize_shard_native(raw, lo, hi, (m, lens, dists, flags),
                                      quality, lgwin, entry_rings[si],
                                      si == 0, is_last)
