@@ -2061,6 +2061,70 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     for (int c = 0; c < 4; c++) dist_assign[c] = 0;
   }
 
+  /* ---- merge command block types whose trees don't pay ----
+     RFC 7932 ties NTREESI to NBLTYPESI (commands have no context
+     map), so every extra command type costs a full serialized tree
+     (~600 bits measured); the k-means split prices a type at only
+     its entropy gain. Re-cluster the per-type command histograms
+     with tree-description pricing and fold merged types back into
+     the run list (the reference bounds NBLTYPESI through the same
+     histogram-clustering step, cluster.h role). */
+  if (ntypes_i > 1) {
+    int casgn[MAX_CMD_TYPES], creps[MAX_CMD_TYPES];
+    /* swept on the ref-parse replay harness: 450 (vs 180/300/600)
+       closes plrabn12 to ref-parity and trims lcet10/maps */
+    double cmb = 450.0;
+    {
+      const char* v = getenv("BTPU_CMD_MERGE_BITS");
+      if (v) cmb = atof(v);
+    }
+    int nt = cluster_hists(cmd_hist, ntypes_i, NUM_CMD, ntypes_i,
+                           cmb, 1.5, casgn, creps);
+    if (nt < 0) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
+    if (nt < ntypes_i) {
+      /* remap run types, coalesce adjacent equal runs, renumber in
+         first-appearance order (run 0 must be type 0) */
+      int fa[MAX_CMD_TYPES];
+      for (int t = 0; t < nt; t++) fa[t] = -1;
+      int nfa = 0;
+      size_t w = 0;
+      for (size_t r = 0; r < csp.nruns; r++) {
+        int traw = casgn[csp.rtype[r]];
+        if (fa[traw] < 0) fa[traw] = nfa++;
+        uint8_t tnew = (uint8_t)fa[traw];
+        if (w > 0 && csp.rtype[w - 1] == tnew) {
+          csp.rlen[w - 1] += csp.rlen[r];
+        } else {
+          csp.rtype[w] = tnew;
+          csp.rlen[w] = csp.rlen[r];
+          w++;
+        }
+      }
+      csp.nruns = w;
+      /* reorder merged histogram rows into first-appearance slots */
+      {
+        uint32_t* tmp =
+            (uint32_t*)malloc((size_t)nt * NUM_CMD * sizeof(uint32_t));
+        if (!tmp) {
+          rc = EERR_ALLOC;
+          goto done;
+        }
+        for (int t = 0; t < nt; t++)
+          memcpy(tmp + (size_t)fa[t] * NUM_CMD,
+                 cmd_hist + (size_t)creps[t] * NUM_CMD,
+                 NUM_CMD * sizeof(uint32_t));
+        memcpy(cmd_hist, tmp, (size_t)nt * NUM_CMD * sizeof(uint32_t));
+        free(tmp);
+      }
+      ntypes_i = nt;
+      csp.ntypes = nt;
+      if (nt == 1) split_free(&csp);
+    }
+  }
+
   /* ---- block-switch plans ---- */
   if (ntypes > 1 || ntypes_i > 1 || ntypes_d > 1) {
     lsw = (SwitchPlan*)malloc(sizeof(SwitchPlan) * 3);
