@@ -1881,13 +1881,22 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
            types, the mixed 16MB corpus keeps its splits). Sweep
            knobs: BTPU_LIT_TYPES / BTPU_LIT_TYPE_BITS. */
         double tbits = 2048.0;
+        /* Viterbi switch price swept on mapsdatazrh: 14 bits (the
+           emitted block-count codes amortize well below the 28.1-bit
+           splitter estimate; text files are insensitive) */
+        double lsw = 14.0;
+        int lchunk = 128;
         const char* v = getenv("BTPU_LIT_TYPE_BITS");
         if (v) tbits = atof(v);
+        v = getenv("BTPU_LIT_SW_BITS");
+        if (v) lsw = atof(v);
+        v = getenv("BTPU_LIT_CHUNK");
+        if (v) lchunk = atoi(v);
         v = getenv("BTPU_LIT_TYPES");
         if (v) {
           int lt = atoi(v) > 16 ? 16 : atoi(v);
-          rc = split_symbols_c(s16, nlit, NUM_LIT, 128, lt, tbits,
-                               28.1, &lsp);
+          rc = split_symbols_c(s16, nlit, NUM_LIT, lchunk, lt, tbits,
+                               lsw, &lsp);
         } else {
           /* the k-means is cheap next to the DP: try the budget
              ladder and keep the best net gain (homogeneous text
@@ -1896,8 +1905,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
           rc = 0;
           for (int t = 0; t < 4 && rc == 0; t++) {
             Split cand;
-            rc = split_symbols_c(s16, nlit, NUM_LIT, 128, kLitK[t],
-                                 tbits, 28.1, &cand);
+            rc = split_symbols_c(s16, nlit, NUM_LIT, lchunk, kLitK[t],
+                                 tbits, lsw, &cand);
             if (rc == 0 && cand.ntypes > 1 && cand.gain > lsp.gain) {
               split_free(&lsp);
               lsp = cand;
