@@ -439,10 +439,13 @@ def serialize_region(data: bytes, lo: int, hi: int, matches,
 
 
 class StreamDecoder:
-    """Native chunked decoder: metablock-granular resume at one-shot
-    speed (role parity: BrotliDecoderDecompressStream). Accumulates
-    input; each feed() returns the newly decoded bytes. `finished`
-    mirrors dec/stream.StreamDecoder."""
+    """Native chunked decoder: resumes INSIDE a metablock at command /
+    literal-run granularity (role parity: BrotliDecoderDecompressStream,
+    c/dec/bit_reader.h:73 save/restore), so a single 16 MB metablock
+    fed in small chunks needs O(window + chunk) memory -- `consumed`
+    advances mid-metablock and the consumed prefix is dropped.
+    Accumulates input; each feed() returns the newly decoded bytes.
+    `finished` mirrors dec/stream.StreamDecoder."""
 
     def __init__(self, compound: bytes = b"", large_window: bool = False,
                  allow_trailing: bool = False):

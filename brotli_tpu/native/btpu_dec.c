@@ -470,6 +470,37 @@ typedef struct {
   Tree* dist;
 } TreeGroups;
 
+/* Mid-metablock suspension context (the c/dec/state.h role at command
+   granularity): everything a compressed metablock's command loop
+   needs to continue after more input arrives. Owned by DecStream
+   between calls; trees/cmaps transfer by pointer. */
+typedef struct {
+  BlockState bs[3];
+  uint32_t npostfix, ndirect, dist_alpha;
+  uint8_t ctx_modes[256];
+  Tree *lit_trees, *cmd_trees, *dist_trees;
+  uint32_t n_lit_trees, n_cmd_trees, n_dist_trees;
+  uint8_t *lit_cmap, *dist_cmap;
+  uint32_t is_last;
+  /* command-loop registers at the suspension snapshot */
+  int64_t remaining;
+  uint32_t lit_bt, cmd_bt, dist_bt;
+  uint64_t pend_insert; /* literals left in the open command */
+  int have_cmd;         /* command symbol read; copy part pending */
+  uint32_t sym;         /* open command's symbol */
+  uint64_t copy_len;    /* open command's copy length */
+} MbCtx;
+
+static void mbctx_free(MbCtx* c) {
+  if (!c) return;
+  free(c->lit_trees);
+  free(c->cmd_trees);
+  free(c->dist_trees);
+  free(c->lit_cmap);
+  free(c->dist_cmap);
+  free(c);
+}
+
 /* Streaming decode state: resumes at metablock granularity. Between
    metablocks the ONLY decoder state is (bit position, distance ring,
    output-so-far); everything else (trees, context maps, block states)
@@ -490,7 +521,31 @@ typedef struct {
   size_t last_attempt; /* ABSOLUTE input bytes at last incomplete try */
   int allow_trailing;  /* brcat mode: bytes after stream end are the
                           next stream, not garbage */
+  MbCtx* mb;           /* mid-metablock suspension (NULL = boundary) */
 } DecStream;
+
+/* record the current command-loop state as the rollback point */
+#define MB_SNAP()                                          \
+  do {                                                     \
+    msnap.valid = 1;                                       \
+    msnap.bitpos = br.bitpos;                              \
+    msnap.out_len = out.len;                               \
+    memcpy(msnap.dist_rb, dist_rb, sizeof(dist_rb));       \
+    msnap.rb_idx = rb_idx;                                 \
+    for (int c_ = 0; c_ < 3; c_++) {                       \
+      msnap.type_rb[c_][0] = bs[c_].type_rb[0];            \
+      msnap.type_rb[c_][1] = bs[c_].type_rb[1];            \
+      msnap.bs_len[c_] = bs[c_].length;                    \
+    }                                                      \
+    msnap.lit_bt = lit_bt;                                 \
+    msnap.cmd_bt = cmd_bt;                                 \
+    msnap.dist_bt = dist_bt;                               \
+    msnap.remaining = remaining;                           \
+    msnap.pend_insert = pend_insert;                       \
+    msnap.have_cmd = have_cmd;                             \
+    msnap.sym = sym;                                       \
+    msnap.copy_len = copy_len;                             \
+  } while (0)
 
 /* `in` may be a TAIL of the logical stream starting at absolute byte
    offset in_base (the chunk driver trims consumed input); bit
@@ -516,6 +571,39 @@ static int btpu_decode_impl(const uint8_t* in, size_t in_len,
   uint8_t scratch[1200];
   int32_t dist_rb[4] = {16, 15, 11, 4};
   int rb_idx = 0;
+  /* metablock-scope state, function-hoisted so the suspension path
+     (fail:) and the resume path (resume_mb:) can reach it */
+  BlockState bs[3];
+  uint32_t npostfix = 0, ndirect = 0, dist_alpha = 0;
+  uint8_t ctx_modes[256];
+  uint32_t n_lit_trees = 0, n_cmd_trees = 0, n_dist_trees = 0;
+  uint32_t is_last = 0;
+  uint32_t lit_bt = 0, cmd_bt = 0, dist_bt = 0;
+  int64_t remaining = 0;
+  uint64_t pend_insert = 0;
+  int have_cmd = 0;
+  uint32_t sym = 0;
+  uint64_t copy_len = 0;
+  /* rollback point inside the current compressed metablock: command
+     boundaries and every 4096th literal of a long run (bounded
+     rework; the c/dec/bit_reader.h:73 save/restore role at command
+     granularity) */
+  struct MSnap {
+    int valid;
+    size_t bitpos; /* tail-relative */
+    size_t out_len;
+    int32_t dist_rb[4];
+    int rb_idx;
+    uint32_t type_rb[3][2];
+    uint64_t bs_len[3];
+    uint32_t lit_bt, cmd_bt, dist_bt;
+    int64_t remaining;
+    uint64_t pend_insert;
+    int have_cmd;
+    uint32_t sym;
+    uint64_t copy_len;
+  } msnap;
+  msnap.valid = 0;
 
   /* window bits (incl. the large-window extension, parity:
      c/dec/decode.c:146 DecodeWindowBits) */
@@ -566,6 +654,38 @@ header_ready:;
   {
     uint64_t max_backward = ((uint64_t)1 << wbits) - 16;
 
+    if (S && S->mb) {
+      /* resume a suspended compressed metablock: adopt the saved
+         context (arrays transfer by pointer) and re-enter the
+         command loop at the snapshot */
+      MbCtx* c = S->mb;
+      S->mb = NULL;
+      memcpy(bs, c->bs, sizeof(bs));
+      npostfix = c->npostfix;
+      ndirect = c->ndirect;
+      dist_alpha = c->dist_alpha;
+      memcpy(ctx_modes, c->ctx_modes, sizeof(ctx_modes));
+      lit_trees = c->lit_trees;
+      cmd_trees = c->cmd_trees;
+      dist_trees = c->dist_trees;
+      n_lit_trees = c->n_lit_trees;
+      n_cmd_trees = c->n_cmd_trees;
+      n_dist_trees = c->n_dist_trees;
+      lit_cmap = c->lit_cmap;
+      dist_cmap = c->dist_cmap;
+      is_last = c->is_last;
+      remaining = c->remaining;
+      lit_bt = c->lit_bt;
+      cmd_bt = c->cmd_bt;
+      dist_bt = c->dist_bt;
+      pend_insert = c->pend_insert;
+      have_cmd = c->have_cmd;
+      sym = c->sym;
+      copy_len = c->copy_len;
+      free(c);
+      goto resume_mb;
+    }
+
     for (;;) { /* metablock loop */
       if (S) { /* commit: ready to read the next metablock */
         S->bitpos = in_base * 8 + br.bitpos;
@@ -576,7 +696,6 @@ header_ready:;
         snap_rbidx = rb_idx;
         snap_out = out.len;
       }
-      uint32_t is_last;
       if ((e = br_take(&br, 1, &is_last))) goto fail;
       if (is_last) {
         if ((e = br_take(&br, 1, &v))) goto fail;
@@ -635,20 +754,17 @@ header_ready:;
       }
 
       /* ---- compressed metablock header ---- */
-      BlockState bs[3];
       for (int c = 0; c < 3; c++) {
         if ((e = block_state_init(&bs[c], &br, scratch))) goto fail;
       }
-      uint32_t npostfix, ndirect_raw;
+      uint32_t ndirect_raw;
       if ((e = br_take(&br, 2, &npostfix))) goto fail;
       if ((e = br_take(&br, 4, &ndirect_raw))) goto fail;
-      uint32_t ndirect = ndirect_raw << npostfix;
-      uint8_t ctx_modes[256];
+      ndirect = ndirect_raw << npostfix;
       for (uint32_t i = 0; i < bs[0].num_types; i++) {
         if ((e = br_take(&br, 2, &v))) goto fail;
         ctx_modes[i] = (uint8_t)v;
       }
-      uint32_t n_lit_trees, n_dist_trees;
       size_t lit_cmap_size = (size_t)bs[0].num_types << 6;
       size_t dist_cmap_size = (size_t)bs[2].num_types << 2;
       lit_cmap = (uint8_t*)malloc(lit_cmap_size);
@@ -659,16 +775,17 @@ header_ready:;
       if ((e = read_context_map(&br, (uint32_t)dist_cmap_size, dist_cmap,
                                 &n_dist_trees, scratch))) goto fail;
       uint32_t maxnbits = is_large ? 62u : 24u;
-      uint32_t dist_alpha = 16 + ndirect + (maxnbits << (npostfix + 1));
+      dist_alpha = 16 + ndirect + (maxnbits << (npostfix + 1));
+      n_cmd_trees = bs[1].num_types;
       lit_trees = (Tree*)malloc(sizeof(Tree) * n_lit_trees);
-      cmd_trees = (Tree*)malloc(sizeof(Tree) * bs[1].num_types);
+      cmd_trees = (Tree*)malloc(sizeof(Tree) * n_cmd_trees);
       dist_trees = (Tree*)malloc(sizeof(Tree) * n_dist_trees);
       if (!lit_trees || !cmd_trees || !dist_trees) { e = ERR_ALLOC; goto fail; }
       for (uint32_t i = 0; i < n_lit_trees; i++) {
         if ((e = read_huffman_code(&br, 256, &lit_trees[i], scratch)))
           goto fail;
       }
-      for (uint32_t i = 0; i < bs[1].num_types; i++) {
+      for (uint32_t i = 0; i < n_cmd_trees; i++) {
         if ((e = read_huffman_code(&br, 704, &cmd_trees[i], scratch)))
           goto fail;
       }
@@ -678,31 +795,51 @@ header_ready:;
       }
 
       /* ---- command loop ---- */
-      uint32_t lit_bt = 0, cmd_bt = 0, dist_bt = 0;
-      const uint8_t* lut = kContextLut[ctx_modes[0]];
-      int64_t remaining = (int64_t)mlen;
-      if ((e = out_reserve(&out, (size_t)mlen + 32))) goto fail;
+      lit_bt = cmd_bt = dist_bt = 0;
+      remaining = (int64_t)mlen;
+      pend_insert = 0;
+      have_cmd = 0;
+      if (0) {
+resume_mb:;
+        /* mark the resume point itself as the rollback target: a
+           fresh suspension with no usable new input must re-create
+           the context, never boundary-rewind into mid-metablock */
+        MB_SNAP();
+      }
+      {
+      const uint8_t* lut = kContextLut[ctx_modes[lit_bt]];
+      if ((e = out_reserve(&out, (size_t)(remaining > 0 ? remaining
+                                                        : 0) + 32)))
+        goto fail;
       while (remaining > 0) {
-        if (bs[1].length == 0) {
-          if ((e = block_switch(&bs[1], &br, &cmd_bt))) goto fail;
-        }
-        bs[1].length--;
-        uint32_t sym;
-        if ((e = tree_decode(&cmd_trees[cmd_bt], &br, &sym))) goto fail;
-        uint32_t insert_len = (uint32_t)kCmdInsertBase[sym];
-        if (kCmdInsertExtra[sym]) {
-          if ((e = br_take(&br, kCmdInsertExtra[sym], &v))) goto fail;
-          insert_len += v;
-        }
-        uint32_t copy_len = (uint32_t)kCmdCopyBase[sym];
-        if (kCmdCopyExtra[sym]) {
-          if ((e = br_take(&br, kCmdCopyExtra[sym], &v))) goto fail;
-          copy_len += v;
+        if (!have_cmd) {
+          MB_SNAP(); /* command boundary */
+          if (bs[1].length == 0) {
+            if ((e = block_switch(&bs[1], &br, &cmd_bt))) goto fail;
+          }
+          bs[1].length--;
+          if ((e = tree_decode(&cmd_trees[cmd_bt], &br, &sym)))
+            goto fail;
+          uint64_t insert_len = (uint64_t)kCmdInsertBase[sym];
+          if (kCmdInsertExtra[sym]) {
+            if ((e = br_take(&br, kCmdInsertExtra[sym], &v))) goto fail;
+            insert_len += v;
+          }
+          copy_len = (uint64_t)kCmdCopyBase[sym];
+          if (kCmdCopyExtra[sym]) {
+            if ((e = br_take(&br, kCmdCopyExtra[sym], &v))) goto fail;
+            copy_len += v;
+          }
+          pend_insert = insert_len;
+          have_cmd = 1;
         }
         /* literals */
-        if (insert_len) {
-          if ((e = out_reserve(&out, insert_len))) goto fail;
-          for (uint32_t i = 0; i < insert_len; i++) {
+        if (pend_insert) {
+          int had_insert = 1;
+          if ((e = out_reserve(&out, (size_t)pend_insert))) goto fail;
+          while (pend_insert > 0) {
+            if ((pend_insert & 4095) == 0)
+              MB_SNAP(); /* bounded rework on long runs */
             if (bs[0].length == 0) {
               if ((e = block_switch(&bs[0], &br, &lit_bt))) goto fail;
               lut = kContextLut[ctx_modes[lit_bt]];
@@ -716,9 +853,14 @@ header_ready:;
                      &lit_trees[lit_cmap[(lit_bt << 6) + ctx]], &br,
                      &lit))) goto fail;
             out.p[out.len++] = (uint8_t)lit;
+            pend_insert--;
+            remaining--;
           }
-          remaining -= insert_len;
-          if (remaining <= 0) break;
+          (void)had_insert;
+          if (remaining <= 0) {
+            have_cmd = 0;
+            break;
+          }
         }
         /* distance */
         uint64_t max_distance =
@@ -824,8 +966,11 @@ header_ready:;
           out.len += copy_len;
           remaining -= copy_len;
         }
+        have_cmd = 0; /* command complete */
       }
       if (remaining < 0) { e = ERR_BLOCK_LENGTH; goto fail; }
+      }
+      msnap.valid = 0; /* metablock done: boundary commits resume */
       free(lit_trees); free(cmd_trees); free(dist_trees);
       free(lit_cmap); free(dist_cmap);
       lit_trees = cmd_trees = dist_trees = NULL;
@@ -864,27 +1009,79 @@ header_ready:;
   return 0;
 
 fail:
-  free(lit_trees); free(cmd_trees); free(dist_trees);
-  free(lit_cmap); free(dist_cmap);
   if (S && !is_final && !S->finished &&
       (e == ERR_TRUNCATED || !br_avail(&br, 64))) {
-    /* input exhausted mid-metablock (or failed within the final few
-       bytes where truncation cannot be ruled out): rewind to the
-       committed snapshot and wait for more input. Errors raised with
-       plenty of input still unread are genuine corruption and stay
-       hard. */
+    /* input exhausted (or failed within the final few bytes where
+       truncation cannot be ruled out): suspend and wait for more
+       input. Errors raised with plenty of input still unread are
+       genuine corruption and stay hard. */
+    if (msnap.valid) {
+      /* mid-metablock suspension at the last command/literal-run
+         snapshot: persist the metablock context so the retry resumes
+         there instead of re-decoding from the metablock start (and
+         so the caller may drop all input before the snapshot) */
+      MbCtx* c = (MbCtx*)malloc(sizeof(MbCtx));
+      if (!c) {
+        /* cannot boundary-rewind from a resumed metablock (S->bitpos
+           already points mid-metablock); fail hard instead */
+        e = ERR_ALLOC;
+        goto hard_free;
+      }
+      memcpy(c->bs, bs, sizeof(bs));
+      for (int c_ = 0; c_ < 3; c_++) {
+        c->bs[c_].type_rb[0] = msnap.type_rb[c_][0];
+        c->bs[c_].type_rb[1] = msnap.type_rb[c_][1];
+        c->bs[c_].length = msnap.bs_len[c_];
+      }
+      c->npostfix = npostfix;
+      c->ndirect = ndirect;
+      c->dist_alpha = dist_alpha;
+      memcpy(c->ctx_modes, ctx_modes, sizeof(ctx_modes));
+      c->lit_trees = lit_trees;
+      c->cmd_trees = cmd_trees;
+      c->dist_trees = dist_trees;
+      c->n_lit_trees = n_lit_trees;
+      c->n_cmd_trees = n_cmd_trees;
+      c->n_dist_trees = n_dist_trees;
+      c->lit_cmap = lit_cmap;
+      c->dist_cmap = dist_cmap;
+      c->is_last = is_last;
+      c->remaining = msnap.remaining;
+      c->lit_bt = msnap.lit_bt;
+      c->cmd_bt = msnap.cmd_bt;
+      c->dist_bt = msnap.dist_bt;
+      c->pend_insert = msnap.pend_insert;
+      c->have_cmd = msnap.have_cmd;
+      c->sym = msnap.sym;
+      c->copy_len = msnap.copy_len;
+      S->mb = c;
+      out.len = msnap.out_len;
+      S->out = out;
+      memcpy(S->dist_rb, msnap.dist_rb, sizeof(S->dist_rb));
+      S->rb_idx = msnap.rb_idx;
+      S->bitpos = in_base * 8 + msnap.bitpos;
+      S->last_attempt = in_base + in_len;
+      return 1; /* need more input */
+    }
+    free(lit_trees); free(cmd_trees); free(dist_trees);
+    free(lit_cmap); free(dist_cmap);
     out.len = snap_out;
     S->out = out;
     memcpy(S->dist_rb, snap_rb, sizeof(snap_rb));
     S->rb_idx = snap_rbidx;
-    S->last_attempt = in_len;
+    S->last_attempt = in_base + in_len;
     return 1; /* need more input */
   }
+hard_free:
+  free(lit_trees); free(cmd_trees); free(dist_trees);
+  free(lit_cmap); free(dist_cmap);
 hard:
   free(out.p);
   if (S) {
     S->out.p = NULL;
     S->out.len = S->out.cap = 0;
+    mbctx_free(S->mb);
+    S->mb = NULL;
   }
   return e ? e : ERR_FORMAT;
 }
@@ -989,6 +1186,7 @@ int btpu_dec_finished(void* st) {
 void btpu_dec_free(void* st) {
   DecStream* S = (DecStream*)st;
   if (!S) return;
+  mbctx_free(S->mb);
   free(S->out.p);
   free(S);
 }

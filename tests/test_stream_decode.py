@@ -88,3 +88,75 @@ def test_metadata_callback_streaming(testdata):
     out += sd.finish()
     assert bytes(out) == b"payload " * 1000
     assert b"hello meta" in seen
+
+
+def test_native_mid_metablock_bounded_memory(testdata):
+    """A SINGLE large compressed metablock fed in 64 KB chunks must
+    decode through the native chunked decoder with the consumed
+    counter advancing INSIDE the metablock (command/literal-run
+    snapshots, the c/dec/bit_reader.h:73 save/restore role) so input
+    retention stays O(chunk), not O(metablock)."""
+    from brotli_tpu.native import StreamDecoder as NSD
+    from brotli_tpu.enc import bitstream, matcher
+    from brotli_tpu.format.bitio import BitWriter
+    from brotli_tpu.format import constants as C
+
+    rng = np.random.default_rng(7)
+    text = (testdata / "lcet10.txt").read_bytes()
+    data = (text * (6 * (1 << 20) // len(text) + 1))[: 6 << 20]
+    arr = np.frombuffer(data, np.uint8)
+    maxback = C.max_backward_distance(22)
+    m, lens, dists, flags = matcher.find_matches_vectorized(arr, maxback)
+    cmds = matcher.matches_to_commands(m, lens, dists, flags, 0,
+                                       len(arr))
+    bw = BitWriter()
+    bitstream.write_stream_header(bw, 22)
+    bitstream.store_metablock(bw, arr, 0, len(arr), cmds, True, None)
+    blob = bw.getvalue()
+
+    sd = NSD()
+    out = bytearray()
+    peak_buf = 0
+    consumed_mid_metablock = False
+    for i in range(0, len(blob), 64 << 10):
+        out += sd.feed(blob[i:i + (64 << 10)])
+        peak_buf = max(peak_buf, len(sd._buf))
+        # consumed advances past the metablock header region while the
+        # metablock is still open -> mid-metablock resume is live
+        if not sd.finished and sd.consumed > (48 << 10):
+            consumed_mid_metablock = True
+    out += sd.feed(b"", final=True)
+    assert bytes(out) == data
+    assert consumed_mid_metablock
+    # retained input stays O(chunk): the old metablock-granular driver
+    # kept the WHOLE compressed metablock until it closed
+    assert peak_buf < (128 << 10), peak_buf
+
+
+def test_native_mid_metablock_long_literal_run():
+    """A single command with a multi-MB literal run exercises the
+    4096-literal snapshot points inside one command."""
+    from brotli_tpu.native import StreamDecoder as NSD
+    from brotli_tpu.enc import bitstream, matcher
+    from brotli_tpu.format.bitio import BitWriter
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, 3 << 20, dtype=np.uint8).tobytes()
+    arr = np.frombuffer(data, np.uint8)
+    cmds = matcher.matches_to_commands(
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros(0, np.int64), np.zeros(0, np.int64), 0, len(arr))
+    bw = BitWriter()
+    bitstream.write_stream_header(bw, 22)
+    bitstream.store_metablock(bw, arr, 0, len(arr), cmds, True, None)
+    blob = bw.getvalue()
+
+    sd = NSD()
+    out = bytearray()
+    peak_buf = 0
+    for i in range(0, len(blob), 64 << 10):
+        out += sd.feed(blob[i:i + (64 << 10)])
+        peak_buf = max(peak_buf, len(sd._buf))
+    out += sd.feed(b"", final=True)
+    assert bytes(out) == data
+    assert peak_buf < (512 << 10), peak_buf
