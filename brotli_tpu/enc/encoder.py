@@ -112,6 +112,22 @@ def encode(data: bytes, quality: int = 11, lgwin: int = 22,
     # BROTLI_TPU_ENCODER=python routes q10/11 to the ratio-max Python
     # host DP instead.
     enc_sel = os.environ.get("BROTLI_TPU_ENCODER", "auto")
+    # raw (compound) dictionary attach rides the native streaming
+    # encoder: the dictionary preloads the match window and distances
+    # are remapped into the compound address space (encode.c:1756-1884
+    # role; round-2 gap: -D workloads ran the NumPy pipeline)
+    if (enc_sel not in ("python", "device")
+            and dictionary is not None and shared is None and mode == 0
+            and not base64_mode and len(data) > 0
+            and lgwin <= C.MAX_WINDOW_BITS and len(dictionary) > 0):
+        try:
+            from .. import native
+            return native.encode_with_dict(bytes(data), quality, lgwin,
+                                           bytes(dictionary))
+        except (ImportError, OSError, ValueError,
+                __import__("subprocess").CalledProcessError):
+            if enc_sel == "native":
+                raise
     if (enc_sel not in ("python", "device")
             and dictionary is None and shared is None
             and mode in (0, 1, 2)

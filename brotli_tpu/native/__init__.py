@@ -90,6 +90,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t)]
         lib.btpu_enc_chunk.restype = ctypes.c_int
         lib.btpu_enc_free_stream.argtypes = [ctypes.c_void_p]
+        lib.btpu_enc_attach.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+        lib.btpu_enc_attach.restype = ctypes.c_int
         lib.btpu_enc_metadata.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_void_p),
@@ -264,13 +267,23 @@ class StreamEncoder:
     chunks (role parity: BrotliEncoderCompressStream PROCESS/FLUSH/
     FINISH, c/enc/encode.c:1634)."""
 
-    def __init__(self, quality: int, lgwin: int):
+    def __init__(self, quality: int, lgwin: int,
+                 dictionary: bytes = None):
         from ..format.dictionary import dictionary_data
         self._lib = get_lib()
         self._st = self._lib.btpu_enc_new(quality, lgwin,
                                           dictionary_data())
         if not self._st:
             raise ValueError("unsupported native stream parameters")
+        if dictionary:
+            # raw LZ77 (compound) dictionary preloaded as history;
+            # emitted distances land in the shared-brotli compound
+            # address space (encode.c:1828 attach role)
+            d = bytes(dictionary)
+            rc = self._lib.btpu_enc_attach(self._st, d, len(d))
+            if rc != 0:
+                raise ValueError(
+                    _ENC_ERRORS.get(rc, f"attach error {rc}"))
 
     def _chunk(self, data: bytes, op: int) -> bytes:
         out_ptr = ctypes.c_void_p()
@@ -436,6 +449,15 @@ def serialize_region(data: bytes, lo: int, hi: int, matches,
                 ring_out.astype(np.int64))
     finally:
         lib.btpu_free(out_ptr)
+
+
+def encode_with_dict(data: bytes, quality: int, lgwin: int,
+                     dictionary: bytes) -> bytes:
+    """One-shot native encode with an attached raw compound
+    dictionary (the CLI -D / BrotliEncoderAttachPreparedDictionary
+    workload, c/enc/encode.c:1756-1884)."""
+    enc = StreamEncoder(quality, lgwin, dictionary=dictionary)
+    return enc._chunk(bytes(data), 2)
 
 
 class StreamDecoder:

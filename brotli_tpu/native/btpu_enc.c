@@ -1811,6 +1811,9 @@ typedef struct {
                       BrotliEncoderMode TEXT/FONT hint */
   int dist_alpha;  /* 64, or 140 for large-window streams */
   size_t maxback;
+  size_t ctx_start; /* literal context p1/p2 are zero before this
+                       position (dictionary-preloaded streams: the
+                       decoder's output starts empty) */
   BW bw;
   PmScratch pm;
   uint32_t ring[4];
@@ -2005,8 +2008,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
         }
         int row = 0;
         if (use_ctx) {
-          uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
-          uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+          uint8_t p1 = pp >= e->ctx_start + 1 ? data[pp - 1] : 0;
+          uint8_t p2 = pp >= e->ctx_start + 2 ? data[pp - 2] : 0;
           row = (ltype << 6) | (lut0[p1] | lut1[p2]);
         }
         lit_hist[(size_t)row * NUM_LIT + data[pp]]++;
@@ -2273,8 +2276,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
         }
         int t = 0;
         if (use_ctx) {
-          uint8_t p1 = pp >= 1 ? data[pp - 1] : 0;
-          uint8_t p2 = pp >= 2 ? data[pp - 2] : 0;
+          uint8_t p1 = pp >= e->ctx_start + 1 ? data[pp - 1] : 0;
+          uint8_t p2 = pp >= e->ctx_start + 2 ? data[pp - 2] : 0;
           t = lit_assign[(ltype << 6) | (lut0[p1] | lut1[p2])];
         }
         if (lit_emit[t]) bw_put(bw, lit_codes[t][lit], lit_lens[t][lit]);
@@ -3902,9 +3905,52 @@ typedef struct {
   float* odp;
   uint32_t *oblen, *obcpy, *obdist, *olastm;
   OptCost oc;
+  size_t dict_len; /* raw compound dictionary preloaded as history */
 } EncStream;
 
 #define SPAD 16 /* zero slack past the buffered end for 64-bit loads */
+
+/* Remap a concat-space distance (source may lie in the preloaded
+   dictionary) into the decoder's compound address space. */
+static inline uint32_t stream_map_dist(EncStream* S, size_t pos,
+                                       size_t dist) {
+  size_t cand = pos - dist;
+  if (cand >= S->dict_len) return (uint32_t)dist;
+  size_t q = pos - S->dict_len; /* decoder output position */
+  size_t maxd = q < S->e.maxback ? q : S->e.maxback;
+  return (uint32_t)(maxd + (S->dict_len - cand));
+}
+
+/* Remap every command's distance in a parsed region (opt tier path:
+   commands come back from the DP in concat space). */
+static void stream_remap_cmds(EncStream* S, Cmd* cmds, size_t ncmd,
+                              size_t lo) {
+  if (!S->dict_len) return;
+  size_t D = S->dict_len;
+  size_t pos = lo;
+  for (size_t i = 0; i < ncmd; i++) {
+    Cmd* c = &cmds[i];
+    pos += c->ins;
+    if (c->cpy || c->dist) {
+      size_t q = pos - D;
+      size_t maxd_out = q < S->e.maxback ? q : S->e.maxback;
+      if (c->adv & CMD_DICT) {
+        /* static-dict edge: its synthetic distance was built from the
+           concat-space max; rebase onto the decoder's max AND shift
+           past the compound region (decode address space order:
+           window, compound, static words) */
+        size_t maxd_in = pos < S->e.maxback ? pos : S->e.maxback;
+        size_t off = (size_t)c->dist - maxd_in - 1;
+        c->dist = (uint32_t)(maxd_out + 1 + D + off);
+      } else if ((size_t)c->dist <= pos) {
+        size_t cand = pos - c->dist;
+        if (cand < D) c->dist = (uint32_t)(maxd_out + (D - cand));
+      }
+    }
+    pos += c->adv & ~CMD_DICT;
+  }
+}
+
 
 void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
   if (quality < 0 || quality > 11 || lgwin < 10 || lgwin > 30)
@@ -4041,8 +4087,9 @@ static int stream_consume(EncStream* S, size_t until) {
                         &dwlen);
     }
     if (dout > (int)m.len) {
-      size_t maxd = pos < S->e.maxback ? pos : S->e.maxback;
-      uint32_t dist = (uint32_t)(maxd + 1 +
+      size_t q = pos - S->dict_len;
+      size_t maxd = q < S->e.maxback ? q : S->e.maxback;
+      uint32_t dist = (uint32_t)(maxd + 1 + S->dict_len +
           ((uint32_t)dtid << kDictSizeBits[dwlen]) + didx);
       if ((rc = stream_push_cmd(S, (uint32_t)(pos - S->lit_start), dcopy,
                                 dist, (uint32_t)dout | CMD_DICT)))
@@ -4074,16 +4121,18 @@ static int stream_consume(EncStream* S, size_t until) {
           }
         }
       }
+      uint32_t emit_dist = S->dict_len
+          ? stream_map_dist(S, pos, m.dist) : (uint32_t)m.dist;
       if ((rc = stream_push_cmd(S, (uint32_t)(pos - S->lit_start),
-                                (uint32_t)m.len, (uint32_t)m.dist,
+                                (uint32_t)m.len, emit_dist,
                                 (uint32_t)m.len)))
         return rc;
       S->copy_bytes += m.len;
-      if (m.dist != S->sim_ring[0]) {
+      if (emit_dist != S->sim_ring[0]) {
         S->sim_ring[3] = S->sim_ring[2];
         S->sim_ring[2] = S->sim_ring[1];
         S->sim_ring[1] = S->sim_ring[0];
-        S->sim_ring[0] = (uint32_t)m.dist;
+        S->sim_ring[0] = emit_dist;
       }
       size_t end = pos + m.len;
       size_t step = m.len > 256 ? 4 : 1;
@@ -4201,6 +4250,7 @@ static int opt_stream_consume(EncStream* S, size_t until, int last) {
       cmds = cmds2;
       ncmd = ncmd2;
     }
+    stream_remap_cmds(S, cmds, ncmd, lo);
     S->e.data = data;
     rc = emit_metablock(&S->e, cmds, ncmd, lo, hi,
                         last && hi >= until);
@@ -4210,6 +4260,40 @@ static int opt_stream_consume(EncStream* S, size_t until, int last) {
     S->pos = hi;
     S->lit_start = hi;
     S->mb_lo = hi;
+  }
+  return 0;
+}
+
+/* Attach a raw LZ77 (compound) dictionary as preloaded history:
+   matchers see it as window prefix; emitted distances are remapped
+   into the shared-brotli compound address space (decoder position
+   space starts at the data, RFC shared-dictionary; role parity:
+   BrotliEncoderAttachPreparedDictionary, c/enc/encode.c:1828).
+   Call once, before any input. */
+int btpu_enc_attach(void* p, const uint8_t* dict, size_t dlen) {
+  EncStream* S = (EncStream*)p;
+  if (!S || S->started || S->len || S->dict_len || !dlen)
+    return EERR_PARAM;
+  if (dlen > ((size_t)1 << 31)) return EERR_PARAM;
+  if (dlen + SPAD > S->cap) {
+    size_t nc = S->cap ? S->cap : (1 << 16);
+    while (dlen + SPAD > nc) nc *= 2;
+    uint8_t* nb = (uint8_t*)realloc(S->buf, nc);
+    if (!nb) return EERR_ALLOC;
+    S->buf = nb;
+    S->cap = nc;
+  }
+  memcpy(S->buf, dict, dlen);
+  S->len = dlen;
+  memset(S->buf + S->len, 0, SPAD);
+  S->dict_len = dlen;
+  /* index the dictionary into every matcher's hash state */
+  if (dlen >= 5) {
+    for (size_t p2 = 0; p2 + 5 <= dlen; p2++) {
+      insert_hash(S->buf, p2, &S->cfg);
+      if (S->cfg_dp.bucket) insert_hash(S->buf, p2, &S->cfg_dp);
+      if (S->cfg_dp2.bucket) insert_hash(S->buf, p2, &S->cfg_dp2);
+    }
   }
   return 0;
 }
@@ -4242,7 +4326,8 @@ int btpu_enc_chunk(void* p, const uint8_t* in, size_t in_len, int op,
   if (!S->started) {
     put_stream_header(&S->e.bw, S->e.lgwin);
     S->started = 1;
-    S->pos = S->lit_start = S->mb_lo = 0;
+    S->pos = S->lit_start = S->mb_lo = S->dict_len;
+    S->e.ctx_start = S->dict_len;
   }
   size_t n = S->base + S->len;
   int opt = S->e.quality >= 10;

@@ -283,3 +283,29 @@ def test_sharded_collective_payload_gather(testdata, ref_cli):
     rc, out = ref_decompress(ref_cli, coll)
     assert rc == 0 and out == data
     assert brotli_tpu.decompress(coll) == data
+
+
+def test_native_dict_attach_fast_path(testdata, ref_cli, tmp_path):
+    """Raw-dictionary compress rides the NATIVE streaming encoder
+    (dictionary preloaded as match history, distances remapped into
+    the compound address space -- encode.c:1756-1884 attach role);
+    round-2 gap: -D workloads ran the NumPy pipeline ~100x slower."""
+    import subprocess
+    import time
+    dictdata = (testdata / "lcet10.txt").read_bytes()[:65536]
+    payload = (testdata / "alice29.txt").read_bytes()
+    dpath = tmp_path / "d.bin"
+    dpath.write_bytes(dictdata)
+    for q in (5, 11):
+        t0 = time.time()
+        blob = brotli_tpu.compress(payload, quality=q,
+                                   dictionary=dictdata)
+        dt = time.time() - t0
+        r = subprocess.run([ref_cli, "-d", "-c", "-D", str(dpath)],
+                           input=blob, capture_output=True)
+        assert r.returncode == 0 and r.stdout == payload, q
+        assert brotli_tpu.decompress(blob,
+                                     dictionary=dictdata) == payload
+        # the native path runs at native speed; the old NumPy pipeline
+        # took tens of seconds for this input
+        assert dt < 10.0, (q, dt)
