@@ -15,6 +15,8 @@ Usage:
 """
 
 import argparse
+import os
+import pathlib
 import sys
 
 import numpy as np
@@ -159,18 +161,112 @@ def generate_mined(corpus: bytes, dict_size: int = 16384,
     return out[-dict_size:]
 
 
+def _slice_popularity(samples, slice_len: int):
+    """Occurrence count of every slice_len-gram over the concatenated
+    samples (the durchschlag ScoreSlices role, research/durchschlag.cc):
+    popular[i] = population of the slice starting at i."""
+    data = np.frombuffer(b"".join(samples), np.uint8)
+    n = len(data)
+    end = n - slice_len + 1
+    if end <= 0:
+        return data, np.zeros(0, np.int64)
+    # hash the grams (polynomial rolling hash, 64-bit): collisions
+    # only ever overcount popularity, which is the safe direction for
+    # corpus cleaning (a kept byte costs nothing; a lost one does)
+    h = np.zeros(end, np.uint64)
+    mult = np.uint64(1099511628211)
+    for k in range(slice_len):
+        h = h * mult + data[k:end + k].astype(np.uint64)
+    _uniq, inv, counts = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+    return data, counts[inv]
+
+
+def _coverage_keep(pop, n: int, slice_len: int, min_pop: int):
+    """keep[p] = position p is inside some popular slice (the
+    lastNonUniquePos rule: p < max over starts s <= p with
+    pop[s] >= min_pop of s + slice_len)."""
+    keep_until = np.where(pop >= min_pop,
+                          np.arange(len(pop), dtype=np.int64) + slice_len,
+                          0)
+    cm = np.maximum.accumulate(keep_until) if len(keep_until) else \
+        np.zeros(0, np.int64)
+    keep = np.zeros(n, bool)
+    if len(cm):
+        idx = np.minimum(np.arange(n), len(cm) - 1)
+        keep = np.arange(n) < cm[idx]
+    return keep
+
+
+def distill(samples, slice_len: int = 16, min_pop: int = 2):
+    """Rewrite samples REMOVING text that never repeats across the
+    corpus (durchschlag_distill role, research/durchschlag.cc:656):
+    the condensed samples train better dictionaries because unique
+    content cannot be referenced anyway."""
+    data, pop = _slice_popularity(samples, slice_len)
+    keep = _coverage_keep(pop, len(data), slice_len, min_pop)
+    out = []
+    pos = 0
+    for s in samples:
+        m = keep[pos:pos + len(s)]
+        out.append(np.frombuffer(s, np.uint8)[m].tobytes())
+        pos += len(s)
+    return out
+
+
+def purify(samples, slice_len: int = 16, min_pop: int = 2):
+    """Rewrite samples ZEROING text that never repeats (durchschlag_
+    purify role, research/durchschlag.cc:698): sizes are preserved, so
+    sample alignment survives for downstream tooling."""
+    data, pop = _slice_popularity(samples, slice_len)
+    keep = _coverage_keep(pop, len(data), slice_len, min_pop)
+    out = []
+    pos = 0
+    for s in samples:
+        a = np.frombuffer(s, np.uint8).copy()
+        a[~keep[pos:pos + len(s)]] = 0
+        out.append(a.tobytes())
+        pos += len(s)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="brotli_tpu.tools.dictgen")
     ap.add_argument("files", nargs="+")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--size", type=int, default=16384,
                     help="dictionary size in bytes")
+    ap.add_argument("--engine", choices=["cover", "mined"],
+                    default="cover",
+                    help="cover = block-coverage (durchschlag role); "
+                         "mined = suffix-sort substring mining "
+                         "(deorummolae/sieve role)")
+    ap.add_argument("--distill", action="store_true",
+                    help="rewrite samples next to the output: unique "
+                         "text parts are REMOVED (corpus cleaning)")
+    ap.add_argument("--purify", action="store_true",
+                    help="rewrite samples next to the output: unique "
+                         "text parts are ZEROED")
+    ap.add_argument("--slice_len", type=int, default=16)
+    ap.add_argument("--min_slice_pop", type=int, default=2)
     args = ap.parse_args(argv)
-    corpus = b"".join(open(f, "rb").read() for f in args.files)
-    d = generate(corpus, args.size)
+    samples = [open(f, "rb").read() for f in args.files]
+    if args.distill or args.purify:
+        fn = distill if args.distill else purify
+        rewritten = fn(samples, args.slice_len, args.min_slice_pop)
+        for path, blob in zip(args.files, rewritten):
+            out = args.output + "." + pathlib.Path(path).name
+            with open(out, "wb") as f:
+                f.write(blob)
+            print(f"{out}: {len(blob)} bytes (was {os.path.getsize(path)})")
+        return 0
+    corpus = b"".join(samples)
+    gen = generate_mined if args.engine == "mined" else generate
+    d = gen(corpus, args.size)
     with open(args.output, "wb") as f:
         f.write(d)
-    print(f"dictionary: {len(d)} bytes from {len(corpus)} corpus bytes")
+    print(f"dictionary: {len(d)} bytes from {len(corpus)} corpus bytes "
+          f"({args.engine})")
     return 0
 
 

