@@ -1,25 +1,28 @@
-"""Benchmark: q11 single-chip encode throughput (production path).
+"""Benchmark: q11 encode throughput, DEVICE pipeline as the headline.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Baseline: 0.5 MB/s -- the reference's published Canterbury quality-11
-compression speed (BASELINE.md, brotli-comparison-study Table 1; the
-enwik8/web rows are 0.4/0.6 MB/s). The corpus is the reference
-testdata text concatenated to 16 MB, encoded at quality 11 through the
-production pipeline (the native optimal-parse tier: two-iteration
-cost-model DP with seed continuation and long-copy skip,
-native/btpu_enc.c -- the backward_references_hq.c role) with lgwin 22.
-Every output is validated by decoding back to the input, and the size
-is compared against the reference CLI at the same quality and window
-when the differential binary is present.
+The headline VALUE is the TPU device-DP q11 pipeline
+(BROTLI_TPU_ENCODER=device: sort-carry candidate discovery + Pallas
+suffix-min wavefront DP + dictionary edges, ops/optimal_jax.py) on the
+16 MB reference-testdata corpus, end-to-end wall clock including host
+serialization, validated by decode. When no chip is reachable the
+value falls back to the HOST-NATIVE C tier and the metric string says
+so explicitly -- no number in the line can be mistaken for a chip
+measurement when it is not one.
 
-The metric string also reports the device (TPU) q11 pipeline --
-sort-carry candidate discovery + wavefront DP, ops/optimal_jax.py,
-the path the sharded multi-chip encoder scales across chips -- with
-its device-vs-host-serialize stage split, plus the native q1/q5
-one-shot throughputs for the fast tiers. The device pass is skipped
-gracefully when the chip is unreachable.
+Comparison fields reported inside the metric string:
+  - device size vs the reference CLI at the same quality/window
+  - host-native C tier (btpu_enc.c optimal-parse) MB/s + size ratio,
+    labeled "host C, zero chips"
+  - reference CLI local speed (same machine, single core)
+  - native one-shot q1/q5 throughputs (host C fast tiers)
+  - 8-virtual-device CPU-mesh sharded-encode scaling efficiency
+    (dispatch-overhead proxy; real multi-chip is not available here)
+
+Baseline: 0.5 MB/s -- the reference's published Canterbury quality-11
+compression speed (BASELINE.md, brotli-comparison-study Table 1).
 """
 
 import json
@@ -53,45 +56,75 @@ def build_corpus(target=16 << 20) -> bytes:
 
 
 def device_pass(data: bytes) -> dict:
-    """The TPU q11 pipeline: throughput + device/host stage split.
+    """The TPU q11 pipeline: end-to-end MB/s + size, decode-validated.
 
-    Runs in a subprocess so a wedged tunnel cannot hang the bench."""
+    Runs in a subprocess so a wedged tunnel cannot hang the bench; the
+    subprocess inherits PYTHONPATH (the TPU plugin may be loaded from
+    there -- overriding it silently downgrades to CPU)."""
     code = r"""
 import json, os, sys, time
 sys.path.insert(0, %r)
-import numpy as np
-import brotli_tpu
-from brotli_tpu.enc import encoder as E, bitstream
-from brotli_tpu.format import constants as C
-from brotli_tpu.format.bitio import BitWriter
-data = open(%r, 'rb').read()
 os.environ['BROTLI_TPU_ENCODER'] = 'device'
+import jax
+if jax.default_backend() not in ('tpu',):
+    print(json.dumps({'no_chip': jax.default_backend()})); sys.exit(0)
+import brotli_tpu
+data = open(%r, 'rb').read()
 brotli_tpu.compress(data[: 1 << 20], quality=11)  # compile warmup
-t0 = time.time()
-comp = brotli_tpu.compress(data, quality=11)
-dt = time.time() - t0
+best = 0.0
+comp = b''
+for _ in range(2):
+    t0 = time.time()
+    comp = brotli_tpu.compress(data, quality=11)
+    dt = time.time() - t0
+    best = max(best, len(data) / dt / 1e6)
 assert brotli_tpu.decompress(comp) == data
-arr = np.frombuffer(data, dtype=np.uint8)
-t0 = time.time()
-matches = E.find_matches(arr, C.max_backward_distance(22), 11)
-t1 = time.time()
-bw = BitWriter()
-bitstream.write_stream_header(bw, 22)
-E._write_blocks(bw, arr, 0, len(arr), matches, 22, is_last=True,
-                ring=None, quality=11, ctx_floor=0)
-bw.align_to_byte()
-t2 = time.time()
-print(json.dumps({'mbps': round(len(data) / dt / 1e6, 2),
-                  'size': len(comp),
-                  'device_ms': round((t1 - t0) * 1000),
-                  'serialize_ms': round((t2 - t1) * 1000)}))
+print(json.dumps({'mbps': round(best, 2), 'size': len(comp)}))
 """
     here = str(pathlib.Path(__file__).resolve().parent)
     tmp = "/tmp/bench_corpus16"
     pathlib.Path(tmp).write_bytes(data)
     try:
         r = subprocess.run([sys.executable, "-c", code % (here, tmp)],
-                           capture_output=True, timeout=1800)
+                           capture_output=True, timeout=3000)
+        return json.loads(r.stdout.splitlines()[-1]) if r.returncode == 0 \
+            else {}
+    except Exception:
+        return {}
+
+
+def mesh_scaling(data: bytes) -> dict:
+    """Sharded-encode scaling on the 8-virtual-device CPU mesh: NOT a
+    chip measurement -- a dispatch/stitch overhead proxy."""
+    code = r"""
+import json, os, sys, time
+sys.path.insert(0, %r)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
+                           ' --xla_force_host_platform_device_count=8')
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import brotli_tpu
+from brotli_tpu.parallel import shard
+data = open(%r, 'rb').read()
+shard.compress_sharded(data, quality=5, n_shards=8)  # warm
+ts = {}
+for ns in (1, 8):
+    t0 = time.time()
+    out = shard.compress_sharded(data, quality=5, n_shards=ns)
+    ts[ns] = time.time() - t0
+    assert brotli_tpu.decompress(out) == data
+print(json.dumps({'eff': round(ts[1] / (8 * ts[8]), 3),
+                  't1': round(ts[1], 2), 't8': round(ts[8], 2)}))
+"""
+    here = str(pathlib.Path(__file__).resolve().parent)
+    tmp = "/tmp/bench_corpus2"
+    pathlib.Path(tmp).write_bytes(data[: 2 << 20])
+    try:
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS",)}
+        r = subprocess.run([sys.executable, "-c", code % (here, tmp)],
+                           capture_output=True, timeout=1200, env=env)
         return json.loads(r.stdout.splitlines()[-1]) if r.returncode == 0 \
             else {}
     except Exception:
@@ -116,38 +149,66 @@ def main():
     import brotli_tpu
 
     data = build_corpus()
+
+    # host-native C tier (zero chips) -- comparison field
     brotli_tpu.compress(data[: 1 << 20], quality=QUALITY)  # warm
-    best = 0.0
-    comp = b""
+    host_best = 0.0
+    host_comp = b""
     for _ in range(3):
         t0 = time.time()
-        comp = brotli_tpu.compress(data, quality=QUALITY)
+        host_comp = brotli_tpu.compress(data, quality=QUALITY)
         dt = time.time() - t0
-        best = max(best, len(data) / dt / 1e6)
-    assert brotli_tpu.decompress(comp) == data
-    ratio = len(data) / len(comp)
-    fast = native_fast_mbps(data)
-    size_note = f"ratio {ratio:.2f}"
+        host_best = max(host_best, len(data) / dt / 1e6)
+    assert brotli_tpu.decompress(host_comp) == data
+
+    # reference CLI local speed + size (same machine, single core)
+    ref_size = ref_mbps = None
     if REF_CLI.exists():
+        t0 = time.time()
         ref = subprocess.run(
             [str(REF_CLI), "-q", str(QUALITY), "-w", "22", "-c"],
             input=data, capture_output=True).stdout
-        size_note += f", size {len(comp) / len(ref):.3f}x ref-q{QUALITY}"
+        ref_mbps = round(len(data) / (time.time() - t0) / 1e6, 2)
+        ref_size = len(ref)
+
+    fast = native_fast_mbps(data)
     skip_dev = bool(os.environ.get("BENCH_SKIP_DEVICE"))
     dev = {} if skip_dev else device_pass(data)
-    dev_note = (f"; device-DP pipeline {dev['mbps']} MB/s, "
-                f"size {dev['size']}, device {dev['device_ms']}ms + "
-                f"host-serialize {dev['serialize_ms']}ms"
-                if dev else ("; device pass disabled" if skip_dev else
-                            "; device pass skipped (chip unreachable)"))
-    fast_note = (f", native one-shot q1 {fast.get('q1', '?')} / "
-                 f"q5 {fast.get('q5', '?')} MB/s" if fast else "")
+    mesh = mesh_scaling(data)
+
+    def ratio(sz):
+        return f"{sz / ref_size:.4f}x ref" if ref_size else f"{sz} B"
+
+    host_note = (f"host-native C tier (zero chips): {host_best:.2f} MB/s, "
+                 f"size {ratio(len(host_comp))}")
+    ref_note = (f"; reference CLI local: {ref_mbps} MB/s"
+                if ref_mbps else "")
+    fast_note = (f"; native one-shot q1 {fast.get('q1', '?')} / "
+                 f"q5 {fast.get('q5', '?')} MB/s (host)" if fast else "")
+    mesh_note = (f"; 8-vdev CPU-mesh q5 scaling eff {mesh['eff']}"
+                 f" (t1 {mesh['t1']}s / t8 {mesh['t8']}s; overhead proxy,"
+                 f" not a chip number)" if mesh else "")
+
+    if dev.get("mbps"):
+        value = dev["mbps"]
+        metric = (f"q{QUALITY} encode MB/s, TPU device-DP pipeline "
+                  f"end-to-end (16MB corpus, real chip, decode-"
+                  f"validated, size {ratio(dev['size'])}); {host_note}"
+                  f"{ref_note}{fast_note}{mesh_note}")
+    else:
+        why = ("device pass disabled" if skip_dev else
+               f"no chip reachable ({dev.get('no_chip', 'init failed')})")
+        value = round(host_best, 2)
+        metric = (f"q{QUALITY} encode MB/s, HOST-NATIVE C tier -- NOT a "
+                  f"chip measurement ({why}; 16MB corpus, size "
+                  f"{ratio(len(host_comp))}){ref_note}{fast_note}"
+                  f"{mesh_note}")
+
     print(json.dumps({
-        "metric": f"q{QUALITY} encode MB/s single chip, production path "
-                  f"(16MB text corpus, {size_note}{dev_note}{fast_note})",
-        "value": round(best, 2),
+        "metric": metric,
+        "value": value,
         "unit": "MB/s",
-        "vs_baseline": round(best / BASELINE_MBPS, 3),
+        "vs_baseline": round(value / BASELINE_MBPS, 3),
     }))
 
 

@@ -268,6 +268,14 @@ class Decoder:
         # cmd_syms, lits, dist_syms, switches) -- the per-bit field
         # breakdown role of research/brotlidump.py
         self.bit_account = None
+        # per-FIELD bit dump (dissector --bits): when a list, every
+        # header field and command appends (bit0, bit1, label, value)
+        # -- the research/brotlidump.py print-every-field role
+        self.field_trace = None
+
+    def _ft(self, bit0, bit1, label, value):
+        if self.field_trace is not None:
+            self.field_trace.append((bit0, bit1, label, value))
 
     def decompress(self, data) -> bytes:
         out, _ = self._decompress_impl(data, allow_trailing=False)
@@ -294,7 +302,9 @@ class Decoder:
         return bytes(out), br.bitpos // 8
 
     def _read_stream_header(self, br) -> dict:
+        b0 = br.bitpos
         window_bits, is_large = _read_window_bits(br, self.large_window)
+        self._ft(b0, br.bitpos, "WBITS", window_bits)
         if not is_large and not (10 <= window_bits <= 24):
             raise FormatError(f"bad window bits {window_bits}", E.WINDOW_BITS)
         if is_large and not (C.LARGE_MIN_WINDOW_BITS <= window_bits
@@ -311,11 +321,18 @@ class Decoder:
         """Decode one metablock; returns True when the stream ended.
         Raises NeedMoreInput on truncation (resumable: re-enter with
         the same `state` and a reader positioned at the same bit)."""
+        b0 = br.bitpos
         is_last = br.take(1)
+        self._ft(b0, br.bitpos, "ISLAST", is_last)
         if is_last:
+            b0 = br.bitpos
             if br.take(1):  # ISLASTEMPTY
+                self._ft(b0, br.bitpos, "ISLASTEMPTY", 1)
                 return True
+            self._ft(b0, br.bitpos, "ISLASTEMPTY", 0)
+        b0 = br.bitpos
         mnibbles = br.take(2) + 4
+        self._ft(b0, br.bitpos, "MNIBBLES", mnibbles)
         if mnibbles == 7:  # metadata block
             if br.take(1):
                 raise FormatError("reserved bit set", E.RESERVED)
@@ -336,13 +353,18 @@ class Decoder:
                 self.metadata_callback(bytes(meta))
             return bool(is_last)
         mlen = 0
+        b0 = br.bitpos
         for i in range(mnibbles):
             nib = br.take(4)
             if i + 1 == mnibbles and mnibbles > 4 and nib == 0:
                 raise FormatError("exuberant nibble", E.EXUBERANT_NIBBLE)
             mlen |= nib << (i * 4)
         mlen += 1
+        self._ft(b0, br.bitpos, "MLEN", mlen)
+        b0 = br.bitpos
         is_uncompressed = 0 if is_last else br.take(1)
+        if not is_last:
+            self._ft(b0, br.bitpos, "ISUNCOMPRESSED", is_uncompressed)
         if is_uncompressed:
             pad = br.align_to_byte()
             if pad != 0:
@@ -365,35 +387,57 @@ class Decoder:
                 acct[cat] = acct.get(cat, 0) + (br.bitpos - t0)
                 return br.bitpos
             t = hdr_bit0
-        blocks = [_BlockState(br) for _ in range(3)]  # L, I, D
+        blocks = []
+        for cat in ("L", "I", "D"):
+            b0 = br.bitpos
+            bs = _BlockState(br)
+            self._ft(b0, br.bitpos, f"NBLTYPES{cat}+trees", bs.num_types)
+            blocks.append(bs)
         if acct is not None:
             t = _acc("block_headers", t)
+        b0 = br.bitpos
         npostfix = br.take(2)
         ndirect = br.take(4) << npostfix
+        self._ft(b0, br.bitpos, "NPOSTFIX/NDIRECT", (npostfix, ndirect))
+        b0 = br.bitpos
         context_modes = [br.take(2) for _ in range(blocks[0].num_types)]
+        self._ft(b0, br.bitpos, "CMODE[]", context_modes)
         if acct is not None:
             t = _acc("dist_params", t)
+        b0 = br.bitpos
         lit_cmap, n_lit_trees = read_context_map(
             br, blocks[0].num_types << C.LITERAL_CONTEXT_BITS)
+        self._ft(b0, br.bitpos, "CMAPL", f"{n_lit_trees} trees")
         if acct is not None:
             t = _acc("cmap_lit", t)
+        b0 = br.bitpos
         dist_cmap, n_dist_trees = read_context_map(
             br, blocks[2].num_types << C.DISTANCE_CONTEXT_BITS)
+        self._ft(b0, br.bitpos, "CMAPD", f"{n_dist_trees} trees")
         if acct is not None:
             t = _acc("cmap_dist", t)
-        lit_trees = [read_huffman_code(br, C.NUM_LITERAL_SYMBOLS)
-                     for _ in range(n_lit_trees)]
+        lit_trees = []
+        for ti in range(n_lit_trees):
+            b0 = br.bitpos
+            lit_trees.append(read_huffman_code(br, C.NUM_LITERAL_SYMBOLS))
+            self._ft(b0, br.bitpos, f"HTREEL[{ti}]", None)
         if acct is not None:
             t = _acc("trees_lit", t)
-        cmd_trees = [read_huffman_code(br, C.NUM_COMMAND_SYMBOLS)
-                     for _ in range(blocks[1].num_types)]
+        cmd_trees = []
+        for ti in range(blocks[1].num_types):
+            b0 = br.bitpos
+            cmd_trees.append(read_huffman_code(br, C.NUM_COMMAND_SYMBOLS))
+            self._ft(b0, br.bitpos, f"HTREEI[{ti}]", None)
         if acct is not None:
             t = _acc("trees_cmd", t)
         maxnbits = (C.LARGE_MAX_DISTANCE_BITS if is_large
                     else C.MAX_DISTANCE_BITS)
         dist_alpha = C.distance_alphabet_size(npostfix, ndirect, maxnbits)
-        dist_trees = [read_huffman_code(br, dist_alpha)
-                      for _ in range(n_dist_trees)]
+        dist_trees = []
+        for ti in range(n_dist_trees):
+            b0 = br.bitpos
+            dist_trees.append(read_huffman_code(br, dist_alpha))
+            self._ft(b0, br.bitpos, f"HTREED[{ti}]", None)
         if acct is not None:
             t = _acc("trees_dist", t)
         if self.structure is not None:
@@ -416,6 +460,7 @@ class Decoder:
         remaining = mlen
         while remaining > 0:
             # --- command symbol
+            cmd_bit0 = br.bitpos
             if acct is not None:
                 t = br.bitpos
             if blocks[1].length == 0:
@@ -459,6 +504,8 @@ class Decoder:
             if remaining <= 0:
                 if self.trace is not None:
                     self.trace.append((insert_len, 0, 0, -2, len(out)))
+                self._ft(cmd_bit0, br.bitpos, "CMD",
+                         (insert_len, 0, 0, -2))
                 break
 
             # --- distance
@@ -494,6 +541,9 @@ class Decoder:
                 self.trace.append((
                     insert_len, copy_len, distance,
                     -1 if implicit_dist0 else dcode, len(out)))
+            self._ft(cmd_bit0, br.bitpos, "CMD",
+                     (insert_len, copy_len, distance,
+                      -1 if implicit_dist0 else dcode))
             if distance > max_distance:
                 if distance > C.MAX_ALLOWED_DISTANCE:
                     raise FormatError("distance too large", E.DISTANCE)

@@ -4789,6 +4789,11 @@ int btpu_dict_probe_all(const uint8_t* data, size_t n, size_t base,
                           &dwlen);
     if (dout < gate) continue;
     uint32_t off = ((uint32_t)dtid << kDictSizeBits[dwlen]) + didx;
+    /* the sparse payload carries the dict offset in 17 bits; a high
+       transform id on an 11-bit length bucket can exceed that and
+       would corrupt the packed wlen/advance fields -- skip (such
+       deep-transform words rarely win the DP anyway) */
+    if (off >= (1u << 17)) continue;
     if (cnt >= cap) return EERR_PARAM;
     out_pos[cnt] = (uint32_t)p;
     out_payload[cnt] = ((uint32_t)dout << 22) |

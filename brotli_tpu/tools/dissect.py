@@ -27,13 +27,23 @@ import sys
 import numpy as np
 
 
-def dissect(blob: bytes, verbose: bool = False, out=sys.stdout):
+def dissect(blob: bytes, verbose: bool = False, bits: bool = False,
+            out=sys.stdout):
     from ..dec.decoder import Decoder
 
     d = Decoder()
     d.trace = []
     d.structure = []
+    if bits:
+        d.field_trace = []
     data = d.decompress(blob)
+    if bits:
+        # per-field bit dump (the research/brotlidump.py role): every
+        # header field and command with its exact bit span
+        for (b0, b1, label, value) in d.field_trace:
+            v = "" if value is None else f" = {value}"
+            print(f"  [{b0:>9}..{b1:<9}] {b1 - b0:>7}b {label}{v}",
+                  file=out)
     for i, mb in enumerate(d.structure):
         print(f"metablock {i}: mlen {mb['mlen']}  "
               f"NBLTYPES L/I/D {mb['nbltypes']}  "
@@ -95,10 +105,13 @@ def main(argv=None) -> int:
     ap.add_argument("file")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="dump every command")
+    ap.add_argument("--bits", action="store_true",
+                    help="dump every header field and command with "
+                         "its exact bit span (brotlidump.py role)")
     args = ap.parse_args(argv)
     with open(args.file, "rb") as f:
         blob = f.read()
-    dissect(blob, verbose=args.verbose)
+    dissect(blob, verbose=args.verbose, bits=args.bits)
     return 0
 
 
