@@ -272,6 +272,15 @@ class Decoder:
         # header field and command appends (bit0, bit1, label, value)
         # -- the research/brotlidump.py print-every-field role
         self.field_trace = None
+        # deferred-LZ mode (dec/device_decode.py): when a dict with
+        # keys {lits: bytearray, nlit/ncopy/dist: lists}, the command
+        # loop decodes SYMBOLS only and records the copy graph instead
+        # of resolving it -- the device kernel resolves copies by
+        # log-step pointer doubling. Only valid for streams whose
+        # literal trees are context-independent (the literal symbol
+        # decode must not depend on unresolved output bytes).
+        self.defer_lz = None
+        self._virtual_len = 0
 
     def _ft(self, bit0, bit1, label, value):
         if self.field_trace is not None:
@@ -369,7 +378,17 @@ class Decoder:
             pad = br.align_to_byte()
             if pad != 0:
                 raise FormatError("non-zero padding", E.PADDING_1)
-            out += br.read_bytes(mlen)
+            raw = br.read_bytes(mlen)
+            if self.defer_lz is not None:
+                # raw bytes are pre-resolved: a literal run for the
+                # device kernel
+                self.defer_lz["lits"].extend(raw)
+                self.defer_lz["nlit"].append(mlen)
+                self.defer_lz["ncopy"].append(0)
+                self.defer_lz["dist"].append(0)
+                self._virtual_len += mlen
+            else:
+                out += raw
             return False
         state["rb_idx"] = self._metablock(
             br, out, mlen, state["max_backward"], state["dist_rb"],
@@ -457,6 +476,11 @@ class Decoder:
 
         lit_block, cmd_block, dist_block = 0, 0, 0
         lit_lut = ctx.context_lut(context_modes[0])
+        if self.defer_lz is not None:
+            return self._metablock_deferred(
+                br, mlen, max_backward, dist_rb, rb_idx, blocks,
+                lit_cmap, lit_trees, cmd_trees, dist_trees, dist_cmap,
+                dist_extra, dist_offset, npostfix, cmd_lut)
         remaining = mlen
         while remaining > 0:
             # --- command symbol
@@ -590,6 +614,125 @@ class Decoder:
         if remaining < 0:
             raise FormatError("metablock length overrun", E.BLOCK_LENGTH_1)
         return rb_idx
+
+    def _metablock_deferred(self, br, mlen, max_backward, dist_rb,
+                            rb_idx, blocks, lit_cmap, lit_trees,
+                            cmd_trees, dist_trees, dist_cmap,
+                            dist_extra, dist_offset, npostfix,
+                            cmd_lut):
+        """Symbol-only command loop (deferred LZ): emits the copy
+        graph into self.defer_lz for device-side resolution
+        (ops/lz_resolve.py). The reference's hot loop
+        (c/dec/decode.c:2401 ProcessCommands) fuses symbol decode and
+        byte movement; on TPU the byte movement is the parallel half.
+
+        Requires context-INDEPENDENT literal trees: with context
+        modeling the literal symbol decode needs the two previous
+        output bytes, which may be unresolved copies."""
+        if self.compound or self.shared is not None:
+            raise UnsupportedForDevice("attached dictionaries")
+        nt = len(lit_cmap) >> C.LITERAL_CONTEXT_BITS
+        for t in range(nt):
+            row = lit_cmap[t << C.LITERAL_CONTEXT_BITS:
+                           (t + 1) << C.LITERAL_CONTEXT_BITS]
+            if any(r != row[0] for r in row):
+                raise UnsupportedForDevice(
+                    "context-modeled literals (output-dependent "
+                    "symbol decode)")
+        D = self.defer_lz
+        lits = D["lits"]
+        lit_block = cmd_block = dist_block = 0
+        remaining = mlen
+        vlen = self._virtual_len
+        while remaining > 0:
+            if blocks[1].length == 0:
+                cmd_block = blocks[1].switch(br)
+            blocks[1].length -= 1
+            tbl = cmd_trees[cmd_block]
+            sym, used = tbl.decode(br.peek(tbl.max_len))
+            br.skip(used)
+            insert_len = int(cmd_lut["insert_base"][sym]) +                 br.take(int(cmd_lut["insert_extra"][sym]))
+            copy_len = int(cmd_lut["copy_base"][sym]) +                 br.take(int(cmd_lut["copy_extra"][sym]))
+            implicit_dist0 = bool(cmd_lut["implicit_dist0"][sym])
+            dctx = int(cmd_lut["dist_context"][sym])
+            nlit_cmd = insert_len
+            for _ in range(insert_len):
+                if blocks[0].length == 0:
+                    lit_block = blocks[0].switch(br)
+                blocks[0].length -= 1
+                tree = lit_trees[lit_cmap[
+                    lit_block << C.LITERAL_CONTEXT_BITS]]
+                lit, used = tree.decode(br.peek(tree.max_len))
+                br.skip(used)
+                lits.append(lit)
+            vlen += insert_len
+            remaining -= insert_len
+            if remaining <= 0:
+                D["nlit"].append(nlit_cmd)
+                D["ncopy"].append(0)
+                D["dist"].append(0)
+                break
+            max_distance = min(vlen, max_backward)
+            if implicit_dist0:
+                distance = dist_rb[(rb_idx - 1) & 3]
+                dist_code_is_zero = True
+            else:
+                if blocks[2].length == 0:
+                    dist_block = blocks[2].switch(br)
+                blocks[2].length -= 1
+                dtree = dist_trees[dist_cmap[
+                    (dist_block << C.DISTANCE_CONTEXT_BITS) + dctx]]
+                dcode, used = dtree.decode(br.peek(dtree.max_len))
+                br.skip(used)
+                dist_code_is_zero = (dcode == 0)
+                if dcode < C.NUM_DISTANCE_SHORT_CODES:
+                    ring, delta = prefix.DISTANCE_SHORT_CODES[dcode]
+                    distance = dist_rb[(rb_idx - 1 - ring) & 3] + delta
+                    if distance <= 0:
+                        raise FormatError(
+                            "non-positive short-code distance",
+                            E.DISTANCE)
+                else:
+                    extra = br.take(int(dist_extra[dcode]))
+                    distance = int(dist_offset[dcode]) +                         (extra << npostfix)
+            if distance > max_distance:
+                if distance > C.MAX_ALLOWED_DISTANCE:
+                    raise FormatError("distance too large", E.DISTANCE)
+                word = dict_mod.decode_reference(
+                    copy_len, distance - max_distance - 1)
+                if word is None:
+                    raise FormatError("invalid dictionary reference",
+                                      E.DICTIONARY)
+                # fold the expanded word into the literal stream: a
+                # dictionary reference has no in-window source, so the
+                # device kernel treats its bytes as resolved
+                lits.extend(word)
+                nlit_cmd += len(word)
+                vlen += len(word)
+                remaining -= len(word)
+                D["nlit"].append(nlit_cmd)
+                D["ncopy"].append(0)
+                D["dist"].append(0)
+            else:
+                if not dist_code_is_zero:
+                    dist_rb[rb_idx & 3] = distance
+                    rb_idx += 1
+                vlen += copy_len
+                remaining -= copy_len
+                D["nlit"].append(nlit_cmd)
+                D["ncopy"].append(copy_len)
+                D["dist"].append(distance)
+        if remaining < 0:
+            raise FormatError("metablock length overrun",
+                              E.BLOCK_LENGTH_1)
+        self._virtual_len = vlen
+        return rb_idx
+
+
+class UnsupportedForDevice(Exception):
+    """Stream shape the deferred-LZ device pipeline cannot decode
+    (context-modeled literals or attached dictionaries); callers fall
+    back to the host decoder."""
 
 
 class IncrementalDecoder:

@@ -38,7 +38,15 @@ assert OFFSETS_BY_LENGTH[25] == 122784
 
 
 @lru_cache(maxsize=1)
+@lru_cache(maxsize=1)
 def dictionary_data() -> bytes:
+    """The RFC 7932 dictionary blob. Cached so every caller sees ONE
+    stable object: the native library keys its global dictionary
+    index on the blob POINTER (btpu_enc.c dict_index_init) and keeps
+    it after the call returns -- a fresh bytes object per call both
+    dangles that pointer and forces an index rebuild, which races
+    concurrent probes on the streaming encoder's worker thread
+    (use-after-free -> corrupt dictionary matches)."""
     data = _DATA_PATH.read_bytes()
     if len(data) != 122784:
         raise RuntimeError("static dictionary blob corrupted")
