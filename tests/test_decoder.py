@@ -76,3 +76,47 @@ def test_incremental_decoder_chunked():
         out += chunk
         assert len(chunk) <= 1000
     assert bytes(out) == data
+
+
+def test_device_decode_golden(testdata):
+    """Device-path decode (SURVEY 7 step 2 demo): host symbol parse +
+    device LZ resolution by log-step pointer doubling. Every golden
+    stream without context-modeled literals must decode bit-exactly;
+    context-modeled ones must raise (host fallback contract)."""
+    import re
+    from brotli_tpu.dec.device_decode import (decompress_device,
+                                              UnsupportedForDevice)
+    ok = unsup = 0
+    for f in sorted(testdata.glob("*.compressed*")):
+        base = re.sub(r"\.compressed(\.\d+)?$", "", f.name)
+        want = (testdata / base).read_bytes()
+        try:
+            assert decompress_device(f.read_bytes()) == want, f.name
+            ok += 1
+        except UnsupportedForDevice:
+            unsup += 1
+    assert ok >= 10, (ok, unsup)
+
+
+def test_device_decode_own_streams(testdata):
+    """Our own q1/q5 output (trivial context maps at small sizes)
+    through the device decode path, including overlapping copies and
+    dictionary words."""
+    from brotli_tpu.dec.device_decode import (decompress_device,
+                                              UnsupportedForDevice)
+    import brotli_tpu
+    payloads = [
+        b"abcabcabcabc" * 400,                     # overlapping copies
+        (testdata / "alice29.txt").read_bytes(),   # text w/ dict words
+        b"\x00" * 100000,                          # RLE chains
+    ]
+    ok = 0
+    for p in payloads:
+        for q in (1, 5):
+            blob = brotli_tpu.compress(p, quality=q)
+            try:
+                assert decompress_device(blob) == p
+                ok += 1
+            except UnsupportedForDevice:
+                pass
+    assert ok >= 3, ok
