@@ -90,7 +90,20 @@ def decompress(string, dictionary=None, large_window=False) -> bytes:
     parity: BrotliDecoderAttachDictionary RAW / SERIALIZED)."""
     data = bytes(string)
     import os
-    use_native = os.environ.get("BROTLI_TPU_DECODER", "native") == "native"
+    dec_sel = os.environ.get("BROTLI_TPU_DECODER", "native")
+    use_native = dec_sel == "native"
+    if dec_sel == "device" and not dictionary and not large_window:
+        # device decode path (SURVEY 7 step 2): host symbol parse +
+        # on-device LZ resolution; context-modeled literal streams
+        # fall back to the host decoder below
+        from .dec.device_decode import (decompress_device,
+                                        UnsupportedForDevice)
+        try:
+            return decompress_device(data)
+        except UnsupportedForDevice:
+            pass
+        except FormatError as e:
+            raise error(str(e)) from e
     if dictionary or large_window:
         shared = None
         if dictionary and bytes(dictionary[:2]) == b"\x91\x00":
