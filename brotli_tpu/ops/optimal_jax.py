@@ -217,10 +217,16 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
     cont_len = jnp.clip(end_fill - pos, 0, W - 1)
     cont_dist = jnp.where(cont_len >= 2, dist_fill, 0)
 
-    # (measured, not kept: a ring-cache probe slot gathering match
-    # lengths at dist_fill -- the host DP's cache_probes role -- moved
-    # the cycle corpus by +3 bytes; the continuation slot already
-    # covers the distances the fill can supply)
+    # (measured twice, not kept: a ring-cache probe slot gathering
+    # match lengths at dist_fill -- the host DP's cache_probes role --
+    # moved the cycle corpus by +3 bytes at explicit pricing, and a
+    # round-3 re-test with JOINT icell pricing (cq row 1, the host
+    # DP's icell basin) changed NOTHING on lcet10/maps: inside seed
+    # matches the edges duplicate the continuation slot, and after
+    # match ends the seed-trained cell/ring histograms price the
+    # short-copy basin out of reach -- the bootstrap the reference
+    # gets from its 2-iteration cost model does not ignite from a
+    # single-iteration device pass)
 
     # per-slot edge (len, dist-costq), flat (nslots, n). The copy-code
     # side of the command cost is added per relaxed length downstream
