@@ -959,8 +959,12 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     from ..enc.matcher import add_dictionary_matches
 
     if iterations is None:
-        # a second cost-refinement pass measures out neutral-to-worse
-        # on this corpus family; the knob stays for experiments
+        # a second cost-refinement pass measured neutral-to-worse on
+        # this corpus family BEFORE the dict-edge/atomic-slot work;
+        # BROTLI_TPU_DP_ITERS re-tests it (streaming requires 1)
+        iterations = int(_os_mod.environ.get("BROTLI_TPU_DP_ITERS",
+                                             "1"))
+    if on_block is not None:
         iterations = 1
     from ..utils import trace
     n = len(data)
