@@ -234,13 +234,19 @@ class Decompressor:
     """Streaming decompressor with output back-pressure.
 
     ``output_buffer_limit`` caps the bytes returned by a single
-    ``process`` call; remaining output is drained by subsequent calls
-    (parity: python/_brotli.c Decompressor, 1.2.0 SECURITY change).
+    ``process`` call (parity: python/_brotli.c Decompressor, 1.2.0
+    SECURITY change). On the native path this is TRUE back-pressure:
+    decoding SUSPENDS at the limit (mid-metablock, even mid-copy), so
+    a small fed chunk that expands enormously is never materialized --
+    retained memory stays O(limit + window). While undelivered output
+    is pending, ``can_accept_more_data()`` is False and ``process(b"")``
+    drains the next slice.
     """
 
     def __init__(self, dictionary=None):
         import os
         self._inc = None
+        self._native = False
         # a serialized shared dictionary (magic 0x91 0x00) must be
         # PARSED for either backend -- passing the container blob as
         # raw compound bytes would silently corrupt output
@@ -267,6 +273,7 @@ class Decompressor:
             try:
                 from .native import StreamDecoder as NSD
                 self._inc = NSD(compound=compound)
+                self._native = True
             except (ImportError, OSError, subprocess_error()):
                 self._inc = None
         if self._inc is None:
@@ -279,6 +286,17 @@ class Decompressor:
     def process(self, string=b"", output_buffer_limit=None) -> bytes:
         if string and not self.can_accept_more_data():
             raise error("cannot accept more data: drain pending output")
+        if self._native:
+            # true back-pressure: the native decoder stops producing
+            # at the limit and resumes on the next call
+            self._inc.set_output_limit(output_buffer_limit or 0)
+            try:
+                return self._inc.feed(bytes(string))
+            except ValueError as e:
+                raise error(str(e)) from e
+        # pure-python fallback core: decode then chunk the delivery
+        # (the spec-driven decoder is not resumable at an output byte
+        # count; the native path above is the production behavior)
         try:
             self._pending += self._inc.feed(bytes(string))
         except (FormatError, ValueError) as e:
@@ -292,7 +310,9 @@ class Decompressor:
         return out
 
     def is_finished(self) -> bool:
-        return self._inc.finished and not self._pending
+        return (self._inc.finished and not self._pending
+                and not getattr(self._inc, "pending_output", False))
 
     def can_accept_more_data(self) -> bool:
-        return not self._inc.finished and not self._pending
+        return (not self._inc.finished and not self._pending
+                and not getattr(self._inc, "pending_output", False))

@@ -145,6 +145,11 @@ def get_lib():
         lib.btpu_dec_allow_trailing.argtypes = [ctypes.c_void_p,
                                                 ctypes.c_int]
         lib.btpu_dec_allow_trailing.restype = None
+        lib.btpu_dec_set_output_limit.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_size_t]
+        lib.btpu_dec_set_output_limit.restype = None
+        lib.btpu_dec_retained.argtypes = [ctypes.c_void_p]
+        lib.btpu_dec_retained.restype = ctypes.c_size_t
         lib.btpu_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -487,6 +492,16 @@ class StreamDecoder:
         self._base = 0  # absolute offset of _buf[0] (consumed prefix
                         # is dropped: memory stays window-bounded)
         self.finished = False
+        self.pending_output = False  # suspended at the output limit:
+                                     # feed(b"") resumes, no new input
+
+    def set_output_limit(self, limit: int) -> None:
+        """Cap NEW output bytes per feed() call (0 = unlimited). At the
+        cap decoding SUSPENDS -- a bomb chunk is never eagerly expanded
+        (python/_brotli.c output_buffer_limit role, 1.2.0 SECURITY)."""
+        if self._st is None:
+            raise ValueError("decoder closed")
+        self._lib.btpu_dec_set_output_limit(self._st, int(limit))
 
     def feed(self, data: bytes, final: bool = False) -> bytes:
         if self._st is None:
@@ -502,6 +517,7 @@ class StreamDecoder:
             ctypes.byref(out_len))
         if rc < 0:
             raise DecodeError(rc)
+        self.pending_output = (rc == 2)
         out = (ctypes.string_at(out_ptr, out_len.value)
                if out_ptr.value and out_len.value else b"")
         consumed = self._lib.btpu_dec_consumed(self._st)
@@ -511,6 +527,14 @@ class StreamDecoder:
         if rc == 0 and self._lib.btpu_dec_finished(self._st):
             self.finished = True
         return out
+
+    @property
+    def retained_output(self) -> int:
+        """Bytes held in the native output buffer (window retention +
+        undelivered back-pressure slices)."""
+        if self._st is None:
+            raise ValueError("decoder closed")
+        return int(self._lib.btpu_dec_retained(self._st))
 
     @property
     def consumed(self) -> int:

@@ -489,6 +489,11 @@ typedef struct {
   int have_cmd;         /* command symbol read; copy part pending */
   uint32_t sym;         /* open command's symbol */
   uint64_t copy_len;    /* open command's copy length */
+  uint64_t pend_copy;   /* copy bytes still to emit (output-limit split) */
+  int64_t pend_dist;    /* open LZ copy's distance */
+  size_t pend_src;      /* open compound copy's source cursor */
+  int pend_kind;        /* 0 = LZ window, 1 = compound, 2 = dict word */
+  uint8_t pend_word[40]; /* kind 2: the transformed word bytes */
 } MbCtx;
 
 static void mbctx_free(MbCtx* c) {
@@ -521,6 +526,11 @@ typedef struct {
   size_t last_attempt; /* ABSOLUTE input bytes at last incomplete try */
   int allow_trailing;  /* brcat mode: bytes after stream end are the
                           next stream, not garbage */
+  size_t out_limit;    /* max NEW output bytes per chunk call (0 =
+                          unlimited): true back-pressure, the
+                          python/_brotli.c output_buffer_limit role
+                          (1.2.0 SECURITY change) -- decoding STOPS at
+                          the limit, input is NOT eagerly expanded */
   MbCtx* mb;           /* mid-metablock suspension (NULL = boundary) */
 } DecStream;
 
@@ -545,6 +555,11 @@ typedef struct {
     msnap.have_cmd = have_cmd;                             \
     msnap.sym = sym;                                       \
     msnap.copy_len = copy_len;                             \
+    msnap.pend_copy = pend_copy;                           \
+    msnap.pend_dist = pend_dist;                           \
+    msnap.pend_src = pend_src;                             \
+    msnap.pend_kind = pend_kind;                           \
+    memcpy(msnap.pend_word, pend_word, sizeof(pend_word)); \
   } while (0)
 
 /* `in` may be a TAIL of the logical stream starting at absolute byte
@@ -584,6 +599,14 @@ static int btpu_decode_impl(const uint8_t* in, size_t in_len,
   int have_cmd = 0;
   uint32_t sym = 0;
   uint64_t copy_len = 0;
+  uint64_t pend_copy = 0;  /* copy split across output-limit suspends */
+  int64_t pend_dist = 0;
+  size_t pend_src = 0;
+  int pend_kind = 0;
+  uint8_t pend_word[40];   /* kind 2: transformed dict word bytes */
+  memset(pend_word, 0, sizeof(pend_word));
+  int limited = 0;              /* suspended by the output limit */
+  size_t limit_abs = (size_t)-1; /* out.len ceiling for this call */
   /* rollback point inside the current compressed metablock: command
      boundaries and every 4096th literal of a long run (bounded
      rework; the c/dec/bit_reader.h:73 save/restore role at command
@@ -602,6 +625,11 @@ static int btpu_decode_impl(const uint8_t* in, size_t in_len,
     int have_cmd;
     uint32_t sym;
     uint64_t copy_len;
+    uint64_t pend_copy;
+    int64_t pend_dist;
+    size_t pend_src;
+    int pend_kind;
+    uint8_t pend_word[40];
   } msnap;
   msnap.valid = 0;
 
@@ -617,6 +645,7 @@ static int btpu_decode_impl(const uint8_t* in, size_t in_len,
     memcpy(snap_rb, dist_rb, sizeof(snap_rb));
     snap_rbidx = rb_idx;
     snap_out = out.len;
+    if (S->out_limit) limit_abs = out.len + S->out_limit;
   }
   if (S && S->header_done) {
     wbits = S->wbits;
@@ -682,6 +711,11 @@ header_ready:;
       have_cmd = c->have_cmd;
       sym = c->sym;
       copy_len = c->copy_len;
+      pend_copy = c->pend_copy;
+      pend_dist = c->pend_dist;
+      pend_src = c->pend_src;
+      pend_kind = c->pend_kind;
+      memcpy(pend_word, c->pend_word, sizeof(pend_word));
       free(c);
       goto resume_mb;
     }
@@ -695,6 +729,7 @@ header_ready:;
         memcpy(snap_rb, dist_rb, sizeof(snap_rb));
         snap_rbidx = rb_idx;
         snap_out = out.len;
+        if (out.len >= limit_abs) { limited = 1; goto fail; }
       }
       if ((e = br_take(&br, 1, &is_last))) goto fail;
       if (is_last) {
@@ -814,6 +849,7 @@ resume_mb:;
       while (remaining > 0) {
         if (!have_cmd) {
           MB_SNAP(); /* command boundary */
+          if (out.len >= limit_abs) { limited = 1; goto fail; }
           if (bs[1].length == 0) {
             if ((e = block_switch(&bs[1], &br, &cmd_bt))) goto fail;
           }
@@ -838,8 +874,10 @@ resume_mb:;
           int had_insert = 1;
           if ((e = out_reserve(&out, (size_t)pend_insert))) goto fail;
           while (pend_insert > 0) {
-            if ((pend_insert & 4095) == 0)
+            if ((pend_insert & 4095) == 0 || out.len >= limit_abs) {
               MB_SNAP(); /* bounded rework on long runs */
+              if (out.len >= limit_abs) { limited = 1; goto fail; }
+            }
             if (bs[0].length == 0) {
               if ((e = block_switch(&bs[0], &br, &lit_bt))) goto fail;
               lut = kContextLut[ctx_modes[lit_bt]];
@@ -862,7 +900,9 @@ resume_mb:;
             break;
           }
         }
-        /* distance */
+        /* distance (skipped when resuming a limit-split copy whose
+           distance was already decoded) */
+        if (!pend_copy) {
         uint64_t max_distance =
             (S ? S->out_dropped : 0) + out.len < max_backward
                 ? (S ? S->out_dropped : 0) + out.len
@@ -919,10 +959,9 @@ resume_mb:;
             dist_rb[rb_idx & 3] = (int32_t)distance;
             rb_idx++;
           }
-          if ((e = out_reserve(&out, copy_len))) goto fail;
-          memcpy(out.p + out.len, compound + start, copy_len);
-          out.len += copy_len;
-          remaining -= copy_len;
+          pend_copy = copy_len;
+          pend_kind = 1;
+          pend_src = start;
         } else if ((uint64_t)distance > max_distance) {
           /* static dictionary reference */
           if (copy_len < 4 || copy_len > 24 || !dict) {
@@ -938,33 +977,59 @@ resume_mb:;
           if (tid >= 121) { e = ERR_DICTIONARY; goto fail; }
           const uint8_t* word =
               dict + kDictOffsets[copy_len] + (size_t)word_idx * copy_len;
-          if ((e = out_reserve(&out, copy_len + 16))) goto fail;
           int wl;
           if (tid == 0) {
-            memcpy(out.p + out.len, word, copy_len);
+            memcpy(pend_word, word, copy_len);
             wl = (int)copy_len;
           } else {
-            wl = transform_word(out.p + out.len, word, (int)copy_len,
+            wl = transform_word(pend_word, word, (int)copy_len,
                                 (int)tid);
             if (wl == 0) { e = ERR_TRANSFORM; goto fail; }
           }
-          out.len += (size_t)wl;
-          remaining -= wl;
+          /* emit through the budget-bounded loop (kind 2) so a word
+             crossing the output limit splits instead of overshooting */
+          pend_copy = (uint64_t)wl;
+          pend_kind = 2;
+          pend_src = 0;
         } else {
           if (!dist_code_zero) {
             dist_rb[rb_idx & 3] = (int32_t)distance;
             rb_idx++;
           }
-          if ((e = out_reserve(&out, copy_len))) goto fail;
-          size_t src = out.len - (size_t)distance;
-          if (copy_len <= (uint64_t)distance) {
-            memcpy(out.p + out.len, out.p + src, copy_len);
-          } else {
-            for (uint32_t i = 0; i < copy_len; i++)
-              out.p[out.len + i] = out.p[src + i];
+          pend_copy = copy_len;
+          pend_kind = 0;
+          pend_dist = distance;
+        }
+        } /* !pend_copy */
+        /* budget-bounded copy: a single huge copy command (up to
+           ~16 MB) splits at the output limit and resumes mid-copy --
+           O(limit + window) retained memory for any expansion ratio */
+        while (pend_copy) {
+          uint64_t take = pend_copy;
+          if (out.len + take > limit_abs) {
+            take = limit_abs > out.len ? (uint64_t)(limit_abs - out.len)
+                                       : 0;
+            if (take == 0) { MB_SNAP(); limited = 1; goto fail; }
           }
-          out.len += copy_len;
-          remaining -= copy_len;
+          if ((e = out_reserve(&out, (size_t)take))) goto fail;
+          if (pend_kind == 2) {
+            memcpy(out.p + out.len, pend_word + pend_src, (size_t)take);
+            pend_src += (size_t)take;
+          } else if (pend_kind == 1) {
+            memcpy(out.p + out.len, compound + pend_src, (size_t)take);
+            pend_src += (size_t)take;
+          } else {
+            size_t src = out.len - (size_t)pend_dist;
+            if (take <= (uint64_t)pend_dist) {
+              memcpy(out.p + out.len, out.p + src, (size_t)take);
+            } else {
+              for (uint64_t i = 0; i < take; i++)
+                out.p[out.len + i] = out.p[src + i];
+            }
+          }
+          out.len += (size_t)take;
+          remaining -= (int64_t)take;
+          pend_copy -= take;
         }
         have_cmd = 0; /* command complete */
       }
@@ -1009,12 +1074,15 @@ resume_mb:;
   return 0;
 
 fail:
-  if (S && !is_final && !S->finished &&
-      (e == ERR_TRUNCATED || !br_avail(&br, 64))) {
+  if (S && (limited ||
+            (!is_final && !S->finished &&
+             (e == ERR_TRUNCATED || !br_avail(&br, 64))))) {
     /* input exhausted (or failed within the final few bytes where
        truncation cannot be ruled out): suspend and wait for more
        input. Errors raised with plenty of input still unread are
-       genuine corruption and stay hard. */
+       genuine corruption and stay hard. `limited`: the per-call
+       output budget is spent -- suspend identically but report 2
+       (more output pending; resumable without new input). */
     if (msnap.valid) {
       /* mid-metablock suspension at the last command/literal-run
          snapshot: persist the metablock context so the retry resumes
@@ -1054,14 +1122,19 @@ fail:
       c->have_cmd = msnap.have_cmd;
       c->sym = msnap.sym;
       c->copy_len = msnap.copy_len;
+      c->pend_copy = msnap.pend_copy;
+      c->pend_dist = msnap.pend_dist;
+      c->pend_src = msnap.pend_src;
+      c->pend_kind = msnap.pend_kind;
+      memcpy(c->pend_word, msnap.pend_word, sizeof(c->pend_word));
       S->mb = c;
       out.len = msnap.out_len;
       S->out = out;
       memcpy(S->dist_rb, msnap.dist_rb, sizeof(S->dist_rb));
       S->rb_idx = msnap.rb_idx;
       S->bitpos = in_base * 8 + msnap.bitpos;
-      S->last_attempt = in_base + in_len;
-      return 1; /* need more input */
+      if (!limited) S->last_attempt = in_base + in_len;
+      return limited ? 2 : 1;
     }
     free(lit_trees); free(cmd_trees); free(dist_trees);
     free(lit_cmap); free(dist_cmap);
@@ -1069,8 +1142,8 @@ fail:
     S->out = out;
     memcpy(S->dist_rb, snap_rb, sizeof(snap_rb));
     S->rb_idx = snap_rbidx;
-    S->last_attempt = in_base + in_len;
-    return 1; /* need more input */
+    if (!limited) S->last_attempt = in_base + in_len;
+    return limited ? 2 : 1;
   }
 hard_free:
   free(lit_trees); free(cmd_trees); free(dist_trees);
@@ -1176,6 +1249,24 @@ size_t btpu_dec_consumed(void* st) {
 void btpu_dec_allow_trailing(void* st, int v) {
   DecStream* S = (DecStream*)st;
   if (S) S->allow_trailing = v;
+}
+
+/* Output back-pressure (python/_brotli.c output_buffer_limit role,
+   1.2.0 SECURITY change): cap NEW output bytes per btpu_dec_chunk
+   call. At the cap the decoder SUSPENDS (rc 2) -- it does not keep
+   expanding fed input -- and a later call (no new input needed)
+   resumes mid-metablock, even mid-copy-command. 0 = unlimited. */
+void btpu_dec_set_output_limit(void* st, size_t limit) {
+  DecStream* S = (DecStream*)st;
+  if (S) S->out_limit = limit;
+}
+
+/* Introspection: bytes currently retained in the output buffer
+   (delivered-but-windowed + undelivered). Memory-bound tests assert
+   this stays O(limit + window) under output back-pressure. */
+size_t btpu_dec_retained(void* st) {
+  DecStream* S = (DecStream*)st;
+  return S ? S->out.len : 0;
 }
 
 int btpu_dec_finished(void* st) {

@@ -21,9 +21,17 @@ def small_segments():
     OJ.SEG, OJ._BUCKETS = old_seg, old_buckets
 
 
-def test_device_dp_parse_roundtrip(small_segments, testdata, ref_cli):
+@pytest.mark.parametrize("dp_mode,size", [("v1", 300_000),
+                                          ("v3", 140_000)])
+def test_device_dp_parse_roundtrip(small_segments, testdata, ref_cli,
+                                   monkeypatch, dp_mode, size):
+    """Both DP pipelines: v1 (pure-XLA wavefront, the CPU path) and v3
+    (Pallas suffix-min pre-reduction, the PRODUCTION TPU path, run here
+    under pallas interpret mode — smaller input because interpret mode
+    executes the kernel body per grid point)."""
+    monkeypatch.setenv("BROTLI_TPU_DP", dp_mode)
     OJ = small_segments
-    data = (testdata / "alice29.txt").read_bytes()[:300_000]
+    data = (testdata / "alice29.txt").read_bytes()[:size]
     arr = np.frombuffer(data, dtype=np.uint8)
     maxback = C.max_backward_distance(22)
     m, lens, dists, flags = OJ.find_matches_optimal_jax(arr, maxback, 11)

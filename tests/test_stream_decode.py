@@ -160,3 +160,86 @@ def test_native_mid_metablock_long_literal_run():
     out += sd.feed(b"", final=True)
     assert bytes(out) == data
     assert peak_buf < (512 << 10), peak_buf
+
+
+def test_output_limit_true_backpressure():
+    """python/_brotli.c output_buffer_limit role (1.2.0 SECURITY
+    change, _brotli.c:712-860): a small fed chunk that expands
+    enormously is NOT eagerly materialized. Decoding suspends at the
+    limit; retained memory stays O(limit + window) while the caller
+    drains 64 KB slices."""
+    import brotli_tpu
+
+    data = bytes(32 << 20)  # 32 MB of zeros -> ~150 byte bomb
+    comp = brotli_tpu.compress(data, quality=9, lgwin=18)
+    assert len(comp) < 4096
+
+    d = brotli_tpu.Decompressor()
+    limit = 64 << 10
+    first = d.process(comp, output_buffer_limit=limit)
+    assert 0 < len(first) <= limit
+    assert not d.can_accept_more_data()
+    assert not d.is_finished()
+    total = len(first)
+    window = 1 << 18
+    peak_retained = 0
+    while not d.is_finished():
+        o = d.process(b"", output_buffer_limit=limit)
+        assert len(o) <= limit
+        assert set(o) <= {0}
+        total += len(o)
+        peak_retained = max(peak_retained, d._inc.retained_output)
+    assert total == len(data)
+    # O(limit + window): window retention + trim hysteresis + limit
+    assert peak_retained < window + (512 << 10), peak_retained
+
+
+def test_output_limit_slices_match_oneshot(testdata):
+    """Odd-sized limits across text (mid-literal-run and mid-copy
+    suspensions, ring-buffer state across suspends): the concatenated
+    slices must equal the one-shot decode, with input fed in chunks
+    only when the decoder can accept more."""
+    import brotli_tpu
+
+    data = (testdata / "alice29.txt").read_bytes()
+    comp = brotli_tpu.compress(data, quality=11)
+    for limit in (777, 4096):
+        d = brotli_tpu.Decompressor()
+        out = bytearray()
+        pos = 0
+        while not d.is_finished():
+            if d.can_accept_more_data() and pos < len(comp):
+                chunk, pos = comp[pos:pos + 997], pos + 997
+            else:
+                chunk = b""
+            o = d.process(chunk, output_buffer_limit=limit)
+            assert len(o) <= limit
+            out += o
+            if not o and pos >= len(comp) and d.can_accept_more_data():
+                break
+        assert bytes(out) == data
+
+
+def test_output_limit_expanding_copy_command():
+    """A single multi-MB copy command (the worst-case amplifier: one
+    command, ~16 MB output) must split at the limit and resume
+    MID-COPY."""
+    import brotli_tpu
+    from brotli_tpu.native import StreamDecoder as NSD
+
+    # one literal + one giant self-referential copy
+    data = b"\xAB" * (8 << 20)
+    comp = brotli_tpu.compress(data, quality=11, lgwin=18)
+    sd = NSD()
+    sd.set_output_limit(10_000)
+    out = bytearray(sd.feed(comp))
+    rounds = 1
+    while not sd.finished:
+        o = sd.feed(b"")
+        assert len(o) <= 10_000
+        out += o
+        rounds += 1
+        # bound: window (256 KB) + trim hysteresis (256 KB) + limit
+        assert sd.retained_output < (640 << 10), sd.retained_output
+    assert bytes(out) == data
+    assert rounds > 100  # really was suspended repeatedly
