@@ -55,3 +55,24 @@ def test_find_references_and_histogram(tmp_path, testdata):
     draw_diff.main([str(img_path), str(img_path), str(out)])
     d = draw_histogram.read_pgm(str(out))
     assert set(np.unique(d)) <= {0, 255}
+
+
+def test_fuzz_corpus_replay():
+    """The persisted fuzz corpus (tests/fuzz_corpus, accumulated by
+    tools/fuzz.py runs -- the fuzz_data.zip replay role) must pass the
+    full differential: python vs native vs chunked-feeding decode."""
+    from brotli_tpu.tools import fuzz
+
+    stats = fuzz.replay(fuzz.DEFAULT_SAVE)
+    assert stats["files"] >= 50, stats
+    assert stats["accept"] + stats["reject"] == stats["files"]
+
+
+def test_fuzz_short_fresh_run(tmp_path):
+    """A short fresh differential fuzz run with corpus persistence to
+    a scratch dir (exercises signature dedup + save paths)."""
+    from brotli_tpu.tools import fuzz
+
+    stats = fuzz.run(iters=150, seed=99, corpus=None, save=tmp_path)
+    assert stats["accept"] + stats["reject"] == 150
+    assert stats["new"] == len(list(tmp_path.glob("*.bin")))
