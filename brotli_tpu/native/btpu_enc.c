@@ -20,6 +20,8 @@
 
 #define _GNU_SOURCE  /* qsort_r */
 #include <math.h>
+#include <stdio.h>
+#include <time.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -479,12 +481,25 @@ static double hist_entropy(const uint32_t* h, int n) {
   return bits;
 }
 
-/* fast x*log2(x) with a small-value table */
+/* fast x*log2(x): small-value table, then exponent extraction + a
+   2048-bin mantissa lerp (|log2 err| < 4e-8 -- far below clustering
+   decision noise; libm log2 was the clustering hot spot on dense
+   binary histograms whose counts exceed the table) */
 static double g_xlogx[4096];
+static double g_log2m[2049];
 static volatile int g_xlogx_ready = 0;
 static inline double xlogx(uint64_t x) {
   if (x < 4096) return g_xlogx[x];
-  return (double)x * log2((double)x);
+  double d = (double)x;
+  int64_t b;
+  memcpy(&b, &d, 8);
+  int e = (int)((b >> 52) & 0x7FF) - 1023;
+  double fi = (double)(b & 0xFFFFFFFFFFFFFULL) *
+              (2048.0 / 4503599627370496.0);
+  int i = (int)fi;
+  double t = fi - i;
+  double lm = g_log2m[i] + t * (g_log2m[i + 1] - g_log2m[i]);
+  return d * ((double)e + lm);
 }
 
 static void ensure_xlogx(void) {
@@ -493,6 +508,8 @@ static void ensure_xlogx(void) {
     g_xlogx[0] = 0.0;
     for (int i = 1; i < 4096; i++)
       g_xlogx[i] = (double)i * log2((double)i);
+    for (int i = 0; i <= 2048; i++)
+      g_log2m[i] = log2(1.0 + (double)i / 2048.0);
     g_xlogx_ready = 1;
   }
   pthread_mutex_unlock(&g_init_lock);
@@ -544,49 +561,100 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
   int* remap = (int*)malloc(sizeof(int) * (size_t)k);
   double* gain = (double*)malloc(sizeof(double) * (size_t)k * (size_t)k);
   double* desc = (double*)malloc(sizeof(double) * (size_t)k);
-  if (!cost || !alive || !group_of || !remap || !gain || !desc) {
+  /* per-row cached best partner: finding the global best pair is an
+     O(k) scan instead of O(k^2); only rows whose cached partner was
+     touched by a merge rescan their row (amortized O(k) per merge) */
+  double* best_g = (double*)malloc(sizeof(double) * (size_t)k);
+  int* best_p = (int*)malloc(sizeof(int) * (size_t)k);
+  if (!cost || !alive || !group_of || !remap || !gain || !desc ||
+      !best_g || !best_p) {
     free(cost);
     free(alive);
     free(group_of);
     free(remap);
     free(gain);
     free(desc);
+    free(best_g);
+    free(best_p);
     return -1;
   }
 #define GAIN(a_, b_) gain[(size_t)(a_) * (size_t)k + (b_)]
   ensure_xlogx();
+  int n_alive = 0;
   for (int i = 0; i < k; i++) {
+    uint64_t tot = 0;
+    for (int s = 0; s < n; s++) tot += hists[(size_t)i * n + s];
+    if (tot == 0) {
+      /* all-zero row (unused type x context cell): it costs nothing
+         and merges freely -- skip it in the O(k^2) clustering and
+         absorb it into a neighbor's group afterwards (big context
+         maps are mostly empty rows; this is the dominant speedup) */
+      alive[i] = 0;
+      group_of[i] = -1;
+      continue;
+    }
     cost[i] = hist_cost(hists + (size_t)i * n, n);
     desc[i] = desc_cost(hists + (size_t)i * n, n, per_sym);
     alive[i] = 1;
     group_of[i] = i;
+    n_alive++;
+  }
+  if (n_alive == 0) { /* degenerate: no symbols at all */
+    alive[0] = 1;
+    group_of[0] = 0;
+    cost[0] = 0;
+    desc[0] = 0;
+    n_alive = 1;
   }
   /* merged-tree description cost: union support <= sum of supports;
      approximate with max(desc_a, desc_b) (similar rows share most of
      their support) */
-  for (int a = 0; a < k; a++)
-    for (int b = a + 1; b < k; b++)
+  for (int a = 0; a < k; a++) {
+    if (!alive[a]) continue;
+    for (int b = a + 1; b < k; b++) {
+      if (!alive[b]) continue;
       GAIN(a, b) = cost[a] + cost[b] -
                    pair_cost(hists + (size_t)a * n, hists + (size_t)b * n,
                              n) +
                    table_cost + desc[a] + desc[b] -
                    (desc[a] > desc[b] ? desc[a] : desc[b]);
-  int n_alive = k;
+    }
+  }
+#define GAIN_AT(a_, b_) ((a_) < (b_) ? GAIN(a_, b_) : GAIN(b_, a_))
+  /* cache each live row's best partner: the global best pair becomes
+     an O(k) scan instead of O(k^2) per merge; only rows whose cached
+     partner was touched by a merge rescan their row */
+  for (int a = 0; a < k; a++) {
+    best_g[a] = -1e300;
+    best_p[a] = -1;
+    if (!alive[a]) continue;
+    for (int b = 0; b < k; b++) {
+      if (!alive[b] || b == a) continue;
+      double g = GAIN_AT(a, b);
+      if (g > best_g[a]) {
+        best_g[a] = g;
+        best_p[a] = b;
+      }
+    }
+  }
   while (n_alive > 1) {
     double best = -1e300;
     int ba = -1, bb = -1;
     for (int a = 0; a < k; a++) {
-      if (!alive[a]) continue;
-      for (int b = a + 1; b < k; b++) {
-        if (!alive[b]) continue;
-        if (GAIN(a, b) > best) {
-          best = GAIN(a, b);
-          ba = a;
-          bb = b;
-        }
+      if (!alive[a] || best_p[a] < 0) continue;
+      if (best_g[a] > best) {
+        best = best_g[a];
+        ba = a;
+        bb = best_p[a];
       }
     }
+    if (ba < 0) break;
     if (best <= 0 && n_alive <= max_trees) break;
+    if (bb < ba) { /* canonical order for the updates below */
+      int t = ba;
+      ba = bb;
+      bb = t;
+    }
     for (int i = 0; i < n; i++)
       hists[(size_t)ba * n + i] += hists[(size_t)bb * n + i];
     cost[ba] = hist_cost(hists + (size_t)ba * n, n);
@@ -606,6 +674,42 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
         GAIN(ba, b) = g;
       else
         GAIN(b, ba) = g;
+      /* ba's gains changed; a partner may improve in O(1) */
+      if (g > best_g[b]) {
+        best_g[b] = g;
+        best_p[b] = ba;
+      }
+    }
+    /* rows whose cached partner was ba or bb rescan their row */
+    for (int a = 0; a < k; a++) {
+      if (!alive[a]) continue;
+      if (a != ba && best_p[a] != ba && best_p[a] != bb) continue;
+      best_g[a] = -1e300;
+      best_p[a] = -1;
+      for (int b = 0; b < k; b++) {
+        if (!alive[b] || b == a) continue;
+        double g = GAIN_AT(a, b);
+        if (g > best_g[a]) {
+          best_g[a] = g;
+          best_p[a] = b;
+        }
+      }
+    }
+  }
+#undef GAIN_AT
+  /* absorb skipped all-zero rows into the previous live group (RLE-
+     friendly in the serialized context map); leading zeros take the
+     first live group */
+  {
+    int first_live = -1;
+    for (int i = 0; i < k && first_live < 0; i++)
+      if (group_of[i] >= 0) first_live = group_of[i];
+    int prev = first_live;
+    for (int i = 0; i < k; i++) {
+      if (group_of[i] < 0)
+        group_of[i] = prev;
+      else
+        prev = group_of[i];
     }
   }
   /* renumber in first-appearance order */
@@ -627,6 +731,8 @@ static int cluster_hists(uint32_t* hists, int k, int n, int max_trees,
   free(remap);
   free(gain);
   free(desc);
+  free(best_g);
+  free(best_p);
   return ntrees;
 }
 
@@ -1790,6 +1896,431 @@ static inline void emit_switch_c(BW* bw, const Split* sp, SwitchPlan* sw,
            (unsigned)kBlockCountExtra[c]);
 }
 
+/* ---------- literal-split refinement against clustered-tree costs --
+   The chunk-k-means/Viterbi splitter above optimizes PLAIN per-type
+   literal entropy, but the emitted cost of a literal is its code
+   length under the CLUSTERED (type x context) -> tree mapping, plus
+   context-map / tree / block-switch overhead. On context-heavy inputs
+   the two objectives diverge (mapsdatazrh: the reference lands ~12
+   literal types; an entropy-only gain check rejects rich splits
+   because it cannot see context sharing). This q11 pass re-optimizes
+   the split against the real downstream cost: cluster -> per-tree
+   code lengths -> Viterbi reassignment -> exact re-score (body bits
+   + switch stream + serialized switch header / context map / trees
+   measured through the real serializers), keeping the best candidate.
+   Role: c/enc/block_splitter_inc.h FindBlocks/RefineEntropyCodes
+   iteration + ClusterBlocks, redesigned around clustered context
+   modeling. ---------- */
+
+#define LIT_REFINE_KMAX 16
+
+/* swept at q11: 180 beats 60 on small files (fewer, denser trees),
+   neutral on the 16MB corpus (the 48-tree cap binds there) */
+static const double kLitTableCost = 180.0;
+
+/* Two-level literal-row clustering: per-type pre-merge of the 64
+   context rows, then a global cluster of the group representatives.
+   Cuts the O(rows^2) pair-gain fill ~8x on rich splits (16 types x 64
+   ctx = 1024 rows -> ~16x2016 + ~200^2/2 pairs) at negligible quality
+   cost (within-type merges are re-examined globally). hist is mutated;
+   tree t's histogram ends in hist[reps[t]*NUM_LIT], as cluster_hists. */
+static int cluster_lit_rows(uint32_t* hist, int ntypes, int max_trees,
+                            int* assign, int* reps) {
+  const int K = ntypes * NUM_LIT_CTX;
+  if (ntypes <= 2)
+    return cluster_hists(hist, K, NUM_LIT, max_trees, kLitTableCost,
+                         1.5, assign, reps);
+  int ga[NUM_LIT_CTX], gr[NUM_LIT_CTX];
+  int* gidx = (int*)malloc(sizeof(int) * (size_t)K);
+  int* row_group = (int*)malloc(sizeof(int) * (size_t)K);
+  if (!gidx || !row_group) {
+    free(gidx);
+    free(row_group);
+    return -1;
+  }
+  int ng = 0;
+  for (int t = 0; t < ntypes; t++) {
+    int g = cluster_hists(hist + (size_t)t * NUM_LIT_CTX * NUM_LIT,
+                          NUM_LIT_CTX, NUM_LIT, NUM_LIT_CTX,
+                          kLitTableCost, 1.5, ga, gr);
+    if (g < 0) {
+      free(gidx);
+      free(row_group);
+      return -1;
+    }
+    for (int c = 0; c < NUM_LIT_CTX; c++)
+      row_group[t * NUM_LIT_CTX + c] = ng + ga[c];
+    for (int j = 0; j < g; j++)
+      gidx[ng + j] = t * NUM_LIT_CTX + gr[j];
+    ng += g;
+  }
+  uint32_t* gh = (uint32_t*)malloc((size_t)ng * NUM_LIT * 4);
+  int* ga2 = (int*)malloc(sizeof(int) * (size_t)ng);
+  int* gr2 = (int*)malloc(sizeof(int) * (size_t)ng);
+  int ntr = -1;
+  if (gh && ga2 && gr2) {
+    for (int j = 0; j < ng; j++)
+      memcpy(gh + (size_t)j * NUM_LIT,
+             hist + (size_t)gidx[j] * NUM_LIT, NUM_LIT * 4);
+    ntr = cluster_hists(gh, ng, NUM_LIT, max_trees, kLitTableCost, 1.5,
+                        ga2, gr2);
+    if (ntr > 0) {
+      for (int t = 0; t < ntr; t++) {
+        int orig = gidx[gr2[t]];
+        memcpy(hist + (size_t)orig * NUM_LIT,
+               gh + (size_t)gr2[t] * NUM_LIT, NUM_LIT * 4);
+        reps[t] = orig;
+      }
+      for (int r = 0; r < K; r++) assign[r] = ga2[row_group[r]];
+    }
+  }
+  free(gh);
+  free(ga2);
+  free(gr2);
+  free(gidx);
+  free(row_group);
+  return ntr;
+}
+
+/* first-appearance renumber of a per-literal type array; returns the
+   compacted type count */
+static int compact_types(uint8_t* lt, size_t n) {
+  int remap[LIT_REFINE_KMAX];
+  for (int t = 0; t < LIT_REFINE_KMAX; t++) remap[t] = -1;
+  int k = 0;
+  for (size_t i = 0; i < n; i++) {
+    if (remap[lt[i]] < 0) remap[lt[i]] = k++;
+    lt[i] = (uint8_t)remap[lt[i]];
+  }
+  return k ? k : 1;
+}
+
+/* build run list from a per-literal type array (lt must be compact) */
+static int split_from_assign(const uint8_t* lt, size_t n, int k,
+                             Split* sp) {
+  split_free(sp);
+  sp->ntypes = k;
+  if (k <= 1 || n == 0) return 0;
+  size_t nruns = 1;
+  for (size_t i = 1; i < n; i++) nruns += lt[i] != lt[i - 1];
+  sp->rtype = (uint8_t*)malloc(nruns);
+  sp->rlen = (uint32_t*)malloc(nruns * 4);
+  if (!sp->rtype || !sp->rlen) {
+    split_free(sp);
+    return EERR_ALLOC;
+  }
+  size_t r = 0;
+  sp->rtype[0] = lt[0];
+  sp->rlen[0] = 1;
+  for (size_t i = 1; i < n; i++) {
+    if (lt[i] != lt[i - 1]) {
+      r++;
+      sp->rtype[r] = lt[i];
+      sp->rlen[r] = 0;
+    }
+    sp->rlen[r]++;
+  }
+  sp->nruns = nruns;
+  return 0;
+}
+
+typedef struct {
+  uint32_t* hist;  /* KMAX*64 x NUM_LIT, mutated by clustering */
+  int* assign;     /* KMAX*64 */
+  int* reps;       /* KMAX*64 */
+  uint8_t (*lens)[NUM_LIT]; /* MAX_LIT_TREES */
+  SwitchPlan* swp;
+  uint8_t* bp;     /* nlit * KMAX Viterbi backpointers */
+  uint8_t *lt_cur, *lt_try, *lt_best; /* nlit each */
+} LitRefine;
+
+/* Exact literal-channel cost (bits) of a compact split candidate.
+   Fills sc->hist/assign/lens for the Viterbi step; *out_ntr gets the
+   clustered tree count, *out_swcost the measured mean emitted
+   block-switch cost (Viterbi switch price). */
+static double lit_split_score(const uint8_t* lt, int k, size_t nlit,
+                              const uint8_t* lbytes, const uint8_t* lctx,
+                              PmScratch* pm, LitRefine* sc,
+                              int* out_ntr, double* out_swcost) {
+  memset(sc->hist, 0, (size_t)k * NUM_LIT_CTX * NUM_LIT * 4);
+  for (size_t i = 0; i < nlit; i++)
+    sc->hist[(((size_t)lt[i] << 6) + lctx[i]) * NUM_LIT + lbytes[i]]++;
+  int ntr = cluster_lit_rows(sc->hist, k, MAX_LIT_TREES, sc->assign,
+                             sc->reps);
+  if (ntr < 0) return HUGE_VAL;
+  *out_ntr = ntr;
+  for (int t = 0; t < ntr; t++)
+    pm_lengths_rle(sc->hist + (size_t)sc->reps[t] * NUM_LIT, NUM_LIT,
+                   NUM_LIT, sc->lens[t], pm);
+  double bits = 0.0;
+  for (size_t i = 0; i < nlit; i++) {
+    uint8_t l = sc->lens[sc->assign[((size_t)lt[i] << 6) + lctx[i]]]
+                        [lbytes[i]];
+    bits += l ? l : 20; /* absent from merged row: heavy penalty */
+  }
+  *out_swcost = 14.0;
+  BW tmp = {0};
+  if (k > 1) {
+    Split tsp = {.gain = 0.0, .ntypes = 1};
+    if (split_from_assign(lt, nlit, k, &tsp)) return HUGE_VAL;
+    if (tsp.nruns > 32768) {
+      split_free(&tsp);
+      return HUGE_VAL; /* beyond SwitchPlan capacity: reject */
+    }
+    if (plan_switches_c(&tsp, pm, sc->swp)) {
+      split_free(&tsp);
+      return HUGE_VAL;
+    }
+    double swbits = 0.0;
+    for (size_t r = 1; r < tsp.nruns; r++) {
+      if (sc->swp->type_emit)
+        swbits += sc->swp->type_lens[sc->swp->tsyms[r - 1]];
+      int c = sc->swp->ccode[r];
+      if (sc->swp->cnt_emit) swbits += sc->swp->cnt_lens[c];
+      swbits += kBlockCountExtra[c];
+    }
+    if (tsp.nruns > 1)
+      *out_swcost = swbits / (double)(tsp.nruns - 1);
+    bits += swbits;
+    if (write_switch_header_c(&tmp, &tsp, sc->swp, pm)) {
+      split_free(&tsp);
+      free(tmp.buf);
+      return HUGE_VAL;
+    }
+    split_free(&tsp);
+  }
+  /* context map + serialized trees + NBLTYPESL + ctx-mode bits */
+  if (k > 1 || ntr > 1) {
+    if (write_context_map_c(&tmp, sc->assign, k * NUM_LIT_CTX, ntr,
+                            pm)) {
+      free(tmp.buf);
+      return HUGE_VAL;
+    }
+  } else {
+    bits += 1.0; /* IMTF bit of the trivial map */
+  }
+  for (int t = 0; t < ntr; t++)
+    write_huffman_code_c(&tmp, sc->lens[t], NUM_LIT, NUM_LIT, pm);
+  bits += (double)bw_bitlen(&tmp);
+  free(tmp.buf);
+  bits += (k >= 9 ? 7 : (k >= 5 ? 6 : (k >= 3 ? 5 : (k == 2 ? 4 : 1)))); /* NBLTYPESL varlen */
+  bits += 2.0 * k; /* per-type context-mode field */
+  return bits;
+}
+
+/* One Viterbi reassignment of every literal over k types, priced by
+   the clustered trees' code lengths (sc->lens/assign from the last
+   score) and the measured switch cost. */
+static void lit_viterbi_refine(const uint8_t* lbytes, const uint8_t* lctx,
+                               size_t nlit, int k, float sw_cost,
+                               LitRefine* sc, uint8_t* lt_out) {
+  float dp[LIT_REFINE_KMAX];
+  for (int t = 0; t < k; t++) dp[t] = 0.0f;
+  for (size_t i = 0; i < nlit; i++) {
+    int best = 0;
+    for (int t = 1; t < k; t++)
+      if (dp[t] < dp[best]) best = t;
+    float swv = dp[best] + sw_cost;
+    uint8_t* bpi = sc->bp + i * (size_t)k;
+    for (int t = 0; t < k; t++) {
+      if (swv < dp[t]) {
+        dp[t] = swv;
+        bpi[t] = (uint8_t)best;
+      } else {
+        bpi[t] = (uint8_t)t;
+      }
+      uint8_t l = sc->lens[sc->assign[((size_t)t << 6) + lctx[i]]]
+                          [lbytes[i]];
+      dp[t] += l ? l : 20;
+    }
+    if ((i & 8191) == 8191) {
+      float mn = dp[0];
+      for (int t = 1; t < k; t++)
+        if (dp[t] < mn) mn = dp[t];
+      for (int t = 0; t < k; t++) dp[t] -= mn;
+    }
+  }
+  int cur = 0;
+  for (int t = 1; t < k; t++)
+    if (dp[t] < dp[cur]) cur = t;
+  for (size_t i = nlit; i-- > 0;) {
+    lt_out[i] = (uint8_t)cur;
+    cur = sc->bp[i * (size_t)k + cur];
+  }
+}
+
+/* Refinement driver: try the current split and (when it is coarse) a
+   rich 16-type chunk-k-means seed; iterate cluster -> Viterbi ->
+   re-score, keep the best-scoring assignment, and rebuild the run
+   list / histograms / clustering when it beats the incumbent. */
+static int refine_lit_split(PmScratch* pm, size_t nlit,
+                            const uint8_t* lbytes, const uint8_t* lctx,
+                            Split* lsp, uint32_t** plit_hist,
+                            int** plit_assign, int** plit_reps,
+                            int* pn_lit_trees) {
+  int rc = EERR_ALLOC;
+  LitRefine sc = {0};
+  uint16_t* s16 = NULL;
+  size_t rows = (size_t)LIT_REFINE_KMAX * NUM_LIT_CTX;
+  sc.hist = (uint32_t*)malloc(rows * NUM_LIT * 4);
+  sc.assign = (int*)malloc(rows * sizeof(int));
+  sc.reps = (int*)malloc(rows * sizeof(int));
+  sc.lens = (uint8_t(*)[NUM_LIT])malloc((size_t)MAX_LIT_TREES * NUM_LIT);
+  sc.swp = (SwitchPlan*)malloc(sizeof(SwitchPlan));
+  sc.bp = (uint8_t*)malloc(nlit * LIT_REFINE_KMAX);
+  sc.lt_cur = (uint8_t*)malloc(nlit);
+  sc.lt_try = (uint8_t*)malloc(nlit);
+  sc.lt_best = (uint8_t*)malloc(nlit);
+  if (!sc.hist || !sc.assign || !sc.reps || !sc.lens || !sc.swp ||
+      !sc.bp || !sc.lt_cur || !sc.lt_try || !sc.lt_best)
+    goto out;
+  /* expand the incumbent run list to a per-literal assignment */
+  if (lsp->ntypes > 1) {
+    size_t w = 0;
+    for (size_t r = 0; r < lsp->nruns && w < nlit; r++)
+      for (uint32_t j = 0; j < lsp->rlen[r] && w < nlit; j++)
+        sc.lt_cur[w++] = lsp->rtype[r];
+  } else {
+    memset(sc.lt_cur, 0, nlit);
+  }
+  {
+    const int dbg = getenv("BTPU_REFINE_DEBUG") != NULL;
+    struct timespec t0, t1;
+    if (dbg) clock_gettime(CLOCK_MONOTONIC, &t0);
+#define DBG_MARK(tag_)                                                \
+    do {                                                              \
+      if (dbg) {                                                      \
+        clock_gettime(CLOCK_MONOTONIC, &t1);                          \
+        fprintf(stderr, "refine %s: %.0f ms\n", tag_,                 \
+                (t1.tv_sec - t0.tv_sec) * 1e3 +                       \
+                    (t1.tv_nsec - t0.tv_nsec) / 1e6);                 \
+        t0 = t1;                                                      \
+      }                                                               \
+    } while (0)
+    int k0 = lsp->ntypes;
+    int ntr;
+    double swc;
+    double orig = lit_split_score(sc.lt_cur, k0, nlit, lbytes, lctx,
+                                  pm, &sc, &ntr, &swc);
+    DBG_MARK("score0");
+    double best = orig;
+    memcpy(sc.lt_best, sc.lt_cur, nlit);
+    int kbest = k0;
+    if (orig == HUGE_VAL) {
+      rc = 0; /* capacity-limited: keep the incumbent untouched */
+      goto out;
+    }
+    for (int s = 0; s < 2; s++) {
+      uint8_t* lt = sc.lt_cur;
+      uint8_t* prev = sc.lt_try;
+      int k;
+      double cur;
+      if (s == 0) {
+        k = k0;
+        cur = orig; /* lens/assign already filled for lt_cur */
+        if (k <= 1) continue; /* nothing to re-walk; rich start only */
+      } else {
+        if (kbest >= 12) break; /* already rich */
+        Split rich = {.gain = 0.0, .ntypes = 1};
+        if (!s16) {
+          s16 = (uint16_t*)malloc(nlit * 2);
+          if (!s16) goto out;
+          for (size_t i = 0; i < nlit; i++) s16[i] = lbytes[i];
+        }
+        /* type_bits 0: emit the rich split even where the entropy
+           gain check would reject it -- the refinement's real-cost
+           score is the arbiter */
+        if (split_symbols_c(s16, nlit, NUM_LIT, 128, LIT_REFINE_KMAX,
+                            0.0, 14.0, &rich))
+          goto out;
+        DBG_MARK("rich-split");
+        if (rich.ntypes <= 1) {
+          split_free(&rich);
+          break;
+        }
+        size_t w = 0;
+        for (size_t r = 0; r < rich.nruns && w < nlit; r++)
+          for (uint32_t j = 0; j < rich.rlen[r] && w < nlit; j++)
+            lt[w++] = rich.rtype[r];
+        split_free(&rich);
+        k = compact_types(lt, nlit);
+        cur = lit_split_score(lt, k, nlit, lbytes, lctx, pm, &sc,
+                              &ntr, &swc);
+        DBG_MARK("rich-score");
+        if (cur == HUGE_VAL) continue;
+        if (cur < best - 4.0) {
+          best = cur;
+          memcpy(sc.lt_best, lt, nlit);
+          kbest = k;
+        }
+      }
+      for (int it = 0; it < 2 && k > 1; it++) {
+        memcpy(prev, lt, nlit);
+        lit_viterbi_refine(lbytes, lctx, nlit, k, (float)swc, &sc, lt);
+        DBG_MARK("viterbi");
+        k = compact_types(lt, nlit);
+        if (!memcmp(prev, lt, nlit)) break;
+        cur = lit_split_score(lt, k, nlit, lbytes, lctx, pm, &sc,
+                              &ntr, &swc);
+        DBG_MARK("iter-score");
+        if (cur == HUGE_VAL) break;
+        if (cur < best - 4.0) {
+          best = cur;
+          memcpy(sc.lt_best, lt, nlit);
+          kbest = k;
+        }
+      }
+    }
+#undef DBG_MARK
+    if (best < orig - 4.0) {
+      rc = split_from_assign(sc.lt_best, nlit, kbest, lsp);
+      if (rc) goto out;
+      uint32_t* nh = (uint32_t*)calloc(
+          (size_t)kbest * NUM_LIT_CTX * NUM_LIT, 4);
+      int* na = (int*)malloc((size_t)kbest * NUM_LIT_CTX * sizeof(int));
+      int* nr = (int*)malloc((size_t)kbest * NUM_LIT_CTX * sizeof(int));
+      if (!nh || !na || !nr) {
+        free(nh);
+        free(na);
+        free(nr);
+        rc = EERR_ALLOC;
+        goto out;
+      }
+      for (size_t i = 0; i < nlit; i++)
+        nh[(((size_t)sc.lt_best[i] << 6) + lctx[i]) * NUM_LIT +
+           lbytes[i]]++;
+      int nt = cluster_lit_rows(nh, kbest, MAX_LIT_TREES, na, nr);
+      if (nt < 0) {
+        free(nh);
+        free(na);
+        free(nr);
+        rc = EERR_ALLOC;
+        goto out;
+      }
+      free(*plit_hist);
+      free(*plit_assign);
+      free(*plit_reps);
+      *plit_hist = nh;
+      *plit_assign = na;
+      *plit_reps = nr;
+      *pn_lit_trees = nt;
+    }
+  }
+  rc = 0;
+out:
+  free(sc.hist);
+  free(sc.assign);
+  free(sc.reps);
+  free(sc.lens);
+  free(sc.swp);
+  free(sc.bp);
+  free(sc.lt_cur);
+  free(sc.lt_try);
+  free(sc.lt_best);
+  free(s16);
+  return rc;
+}
+
 /* choose the literal context mode for a metablock (UTF8 vs LSB6) */
 static int choose_ctx_mode(const uint8_t* data, size_t lo, size_t hi) {
   size_t n = hi - lo;
@@ -1857,6 +2388,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   uint32_t* dist_hist = NULL;
   int* lit_assign = NULL;
   int* lit_reps = NULL;
+  uint8_t* lref_bytes = NULL; /* literal stream capture (q11 refine) */
+  uint8_t* lref_ctx = NULL;
   SwitchPlan *lsw = NULL, *csw = NULL, *dsw = NULL;
   if (q >= 10) {
     uint16_t* s16 = NULL;
@@ -1978,7 +2511,17 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
   }
   const uint8_t* lut0 = kContextLut[use_ctx ? mode : 0];
   const uint8_t* lut1 = lut0 + 256;
+  /* literal stream capture for the q11 split refinement */
+  if (q >= 11 && use_ctx && nlit >= 4096 && nlit <= (64u << 20)) {
+    lref_bytes = (uint8_t*)malloc(nlit);
+    lref_ctx = (uint8_t*)malloc(nlit);
+    if (!lref_bytes || !lref_ctx) {
+      rc = EERR_ALLOC;
+      goto done;
+    }
+  }
   {
+    size_t lw = 0;
     size_t pos = lo;
     size_t lrun = 0, crun = 0, drun = 0;
     uint32_t lrem = ntypes > 1 ? lsp.rlen[0] : 0;
@@ -2012,6 +2555,11 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
           uint8_t p2 = pp >= e->ctx_start + 2 ? data[pp - 2] : 0;
           row = (ltype << 6) | (lut0[p1] | lut1[p2]);
         }
+        if (lref_bytes) {
+          lref_bytes[lw] = data[pp];
+          lref_ctx[lw] = (uint8_t)(row & 63);
+          lw++;
+        }
         lit_hist[(size_t)row * NUM_LIT + data[pp]]++;
       }
       pos += c->ins + (c->adv & ~CMD_DICT);
@@ -2035,9 +2583,8 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     int max_trees = q >= 10 ? MAX_LIT_TREES : (q >= 9 ? 16 : 12);
     /* swept: 1.5 bits/used-symbol recovers ~1% on dense binary
        histograms (mapsdatazrh: 48 -> ~20 trees) without hurting text */
-    n_lit_trees = cluster_hists(lit_hist, ntypes * NUM_LIT_CTX, NUM_LIT,
-                                max_trees, kTableCost, 1.5,
-                                lit_assign, lit_reps);
+    n_lit_trees = cluster_lit_rows(lit_hist, ntypes, max_trees,
+                                   lit_assign, lit_reps);
     if (n_lit_trees < 0) {
       rc = EERR_ALLOC;
       goto done;
@@ -2050,6 +2597,14 @@ static int emit_metablock(Enc* e, const Cmd* cmds, size_t ncmd, size_t lo,
     lit_assign[0] = 0;
     if (nlit_rows == 1) lit_reps[0] = 0;
     n_lit_trees = 1;
+  }
+  /* ---- q11 literal-split refinement against the clustered cost ---- */
+  if (lref_bytes && use_ctx) {
+    rc = refine_lit_split(&e->pm, nlit, lref_bytes, lref_ctx, &lsp,
+                          &lit_hist, &lit_assign, &lit_reps,
+                          &n_lit_trees);
+    if (rc) goto done;
+    ntypes = lsp.ntypes;
   }
   int multi = use_ctx || ntypes > 1;
 
@@ -2310,6 +2865,8 @@ done:
   free(dist_hist);
   free(lit_assign);
   free(lit_reps);
+  free(lref_bytes);
+  free(lref_ctx);
   return rc;
 }
 
