@@ -2975,7 +2975,15 @@ static double opt_dist_scale(void) {
    interior skipped (BROTLI_LONG_COPY_QUICK_STEP, quality.h:14) */
 #define OPT_LONG_SKIP 16384
 
-static const int kOptStops[] = {4, 6, 9, 14, 22, 34, 54, 86, 136, 217,
+/* dense short stops: the reference zopfli relaxes EVERY length of a
+   candidate (UpdateNodes), so truncations land exactly on later match
+   starts; geometric-only stops missed those landings for short copies
+   (lcet10/plrabn12 literalized ~3-8 KB more than the reference).
+   Dense to 33, geometric beyond. */
+static const int kOptStops[] = {4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+                                25, 26, 27, 28, 29, 30, 31, 32, 33, 42,
+                                54, 70, 86, 110, 136, 176, 217, 280,
                                 346, 552, 881, 1406, 2245};
 #define N_OPT_STOPS (int)(sizeof(kOptStops) / sizeof(kOptStops[0]))
 /* copy codes of the fixed stop lengths (value_code is a binary search;
@@ -3161,11 +3169,12 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     oc->stopcost[i] = oc->ccost[kOptStopCode[i]];
   for (int s = 0; s < 16; s++) oc->dring[s] = oc->dsym[s];
   {
-    /* pad swept on Canterbury + mapsdatazrh: 2.0 bits counters the
-       optimism of summing 8 insert cells (the edge relaxation cannot
-       know which insert length the final parse lands on) */
+    /* pad 0 re-swept with the dense short stops (round-4): the old
+       2.0-bit pad countered phantom-landing optimism that the dense
+       stops eliminated; 0 is now best on every Canterbury text AND
+       mapsdatazrh (total -293 bytes vs pad=2) */
     const char* v = getenv("BTPU_OPT_ICELL_PAD");
-    double pad = v ? atof(v) : 2.0;
+    double pad = v ? atof(v) : 0.0;
     for (int cc = 0; cc < 16; cc++) {
       if (jtot > 16) {
         double f = 0.2;
@@ -3717,14 +3726,19 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
       const char* v = getenv("BTPU_OPT_ITERS");
       if (v) n_iters = atoi(v);
       if (getenv("BTPU_OPT_ONE_ITER")) n_iters = 1;
-      /* >2 iterations currently corrupt the parse (opt_parse_block
-         seed-continuation state is not idempotent across reuse) and
-         the reference's ZopfliIterate also stops at 2 -- clamp */
-      if (n_iters > 2) n_iters = 2;
+      if (n_iters > 8) n_iters = 8;
     }
     for (int it = 1; it < n_iters && quality >= 11; it++) {
       /* recost iterations from the DP's own parse (the reference
-         zopfli's ZopfliIterate passes) */
+         zopfli's ZopfliIterate passes). Each iteration gets FRESH
+         hash state: reusing cfg_dp2's rings across walks re-inserts
+         every position, halving effective depth and (round-3) was
+         misattributed as parse corruption. */
+      if (it >= 2) {
+        memset(cfg_dp2.bucket, 0,
+               ((size_t)4 << (cfg_dp2.hbits + cfg_dp2.block_bits)));
+        memset(cfg_dp2.num, 0, (size_t)4 << cfg_dp2.hbits);
+      }
       if (ncmd > e.plan_cap) {
         free(e.plan);
         e.plan_cap = ncmd + 64;
