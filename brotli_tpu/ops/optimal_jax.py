@@ -564,11 +564,10 @@ def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
     )(pd_flat, cs_flat, copyq_row)
 
 
-@functools.partial(jax.jit, static_argnames=("capm", "interpret"))
-def dp_parse_block_v3(data, npos, max_distance, litq_u8, copyq_row,
-                      dist_sym_bits_q, seed_pos, seed_len, seed_dist,
-                      dict_pos, dict_pay, seg_base, *, capm,
-                      interpret=False):
+def _dp_v3_impl(data, npos, max_distance, litq_u8, copyq_row,
+                dist_sym_bits_q, seed_pos, seed_len, seed_dist,
+                dict_pos, dict_pay, seg_base, *, capm,
+                interpret=False):
     """One segment's v3 optimal parse as a single dispatch: edges ->
     Pallas suffix-min -> light scan -> backtrack, with the compacted
     matches packed for a batched one-transfer collect.
@@ -621,6 +620,10 @@ def dp_parse_block_v3(data, npos, max_distance, litq_u8, copyq_row,
     return packed, stacked
 
 
+dp_parse_block_v3 = functools.partial(
+    jax.jit, static_argnames=("capm", "interpret"))(_dp_v3_impl)
+
+
 @jax.jit
 def _stack_jit(xs):
     return jnp.stack(xs)
@@ -652,20 +655,11 @@ def _seg_seed_edges(seeds_list, lo, hi, cap):
             np.pad(sdist, (0, pad)))
 
 
-def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
-    """Dispatch every segment's v3 DP (async; one jit call each).
-    Returns (handles, dict_table): dict_table = (global hit positions,
-    word lengths) for flag recovery at collect time."""
+def _dict_probe_global(arr, seeds_list, base, max_distance):
+    """One native static-dictionary probe over the whole input
+    (seed-gated; ~1% of positions). Returns (positions, payloads,
+    word lengths); empty arrays when the native library is absent."""
     from ..utils import trace
-    litpos, copyq, distq = tables
-    copyq_row = np.zeros((1, 128), np.int32)
-    copyq_row[0, :W] = copyq[:W]
-    cq = jnp.asarray(copyq_row)
-    dq = jnp.asarray(distq)
-    from ..utils.jaxcfg import backend_or_cpu
-    interp = backend_or_cpu() != "tpu"
-    # static-dictionary edges: one native probe over the whole input
-    # (seed-gated; ~1% of positions), sliced per segment below
     dpos_g = np.zeros(0, np.uint32)
     dpay_g = np.zeros(0, np.uint32)
     with trace.stage("dp.dict-probe"):
@@ -679,33 +673,55 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
                 subprocess.CalledProcessError):
             pass
     dwlen_g = ((dpay_g >> 17) & 0x1F).astype(np.int64)
+    return dpos_g, dpay_g, dwlen_g
+
+
+def _prep_segment_v3(arr, litpos, seeds_list, dpos_g, dpay_g, lo, hi,
+                     b):
+    """Host-side inputs of one v3 DP segment, padded to bucket b."""
+    padded = np.zeros(b, np.uint8)
+    padded[:hi - lo] = arr[lo:hi]
+    lit = np.zeros(b, np.uint8)
+    lit[:hi - lo] = litpos[lo:hi]
+    spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi, b // 32)
+    # dict edges inside [lo, hi) whose word fits the segment
+    douts = (dpay_g >> 22).astype(np.int64)
+    in_seg = (dpos_g >= lo) & (dpos_g + douts <= hi)
+    dp_loc = (dpos_g[in_seg].astype(np.int64) - lo).astype(np.int32)
+    dp_val = dpay_g[in_seg].astype(np.int32)
+    cap_d = b // 64
+    if len(dp_loc) > cap_d:  # keep the longest words
+        keep = np.argsort(dp_val >> 22)[::-1][:cap_d]
+        keep.sort()
+        dp_loc, dp_val = dp_loc[keep], dp_val[keep]
+    pad = cap_d - len(dp_loc)
+    return (padded, max(hi - lo - 3, 0), lit, spos, slen, sdist,
+            np.pad(dp_loc, (0, pad)), np.pad(dp_val, (0, pad)))
+
+
+def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
+    """Dispatch every segment's v3 DP (async; one jit call each).
+    Returns (handles, dict_table): dict_table = (global hit positions,
+    word lengths) for flag recovery at collect time."""
+    from ..utils import trace
+    litpos, copyq, distq = tables
+    copyq_row = np.zeros((1, 128), np.int32)
+    copyq_row[0, :W] = copyq[:W]
+    cq = jnp.asarray(copyq_row)
+    dq = jnp.asarray(distq)
+    from ..utils.jaxcfg import backend_or_cpu
+    interp = backend_or_cpu() != "tpu"
+    dpos_g, dpay_g, dwlen_g = _dict_probe_global(arr, seeds_list, base,
+                                                 max_distance)
     handles = []
     for lo in range(0, n, SEG_V3):
         hi = min(lo + SEG_V3, n)
         b = _bucket_v3(hi - lo)
         capm = b // CAPM_DIV
         with trace.stage("dp.seg-prep"):
-            padded = np.zeros(b, np.uint8)
-            padded[:hi - lo] = arr[lo:hi]
-            lit = np.zeros(b, np.uint8)
-            lit[:hi - lo] = litpos[lo:hi]
-            spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi,
-                                                b // 32)
-            # dict edges inside [lo, hi) whose word fits the segment
-            douts = (dpay_g >> 22).astype(np.int64)
-            in_seg = (dpos_g >= lo) & (dpos_g + douts <= hi)
-            dp_loc = (dpos_g[in_seg].astype(np.int64) - lo).astype(
-                np.int32)
-            dp_val = dpay_g[in_seg].astype(np.int32)
-            cap_d = b // 64
-            if len(dp_loc) > cap_d:  # keep the longest words
-                keep = np.argsort(dp_val >> 22)[::-1][:cap_d]
-                keep.sort()
-                dp_loc, dp_val = dp_loc[keep], dp_val[keep]
-            pad = cap_d - len(dp_loc)
-            dp_loc = np.pad(dp_loc, (0, pad))
-            dp_val = np.pad(dp_val, (0, pad))
-        npos = max(hi - lo - 3, 0)
+            (padded, npos, lit, spos, slen, sdist, dp_loc,
+             dp_val) = _prep_segment_v3(arr, litpos, seeds_list, dpos_g,
+                                        dpay_g, lo, hi, b)
         with trace.stage("dp.dispatch"):
             packed, full = dp_parse_block_v3(
                 jnp.asarray(padded), jnp.int32(npos),
@@ -1043,6 +1059,148 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     with trace.stage("dp.dict-post"):
         return add_dictionary_matches(arr, m, lens, dists, flags,
                                       max_distance, base)
+
+
+def find_matches_optimal_sharded(arr, bounds, max_distance,
+                                 quality=11, halo_cap=None):
+    """Mesh-parallel q10/11 optimal parse: every device DPs its own
+    shard's segments through ONE compiled shard_map program (the
+    multi-chip zopfli tier; SURVEY 2.9.4 + the reference's
+    stream-offset stitching affordance, encode.h:231-246).
+
+    Per shard (host, threaded): greedy seed parse -> cost tables ->
+    static-dict probe -> segment prep, with up to `halo_cap` bytes of
+    preceding input as candidate window history, so matches reach
+    across shard seams. Per round k, every shard's k-th segment runs
+    data-parallel over the mesh (one jit / one D2H per round); the
+    usual collect/coalesce/dict post-pass then runs per shard.
+
+    Returns a list of per-shard (m, lens, dists, flags) with m
+    RELATIVE to the shard's [lo, hi) span."""
+    import concurrent.futures as futures
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from ..enc.optimal import _coalesce, bridge_matches
+    from ..enc.matcher import add_dictionary_matches
+    from ..utils import trace
+    from ..utils.jaxcfg import backend_or_cpu
+
+    n_shards = len(bounds) - 1
+    devs = jax.devices()
+    if len(devs) < n_shards:
+        raise ValueError(f"{n_shards} shards > {len(devs)} devices")
+    if halo_cap is None:
+        halo_cap = SEG_V3
+    interp = backend_or_cpu() != "tpu"
+
+    def prep_shard(si):
+        lo, hi = int(bounds[si]), int(bounds[si + 1])
+        h = min(int(max_distance), lo, int(halo_cap))
+        buf = np.ascontiguousarray(arr[lo - h:hi])
+        base = lo - h
+        with trace.stage("dp.seed"):
+            seed = _seed_parse(buf, max_distance, base)
+        with trace.stage("dp.cost-tables"):
+            tables = _cost_tables(buf, seed, exact_lit=True)
+        dict_g = _dict_probe_global(buf, [seed], base, max_distance)
+        return dict(lo=lo, hi=hi, h=h, buf=buf, base=base, seed=seed,
+                    tables=tables, dict_g=dict_g)
+
+    with futures.ThreadPoolExecutor(max_workers=min(n_shards, 8)) as ex:
+        shards = list(ex.map(prep_shard, range(n_shards)))
+
+    # one common bucket -> one compiled program for every (shard, round)
+    b = max(_bucket_v3(min(len(s["buf"]), SEG_V3)) for s in shards)
+    capm = b // CAPM_DIV
+    rounds = max((len(s["buf"]) + SEG_V3 - 1) // SEG_V3 for s in shards)
+    mesh = Mesh(np.array(devs[:n_shards]), axis_names=("data",))
+
+    def step(padded, npos, lit, cq, dq, spos, slen, sdist, dloc, dval,
+             segb):
+        packed, full = _dp_v3_impl(
+            padded[0], npos[0], jnp.int32(max_distance), lit[0], cq[0],
+            dq[0], spos[0], slen[0], sdist[0], dloc[0], dval[0],
+            segb[0], capm=capm, interpret=interp)
+        return packed[None], full[None]
+
+    jstep = jax.jit(shard_map(
+        step, mesh=mesh, in_specs=(P("data"),) * 11,
+        out_specs=(P("data"), P("data")), check_vma=False))
+
+    handles = [[] for _ in range(n_shards)]
+    for k in range(rounds):
+        batch = {key: [] for key in ("padded", "npos", "lit", "cq",
+                                     "dq", "spos", "slen", "sdist",
+                                     "dloc", "dval", "segb")}
+        seg_los = []
+        for s in shards:
+            nbuf = len(s["buf"])
+            lo_k = k * SEG_V3
+            hi_k = min(lo_k + SEG_V3, nbuf)
+            seg_los.append(lo_k if lo_k < nbuf else -1)
+            litpos, copyq, distq = s["tables"]
+            cq_row = np.zeros((1, 128), np.int32)
+            cq_row[0, :W] = copyq[:W]
+            if lo_k >= nbuf:  # shard exhausted: dummy segment
+                padded = np.zeros(b, np.uint8)
+                npos = 0
+                lit = np.zeros(b, np.uint8)
+                spos = np.zeros(b // 32, np.int32)
+                slen, sdist = spos, spos
+                dloc = np.zeros(b // 64, np.int32)
+                dval = dloc
+            else:
+                dpos_g, dpay_g, _ = s["dict_g"]
+                with trace.stage("dp.seg-prep"):
+                    (padded, npos, lit, spos, slen, sdist, dloc,
+                     dval) = _prep_segment_v3(
+                        s["buf"], litpos, [s["seed"]], dpos_g, dpay_g,
+                        lo_k, hi_k, b)
+            for key, v in (("padded", padded), ("npos", np.int32(npos)),
+                           ("lit", lit), ("cq", cq_row),
+                           ("dq", np.asarray(distq)), ("spos", spos),
+                           ("slen", slen), ("sdist", sdist),
+                           ("dloc", dloc), ("dval", dval),
+                           ("segb", np.int32(lo_k + s["base"]))):
+                batch[key].append(v)
+        with trace.stage("dp.mesh-dispatch"):
+            packed, full = jstep(*(jnp.asarray(np.stack(batch[key]))
+                                   for key in ("padded", "npos", "lit",
+                                               "cq", "dq", "spos",
+                                               "slen", "sdist", "dloc",
+                                               "dval", "segb")))
+        with trace.stage("dp.fetch"):
+            packed_np = np.asarray(packed)
+        for si in range(n_shards):
+            if seg_los[si] < 0:
+                continue
+            handles[si].append((seg_los[si], capm, packed_np[si],
+                                full[si]))
+
+    out = []
+    for si, s in enumerate(shards):
+        all_m, all_l, all_d, all_f = _collect_v3(
+            handles[si], (s["dict_g"][0].astype(np.int64),
+                          s["dict_g"][2]), max_distance, s["base"])
+        if not all_m:
+            z = np.zeros(0, np.int64)
+            out.append((z, z, z, z))
+            continue
+        m = np.concatenate(all_m)
+        lens = np.concatenate(all_l)
+        dists = np.concatenate(all_d)
+        flags = np.concatenate(all_f)
+        m, lens, dists, flags = bridge_matches(
+            s["buf"], *_coalesce(m, lens, dists, flags))
+        with trace.stage("dp.dict-post"):
+            m, lens, dists, flags = add_dictionary_matches(
+                s["buf"], m, lens, dists, flags, max_distance,
+                s["base"])
+        keep = m >= s["h"]
+        out.append((m[keep] - s["h"], lens[keep], dists[keep],
+                    flags[keep]))
+    return out
 
 
 def _collect_segment(lo, count, out):

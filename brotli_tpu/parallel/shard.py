@@ -181,6 +181,14 @@ def _find_matches_sharded(arr, bounds, max_distance, quality, use_device):
         try:
             import jax
             if len(jax.devices()) >= n_shards > 1:
+                if quality >= 10:
+                    # the expensive tier scales too: per-shard optimal
+                    # DP over the mesh (one shard_map program; round-3
+                    # gap: q11 silently parsed greedily here)
+                    from ..ops.optimal_jax import \
+                        find_matches_optimal_sharded
+                    return find_matches_optimal_sharded(
+                        arr, bounds, max_distance, quality)
                 return _find_matches_mesh(arr, bounds, max_distance,
                                           quality)
         except ImportError:
@@ -191,9 +199,15 @@ def _find_matches_sharded(arr, bounds, max_distance, quality, use_device):
         shard = arr[lo:hi]
         if use_device:
             try:
-                from ..ops.matcher_jax import find_matches_jax
-                out.append(find_matches_jax(shard, max_distance, quality,
-                                            base=lo))
+                if quality >= 10:
+                    from ..ops.optimal_jax import \
+                        find_matches_optimal_jax
+                    out.append(find_matches_optimal_jax(
+                        shard, max_distance, quality, base=lo))
+                else:
+                    from ..ops.matcher_jax import find_matches_jax
+                    out.append(find_matches_jax(shard, max_distance,
+                                                quality, base=lo))
                 continue
             except ImportError:
                 pass
