@@ -276,11 +276,17 @@ class Decoder:
         # keys {lits: bytearray, nlit/ncopy/dist: lists}, the command
         # loop decodes SYMBOLS only and records the copy graph instead
         # of resolving it -- the device kernel resolves copies by
-        # log-step pointer doubling. Only valid for streams whose
-        # literal trees are context-independent (the literal symbol
-        # decode must not depend on unresolved output bytes).
+        # log-step pointer doubling. Context-modeled literal trees are
+        # supported: the only output bytes a literal decode needs are
+        # the two previous ones (RFC 7932 7.1), which _dz_byte_at
+        # resolves exactly on the host by chasing the copy graph --
+        # the bulk byte movement still stays deferred.
         self.defer_lz = None
         self._virtual_len = 0
+        self._dz_ends = []      # cumulative output pos after command k
+        self._dz_lstarts = []   # literal-stream offset of command k
+        self._dz_nlit_total = 0
+        self._dz_p12 = (0, 0)   # (p1, p2) context bytes across blocks
 
     def _ft(self, bit0, bit1, label, value):
         if self.field_trace is not None:
@@ -383,10 +389,12 @@ class Decoder:
                 # raw bytes are pre-resolved: a literal run for the
                 # device kernel
                 self.defer_lz["lits"].extend(raw)
-                self.defer_lz["nlit"].append(mlen)
-                self.defer_lz["ncopy"].append(0)
-                self.defer_lz["dist"].append(0)
+                self._dz_emit(mlen, 0, 0)
                 self._virtual_len += mlen
+                if mlen >= 2:
+                    self._dz_p12 = (raw[-1], raw[-2])
+                elif mlen == 1:
+                    self._dz_p12 = (raw[-1], self._dz_p12[0])
             else:
                 out += raw
             return False
@@ -480,7 +488,8 @@ class Decoder:
             return self._metablock_deferred(
                 br, mlen, max_backward, dist_rb, rb_idx, blocks,
                 lit_cmap, lit_trees, cmd_trees, dist_trees, dist_cmap,
-                dist_extra, dist_offset, npostfix, cmd_lut)
+                dist_extra, dist_offset, npostfix, cmd_lut,
+                context_modes)
         remaining = mlen
         while remaining > 0:
             # --- command symbol
@@ -615,33 +624,68 @@ class Decoder:
             raise FormatError("metablock length overrun", E.BLOCK_LENGTH_1)
         return rb_idx
 
+    def _dz_emit(self, nlit: int, ncopy: int, dist: int):
+        """Append one command to the deferred copy graph, keeping the
+        cumulative position/literal-offset indexes in lockstep (they
+        drive the host-side _dz_byte_at context peeks)."""
+        D = self.defer_lz
+        D["nlit"].append(nlit)
+        D["ncopy"].append(ncopy)
+        D["dist"].append(dist)
+        prev = self._dz_ends[-1] if self._dz_ends else 0
+        self._dz_ends.append(prev + nlit + ncopy)
+        self._dz_lstarts.append(self._dz_nlit_total)
+        self._dz_nlit_total += nlit
+
+    def _dz_byte_at(self, i: int) -> int:
+        """Exact output byte at virtual position `i`, resolved on the
+        host by chasing the deferred copy graph. Overlapping copies
+        (dist < len, the RLE chains) collapse in ONE step with a
+        modulo jump, so each query is O(#commands crossed), not
+        O(bytes). Only the <=2 context bytes a literal needs (RFC
+        7932 7.1) are ever queried; bulk byte movement stays on the
+        device (ops/lz_resolve.py)."""
+        from bisect import bisect_right
+        D = self.defer_lz
+        ends, nlit, dist = self._dz_ends, D["nlit"], D["dist"]
+        lits, lstarts = D["lits"], self._dz_lstarts
+        while True:
+            k = bisect_right(ends, i)
+            base = ends[k - 1] if k else 0
+            off = i - base
+            nl = nlit[k]
+            if off < nl:
+                return lits[lstarts[k] + off]
+            j = off - nl
+            d = dist[k]
+            i = base + nl + (j % d) - d
+
     def _metablock_deferred(self, br, mlen, max_backward, dist_rb,
                             rb_idx, blocks, lit_cmap, lit_trees,
                             cmd_trees, dist_trees, dist_cmap,
                             dist_extra, dist_offset, npostfix,
-                            cmd_lut):
+                            cmd_lut, context_modes):
         """Symbol-only command loop (deferred LZ): emits the copy
         graph into self.defer_lz for device-side resolution
         (ops/lz_resolve.py). The reference's hot loop
         (c/dec/decode.c:2401 ProcessCommands) fuses symbol decode and
         byte movement; on TPU the byte movement is the parallel half.
 
-        Requires context-INDEPENDENT literal trees: with context
-        modeling the literal symbol decode needs the two previous
-        output bytes, which may be unresolved copies."""
+        Context-modeled literal trees are supported WITHOUT resolving
+        the output: a literal decode needs only the two previous
+        output bytes (p1, p2), which are literals we already hold or
+        the trailing 1-2 bytes of the preceding copy -- _dz_byte_at
+        chases exactly those through the copy graph (reference role:
+        c/dec/decode.c:2076-2150 context re-computation, re-split so
+        the byte movement stays data-parallel)."""
         if self.compound or self.shared is not None:
             raise UnsupportedForDevice("attached dictionaries")
-        nt = len(lit_cmap) >> C.LITERAL_CONTEXT_BITS
-        for t in range(nt):
-            row = lit_cmap[t << C.LITERAL_CONTEXT_BITS:
-                           (t + 1) << C.LITERAL_CONTEXT_BITS]
-            if any(r != row[0] for r in row):
-                raise UnsupportedForDevice(
-                    "context-modeled literals (output-dependent "
-                    "symbol decode)")
         D = self.defer_lz
         lits = D["lits"]
         lit_block = cmd_block = dist_block = 0
+        lit_lut = ctx.context_lut(context_modes[0])
+        cmap_base = 0  # lit_block << LITERAL_CONTEXT_BITS
+        p1, p2 = self._dz_p12
         remaining = mlen
         vlen = self._virtual_len
         while remaining > 0:
@@ -659,18 +703,19 @@ class Decoder:
             for _ in range(insert_len):
                 if blocks[0].length == 0:
                     lit_block = blocks[0].switch(br)
+                    lit_lut = ctx.context_lut(context_modes[lit_block])
+                    cmap_base = lit_block << C.LITERAL_CONTEXT_BITS
                 blocks[0].length -= 1
-                tree = lit_trees[lit_cmap[
-                    lit_block << C.LITERAL_CONTEXT_BITS]]
+                c = int(lit_lut[0][p1] | lit_lut[1][p2])
+                tree = lit_trees[lit_cmap[cmap_base + c]]
                 lit, used = tree.decode(br.peek(tree.max_len))
                 br.skip(used)
                 lits.append(lit)
+                p2, p1 = p1, lit
             vlen += insert_len
             remaining -= insert_len
             if remaining <= 0:
-                D["nlit"].append(nlit_cmd)
-                D["ncopy"].append(0)
-                D["dist"].append(0)
+                self._dz_emit(nlit_cmd, 0, 0)
                 break
             max_distance = min(vlen, max_backward)
             if implicit_dist0:
@@ -710,22 +755,27 @@ class Decoder:
                 nlit_cmd += len(word)
                 vlen += len(word)
                 remaining -= len(word)
-                D["nlit"].append(nlit_cmd)
-                D["ncopy"].append(0)
-                D["dist"].append(0)
+                self._dz_emit(nlit_cmd, 0, 0)
+                if len(word) >= 2:
+                    p2, p1 = word[-2], word[-1]
+                elif len(word) == 1:
+                    p2, p1 = p1, word[-1]
             else:
                 if not dist_code_is_zero:
                     dist_rb[rb_idx & 3] = distance
                     rb_idx += 1
                 vlen += copy_len
                 remaining -= copy_len
-                D["nlit"].append(nlit_cmd)
-                D["ncopy"].append(copy_len)
-                D["dist"].append(distance)
+                self._dz_emit(nlit_cmd, copy_len, distance)
+                old_p1 = p1
+                p1 = self._dz_byte_at(vlen - 1)
+                p2 = self._dz_byte_at(vlen - 2) if copy_len >= 2 \
+                    else old_p1
         if remaining < 0:
             raise FormatError("metablock length overrun",
                               E.BLOCK_LENGTH_1)
         self._virtual_len = vlen
+        self._dz_p12 = (p1, p2)
         return rb_idx
 
 

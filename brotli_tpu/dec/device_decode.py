@@ -8,14 +8,15 @@ doubling (ops/lz_resolve.py), where the FLOP/byte-movement work lives.
 Reference role: c/dec/decode.c:2401-2406 ProcessCommands, re-split so
 the byte movement is data-parallel.
 
-Scope: streams whose literal trees are context-INDEPENDENT (trivial
-context maps). With context modeling, decoding a literal symbol needs
-the two previous OUTPUT bytes — possibly unresolved copies — so the
-symbol parse cannot run ahead of resolution. Context-modeled streams
-raise UnsupportedForDevice and callers fall back to the host decoder;
-covering them would need speculative decode + re-sync (future work).
-Dictionary words and uncompressed blocks fold into the literal stream
-as pre-resolved runs.
+Context-MODELED literal trees are fully supported: decoding a literal
+symbol needs only the two previous OUTPUT bytes (RFC 7932 7.1), and
+those are either literals the parser already holds or the trailing
+1-2 bytes of the preceding copy — `Decoder._dz_byte_at` resolves
+exactly those bytes on the host by chasing the copy graph (one
+modulo jump collapses overlapping/RLE chains), so the parse never
+waits on bulk resolution. Dictionary words and uncompressed blocks
+fold into the literal stream as pre-resolved runs. Only attached
+(compound/shared) dictionaries still raise UnsupportedForDevice.
 """
 
 from .decoder import Decoder, UnsupportedForDevice  # noqa: F401
