@@ -26,6 +26,17 @@ def ensure_cache():
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           0.5)
+        # Caller-file-independent cache keys: traceback locations leak
+        # into the SERIALIZED MOSAIC KERNEL embedded in tpu_custom_call
+        # (the outer strip-debuginfo pass cannot reach inside the
+        # attribute), so without this, byte-identical programs invoked
+        # from two different entry files compile twice -- measured
+        # 1762 s cold vs 50 s warm for the q11 device pipeline. With
+        # locations off, the canonicalized IR hash is identical across
+        # caller files (verified both ways 2026-08-20).
+        jax.config.update("jax_include_full_tracebacks_in_locations",
+                          False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
 
