@@ -2956,9 +2956,14 @@ static int looks_incompressible(const uint8_t* data, size_t lo, size_t hi,
 /* cost-calibration defaults swept on the Canterbury texts +
    mapsdatazrh (realized-size optimum, not entropy-ideal: the emitter's
    clustering and block splits reward slightly literal-averse parses) */
-static double opt_lit_scale(void) {
+static double opt_lit_scale(int ctx_mode) {
   const char* v = getenv("BTPU_OPT_LIT_SCALE");
-  return v ? atof(v) : 1.3;
+  /* realized-size optimum is input-type dependent: the emitter's
+     literal clustering/context-mapping recovers MORE than the proxy
+     predicts on non-text inputs, so binary inputs want a parse closer
+     to the entropy-ideal trade (swept: mapsdatazrh 159,629 -> 159,368
+     at 1.1 while 1.3 stays best on every UTF8 Canterbury text) */
+  return v ? atof(v) : (ctx_mode == 2 ? 1.3 : 1.1);
 }
 static double opt_ins_scale(void) {
   const char* v = getenv("BTPU_OPT_INS_SCALE");
@@ -3080,7 +3085,7 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
      surcharge, capped): one 64x256 bits table, then a gather -- the
      per-position -log2 was a 4M-transcendental hot spot */
   {
-    double lscale = opt_lit_scale();
+    double lscale = opt_lit_scale(mode);
     float* bits_tab = (float*)malloc((size_t)NUM_LIT_CTX * 256 *
                                      sizeof(float));
     if (!bits_tab) { /* OOM: flat literal costs still yield a valid
@@ -3116,7 +3121,7 @@ static void opt_costs_from_seed(const uint8_t* data, size_t lo, size_t hi,
     if (lm && (lm[0] == 'w' || lm[0] == 'b')) {
       float* uc = (float*)malloc((hi - lo) * sizeof(float));
       if (uc && utf8_window_cost(data, lo, hi, uc) == 0) {
-        double ls = opt_lit_scale();
+        double ls = opt_lit_scale(mode);
         for (size_t pp = lo; pp < hi; pp++) {
           float w = (float)(uc[pp - lo] * ls);
           oc->litc[pp - lo] = lm[0] == 'w'
