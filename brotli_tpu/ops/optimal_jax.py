@@ -388,7 +388,11 @@ def _scan_math_v3(mp_all, litq_b):
 
     F0 = jnp.full((nb, W), INF, jnp.int32).at[:, 0].set(0)
     P0 = jnp.zeros((nb, W), jnp.int32)
-    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0), (litq_b, mp_all))
+    # unroll: the per-step vector work is tiny (nb x 2W), so the while
+    # loop is overhead-bound (~21 us/step profiled); 4 steps per
+    # iteration amortize it
+    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0), (litq_b, mp_all),
+                                      unroll=4)
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
@@ -408,7 +412,7 @@ def _finish_math(paymat, npos):
         return src, (jnp.where(is_match, src, -1), v)
 
     pos0 = jnp.full((nb,), B, jnp.int32)
-    _, (srcs, vs) = jax.lax.scan(bstep, pos0, None, length=B)
+    _, (srcs, vs) = jax.lax.scan(bstep, pos0, None, length=B, unroll=4)
     # srcs: (B, nb) local match starts (-1 = none); recover global pos
     gsrc = jnp.where(srcs >= 0, srcs + (bidx[None, :] * B),
                      -1).reshape(-1)
@@ -466,82 +470,69 @@ def _suffix_kernel(pd_ref, cs_ref, cq_ref, mp_ref):
     exact output length relaxes -- a word reference cannot be taken
     partially), continuation (<= W-1)].
     cq: (1, 128) with the per-landed-length copy-code cost in [:W];
-    mp out: (B, 1, 2W) = [M | P] packed so the minor dim is one full
-    128-lane tile. Column c of M = min cost over edges with len >= c,
-    plus copyq[c]; P = (c << 25) | argmin edge's distance.
+    mp out: (2W, B) = [M ; P] stacked row-blocks. Row c of M = min cost
+    over edges with len >= c, plus copyq[c]; P = (c << 25) | argmin
+    edge's distance.
 
     This is the reduction round-2's raw-XLA "V2" materialized as 29
-    full (n, W) intermediates (190 s); here each (B, W) tile lives in
-    VMEM/registers and HBM sees only the final packed write."""
+    full (n, W) intermediates (190 s); here each tile lives in VMEM and
+    HBM sees only the final packed write.
+
+    Layout: (W, CH) with positions on the 128-lane MINOR axis. The
+    first version used (CH, W_CAND=33) tiles -- 33 in the lane dim
+    wastes 74% of every vreg -- and unrolled the slot loop in python,
+    whose live temporaries scale with nslots (34 slots at CH=256 hit
+    17.96 MB of VMEM), forcing CH=128; it profiled at 242 ms per 4 MB
+    segment (47% of device time, xprof). Transposed + a fori_loop over
+    slots (constant live set; the dict slot's ==-mask folds into the
+    range mask by raising the lower bound to ls) runs the same
+    reduction at full lane occupancy: the synchronous warm segment
+    dropped 1.70 s -> 1.28 s on the real chip, identical parse."""
     from jax.experimental import pallas as pl
     nslots = pd_ref.shape[0]
     Bk = pd_ref.shape[1]
     INF = jnp.int32(1 << 28)
     BIGD = jnp.int32(0x7FFFFFFF)
     MASK25 = jnp.int32((1 << 25) - 1)
-    CH = 128  # position sub-tiles keep the live (CH, W) temporaries
-              # small; a fori_loop (not an unrolled python loop) so the
-              # VMEM stack is shared across iterations (a full (B, W)
-              # working set register-spilled ~160 MB; 8 unrolled
-              # 512-chunks overflowed the 16 MB scoped budget, and the
-              # unrolled slot loop's live temps scale with nslots --
-              # 34 slots at CH=256 hit 17.96 M)
+    CH = 2048
 
     def chunk(j, carry):
         base = pl.multiple_of(j * CH, CH)
-        # candidate slots: lengths <= 32, so only columns 2..32 can hit
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (CH, W_CAND), 1)
-        acc_c = jnp.full((CH, W_CAND), INF, jnp.int32)
-        pay_c = jnp.full((CH, W_CAND), BIGD, jnp.int32)
-        for s in range(nslots - 2):
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, CH), 0)
+
+        def slot(s, ap):
+            acc, pay = ap
             pd = pd_ref[s, pl.ds(base, CH)]
             ls = pd >> 25
             ds = pd & MASK25
-            hit = (iota_c <= ls[:, None]) & (iota_c >= 2)
-            v = jnp.where(hit, cs_ref[s, pl.ds(base, CH)][:, None], INF)
-            upd = v < acc_c
-            acc_c = jnp.where(upd, v, acc_c)
-            pay_c = jnp.where(upd, ds[:, None], pay_c)
-        acc = jnp.concatenate(
-            [acc_c, jnp.full((CH, W - W_CAND), INF, jnp.int32)], axis=1)
-        pay = jnp.concatenate(
-            [pay_c, jnp.full((CH, W - W_CAND), BIGD, jnp.int32)],
-            axis=1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
-        # dict slot (second-to-last): ATOMIC -- only the exact output
-        # length relaxes (a word reference cannot be taken partially)
-        pdd = pd_ref[nslots - 2, pl.ds(base, CH)]
-        lsd = pdd >> 25
-        dsd = pdd & MASK25
-        hitd = (iota_w == lsd[:, None]) & (iota_w >= 2)
-        vd = jnp.where(hitd, cs_ref[nslots - 2, pl.ds(base, CH)][:, None],
-                       INF)
-        upd = vd < acc
-        acc = jnp.where(upd, vd, acc)
-        pay = jnp.where(upd, dsd[:, None], pay)
-        # continuation slot (last) across the full width
-        pdk = pd_ref[nslots - 1, pl.ds(base, CH)]
-        lsk = pdk >> 25
-        dsk = pdk & MASK25
-        hitk = (iota_w <= lsk[:, None]) & (iota_w >= 2)
-        vk = jnp.where(hitk, cs_ref[nslots - 1, pl.ds(base, CH)][:, None],
-                       INF)
-        upd = vk < acc
-        acc = jnp.where(upd, vk, acc)
-        pay = jnp.where(upd, dsk[:, None], pay)
+            cs = cs_ref[s, pl.ds(base, CH)]
+            # dict slot (nslots-2) is ATOMIC: only its exact length
+            # relaxes -- expressed as the same range mask with the
+            # lower bound raised to ls
+            lo = jnp.where(s == nslots - 2, jnp.maximum(ls, 2),
+                           jnp.int32(2))
+            hit = (iota_w <= ls[None, :]) & (iota_w >= lo[None, :])
+            v = jnp.where(hit, cs[None, :], INF)
+            upd = v < acc
+            return (jnp.where(upd, v, acc),
+                    jnp.where(upd, ds[None, :], pay))
+
+        acc0 = jnp.full((W, CH), INF, jnp.int32)
+        pay0 = jnp.full((W, CH), BIGD, jnp.int32)
+        acc, pay = jax.lax.fori_loop(0, nslots, slot, (acc0, pay0))
         cq = cq_ref[0, :W]
-        m = jnp.where(acc < INF, acc + cq[None, :], jnp.int32(1 << 29))
+        m = jnp.where(acc < INF, acc + cq[:, None], jnp.int32(1 << 29))
         p = jnp.where(pay != BIGD, (iota_w << 25) | pay, 0)
-        mp_ref[pl.ds(base, CH), :] = jnp.concatenate([m, p], axis=1)
+        mp_ref[:, pl.ds(base, CH)] = jnp.concatenate([m, p], axis=0)
         return carry
 
     jax.lax.fori_loop(0, Bk // CH, chunk, 0)
 
 
 def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
-    """(nslots, n) slots -> (n, 2W) packed [M | P] tables (one DP block
-    of positions per grid step; rows = positions so both block dims
-    satisfy the (8, 128) tile rule)."""
+    """(nslots, n) slots -> (2W, n) packed [M ; P] tables (one DP block
+    of positions per grid step; positions on the minor axis so every
+    (8, 128) tile is fully occupied)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nslots, n = pd_flat.shape
@@ -557,9 +548,9 @@ def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
             pl.BlockSpec((1, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, 2 * W), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((2 * W, B), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2 * W), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2 * W, n), jnp.int32),
         interpret=interpret,
     )(pd_flat, cs_flat, copyq_row)
 
@@ -609,7 +600,7 @@ def _dp_v3_impl(data, npos, max_distance, litq_u8, copyq_row,
     cs_flat = jnp.concatenate([cs_flat[:-1], dcost[None, :],
                                cs_flat[-1:]], axis=0)
     mp_flat = _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret)
-    mp_all = mp_flat.reshape(nb, B, 2 * W).transpose(1, 0, 2)
+    mp_all = mp_flat.reshape(2 * W, nb, B).transpose(2, 1, 0)
     # exact per-position literal cost (uint8 at 1/8 bit -> 1/16 units)
     litq_b = (litq_u8.astype(jnp.int32) * 2).reshape(nb, B).T
     paymat = _scan_math_v3(mp_all, litq_b)
@@ -699,10 +690,14 @@ def _prep_segment_v3(arr, litpos, seeds_list, dpos_g, dpay_g, lo, hi,
             np.pad(dp_loc, (0, pad)), np.pad(dp_val, (0, pad)))
 
 
-def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
+def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
+                 dict_future=None):
     """Dispatch every segment's v3 DP (async; one jit call each).
     Returns (handles, dict_table): dict_table = (global hit positions,
-    word lengths) for flag recovery at collect time."""
+    word lengths) for flag recovery at collect time. `dict_future`:
+    optional concurrent.futures handle for an already-running
+    _dict_probe_global (the caller overlaps the probe with the cost
+    tables -- both are GIL-releasing native passes)."""
     from ..utils import trace
     litpos, copyq, distq = tables
     copyq_row = np.zeros((1, 128), np.int32)
@@ -711,8 +706,11 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0):
     dq = jnp.asarray(distq)
     from ..utils.jaxcfg import backend_or_cpu
     interp = backend_or_cpu() != "tpu"
-    dpos_g, dpay_g, dwlen_g = _dict_probe_global(arr, seeds_list, base,
-                                                 max_distance)
+    if dict_future is not None:
+        dpos_g, dpay_g, dwlen_g = dict_future.result()
+    else:
+        dpos_g, dpay_g, dwlen_g = _dict_probe_global(
+            arr, seeds_list, base, max_distance)
     handles = []
     for lo in range(0, n, SEG_V3):
         hi = min(lo + SEG_V3, n)
@@ -993,6 +991,15 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         seed = _seed_parse(arr, max_distance, base)
     mode = _dp_mode()
     m = lens = dists = flags = None
+    dict_future = None
+    if mode == "v3":
+        # the static-dict probe and the cost tables are independent
+        # GIL-releasing native passes: overlap them
+        import concurrent.futures
+        _pool = concurrent.futures.ThreadPoolExecutor(1)
+        dict_future = _pool.submit(_dict_probe_global, arr, [seed],
+                                   base, max_distance)
+        _pool.shutdown(wait=False)
     for it in range(iterations):
         prev = seed if it == 0 else (m, lens, dists, flags)
         with trace.stage("dp.cost-tables"):
@@ -1003,7 +1010,8 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
         if mode == "v3":
             with trace.stage("dp.device"):
                 handles, dict_table = _dispatch_v3(
-                    arr, n, max_distance, tables, seeds_list, base)
+                    arr, n, max_distance, tables, seeds_list, base,
+                    dict_future=dict_future if it == 0 else None)
                 all_m, all_l, all_d, all_f = _collect_v3(
                     handles, dict_table, max_distance, base)
         else:
