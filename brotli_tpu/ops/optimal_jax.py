@@ -52,9 +52,9 @@ B = 4096          # DP block size (hard parse boundary)
 # shallow pools lose ~1,300 long matches at median distance ~150 KB
 # on plrabn12 alone (mirrors the native DP's 2048-entry rings).
 LEVELS = (
-    (4, tuple(range(1, 13))),
-    (8, tuple(range(1, 9)) + (16, 32, 64, 128, 256)),
-    (16, (1, 2, 3, 4, 8, 16, 32, 64)),
+    (4, tuple(range(1, 13)) + (16,)),
+    (8, tuple(range(1, 9)) + (16, 32, 64, 128, 256, 512)),
+    (16, (1, 2, 3, 4, 8, 16, 32, 64, 128, 256)),
 )
 QB = 16           # cost quantization (1/16 bit), matches host DP
 SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
@@ -450,8 +450,6 @@ def dp_parse_block(data, npos, max_distance, litbits_q, copyq,
 SEG_V3 = 1 << 22          # v3 segment size
 _BUCKETS_V3 = [1 << 21, 1 << 22]
 CAPM_DIV = 8              # batched-collect match cap = bucket // 8
-W_CAND = 33               # candidate slots cap at CAPD=32; only the
-                          # continuation slot reaches W-1
 
 
 def _bucket_v3(n: int) -> int:
@@ -555,13 +553,21 @@ def _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret):
     )(pd_flat, cs_flat, copyq_row)
 
 
-def _dp_v3_impl(data, npos, max_distance, litq_u8, copyq_row,
+def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
                 dist_sym_bits_q, seed_pos, seed_len, seed_dist,
                 dict_pos, dict_pay, seg_base, *, capm,
                 interpret=False):
     """One segment's v3 optimal parse as a single dispatch: edges ->
     Pallas suffix-min -> light scan -> backtrack, with the compacted
     matches packed for a batched one-transfer collect.
+
+    bits_tab / ctx_tab: the (64*256,) quantized context-model literal
+    bits and the (256*256,) p1p2 -> context lookup. Per-position
+    literal costs are two on-device gathers (~60 ms per 4 MB segment)
+    instead of an n-byte tunnel upload (~140 ms + a host pass) -- the
+    tunnel moves ~29 MB/s, so bytes ARE time. The 2 context bytes at
+    the segment head fall back to p=0 (the host path used global
+    context there; 2 of 4 M positions is noise).
 
     dict_pos/dict_pay: sparse static-dictionary edges from the host
     probe (payload = advance << 22 | wlen << 17 | dictoff); they
@@ -572,8 +578,10 @@ def _dp_v3_impl(data, npos, max_distance, litq_u8, copyq_row,
     are position-dependent).
 
     Returns (packed, full): packed is (2, capm + 8) uint32 with the
-    match count at [0, capm]; full is the uncapped (2, n//2)
-    compaction, fetched only if count overflows capm."""
+    match count at [0, 0] and matches at [:, 8 : 8 + capm] -- the
+    count-first layout lets the collect fetch HALF the buffer (counts
+    rarely exceed capm // 2) and still see the count; full is the
+    uncapped (2, n//2) compaction, fetched only on capm overflow."""
     n = data.shape[0]
     nb = n // B
     ls_flat, cs_flat, ds_flat = _edges_slots(
@@ -601,13 +609,20 @@ def _dp_v3_impl(data, npos, max_distance, litq_u8, copyq_row,
                                cs_flat[-1:]], axis=0)
     mp_flat = _suffix_pallas(pd_flat, cs_flat, copyq_row, interpret)
     mp_all = mp_flat.reshape(2 * W, nb, B).transpose(2, 1, 0)
-    # exact per-position literal cost (uint8 at 1/8 bit -> 1/16 units)
+    # per-position literal cost: ctx = lut0[p1]|lut1[p2] then
+    # bits[ctx, byte], both as device gathers (u8 at 1/8 bit ->
+    # 1/16 units)
+    d32 = data.astype(jnp.int32)
+    p1 = _shift_up(d32, 1, jnp.int32(0))
+    p2 = _shift_up(d32, 2, jnp.int32(0))
+    cid = ctx_tab[(p1 << 8) | p2].astype(jnp.int32)
+    litq_u8 = bits_tab[(cid << 8) | d32]
     litq_b = (litq_u8.astype(jnp.int32) * 2).reshape(nb, B).T
     paymat = _scan_math_v3(mp_all, litq_b)
     count, stacked = _finish_math(paymat, npos)
     packed = jnp.zeros((2, capm + 8), jnp.uint32)
-    packed = packed.at[:, :capm].set(stacked[:, :capm])
-    packed = packed.at[0, capm].set(count.astype(jnp.uint32))
+    packed = packed.at[0, 0].set(count.astype(jnp.uint32))
+    packed = packed.at[:, 8:8 + capm].set(stacked[:, :capm])
     return packed, stacked
 
 
@@ -667,14 +682,11 @@ def _dict_probe_global(arr, seeds_list, base, max_distance):
     return dpos_g, dpay_g, dwlen_g
 
 
-def _prep_segment_v3(arr, litpos, seeds_list, dpos_g, dpay_g, lo, hi,
-                     b):
-    """Host-side inputs of one v3 DP segment, padded to bucket b."""
-    padded = np.zeros(b, np.uint8)
-    padded[:hi - lo] = arr[lo:hi]
-    lit = np.zeros(b, np.uint8)
-    lit[:hi - lo] = litpos[lo:hi]
-    spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi, b // 32)
+def _prep_segment_v3(arr, seeds_list, dpos_g, dpay_g, lo, hi, b):
+    """Host-side small inputs of one v3 DP segment (seed continuation
+    + dictionary edges; the data itself ships once for the whole
+    buffer -- see _dispatch_v3)."""
+    spos, slen, sdist = _seg_seed_edges(seeds_list, lo, hi, b // 128)
     # dict edges inside [lo, hi) whose word fits the segment
     douts = (dpay_g >> 22).astype(np.int64)
     in_seg = (dpos_g >= lo) & (dpos_g + douts <= hi)
@@ -686,24 +698,47 @@ def _prep_segment_v3(arr, litpos, seeds_list, dpos_g, dpay_g, lo, hi,
         keep.sort()
         dp_loc, dp_val = dp_loc[keep], dp_val[keep]
     pad = cap_d - len(dp_loc)
-    return (padded, max(hi - lo - 3, 0), lit, spos, slen, sdist,
+    return (max(hi - lo - 3, 0), spos, slen, sdist,
             np.pad(dp_loc, (0, pad)), np.pad(dp_val, (0, pad)))
 
 
+@functools.partial(jax.jit, static_argnames=("b",))
+def _slice_seg(dev_big, lo, *, b):
+    return jax.lax.dynamic_slice(dev_big, (lo,), (b,))
+
+
+def upload_input(arr, n):
+    """One H2D of the whole (bucket-padded) input; segments become
+    on-device slices. The tunnel moves ~29 MB/s with ~28 ms per call,
+    so one 16 MB transfer launched EARLY (it overlaps the host seed
+    parse and cost tables) replaces four 4 MB per-segment uploads on
+    the critical path."""
+    tail = n - (n // SEG_V3) * SEG_V3
+    pad_to = (n // SEG_V3) * SEG_V3 + (_bucket_v3(tail) if tail else 0)
+    big = np.zeros(max(pad_to, _BUCKETS_V3[0]), np.uint8)
+    big[:n] = arr[:n]
+    return jnp.asarray(big)
+
+
 def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
-                 dict_future=None):
+                 dict_future=None, dev_big=None):
     """Dispatch every segment's v3 DP (async; one jit call each).
     Returns (handles, dict_table): dict_table = (global hit positions,
     word lengths) for flag recovery at collect time. `dict_future`:
     optional concurrent.futures handle for an already-running
     _dict_probe_global (the caller overlaps the probe with the cost
-    tables -- both are GIL-releasing native passes)."""
+    tables -- both are GIL-releasing native passes). `dev_big`: the
+    upload_input() handle if the caller started the upload early."""
     from ..utils import trace
-    litpos, copyq, distq = tables
+    bits_tab, copyq, distq, ctx_tab = tables
     copyq_row = np.zeros((1, 128), np.int32)
     copyq_row[0, :W] = copyq[:W]
     cq = jnp.asarray(copyq_row)
     dq = jnp.asarray(distq)
+    btab = jnp.asarray(bits_tab.astype(np.int32).reshape(-1))
+    ctab = jnp.asarray(ctx_tab.astype(np.int32))
+    if dev_big is None:
+        dev_big = upload_input(arr, n)
     from ..utils.jaxcfg import backend_or_cpu
     interp = backend_or_cpu() != "tpu"
     if dict_future is not None:
@@ -717,14 +752,14 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
         b = _bucket_v3(hi - lo)
         capm = b // CAPM_DIV
         with trace.stage("dp.seg-prep"):
-            (padded, npos, lit, spos, slen, sdist, dp_loc,
-             dp_val) = _prep_segment_v3(arr, litpos, seeds_list, dpos_g,
+            (npos, spos, slen, sdist, dp_loc,
+             dp_val) = _prep_segment_v3(arr, seeds_list, dpos_g,
                                         dpay_g, lo, hi, b)
         with trace.stage("dp.dispatch"):
             packed, full = dp_parse_block_v3(
-                jnp.asarray(padded), jnp.int32(npos),
-                jnp.int32(max_distance), jnp.asarray(lit), cq, dq,
-                jnp.asarray(spos), jnp.asarray(slen),
+                _slice_seg(dev_big, jnp.int32(lo), b=b),
+                jnp.int32(npos), jnp.int32(max_distance), btab, ctab,
+                cq, dq, jnp.asarray(spos), jnp.asarray(slen),
                 jnp.asarray(sdist), jnp.asarray(dp_loc),
                 jnp.asarray(dp_val), jnp.int32(lo + base), capm=capm,
                 interpret=interp)
@@ -732,35 +767,51 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
     return handles, (dpos_g.astype(np.int64), dwlen_g)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stack_slice_jit(xs, *, k):
+    return jnp.stack([x[:, :k] for x in xs])
+
+
 def _collect_v3(handles, dict_table, max_distance, base=0):
-    """One stacked D2H per packed shape (the tunnel charges ~0.6 s per
-    transfer regardless of size, so segment results ship together).
-    Matches whose distance exceeds the window at their position are
-    the DP's dictionary edges; their word-length flags (2000 + wlen)
-    come back from the host probe table."""
+    """One stacked D2H per packed shape (a tunnel round trip costs
+    ~0.5 s regardless of size and the link moves ~29 MB/s, so segment
+    results ship together AND sliced to half the match cap -- the
+    count-first layout keeps the count inside the slice; rare
+    overflows pay a second fetch). Matches whose distance exceeds the
+    window at their position are the DP's dictionary edges; their
+    word-length flags (2000 + wlen) come back from the host probe
+    table."""
     from ..utils import trace
     dpos_g, dwlen_g = dict_table
     groups = {}
-    for i, (_lo, _capm, packed, _full) in enumerate(handles):
-        groups.setdefault(packed.shape, []).append(i)
+    for i, (_lo, capm, packed, _full) in enumerate(handles):
+        groups.setdefault((packed.shape, capm), []).append(i)
     fetched = [None] * len(handles)
+    kslice = {}
     with trace.stage("dp.fetch"):
-        for _shape, idxs in groups.items():
+        for (_shape, capm), idxs in groups.items():
+            k = 8 + capm // 2
+            for i in idxs:
+                kslice[i] = k
             if len(idxs) == 1:
-                fetched[idxs[0]] = np.asarray(handles[idxs[0]][2])
+                fetched[idxs[0]] = np.asarray(
+                    handles[idxs[0]][2][:, :k])
             else:
-                host = np.asarray(_stack_jit(
-                    tuple(handles[i][2] for i in idxs)))
+                host = np.asarray(_stack_slice_jit(
+                    tuple(handles[i][2] for i in idxs), k=k))
                 for j, i in enumerate(idxs):
                     fetched[i] = host[j]
     all_m, all_l, all_d, all_f = [], [], [], []
-    for (lo, capm, _packed, full), hp in zip(handles, fetched):
-        cnt = int(hp[0, capm])
+    for (lo, capm, packed, full), hp in zip(handles, fetched):
+        cnt = int(hp[0, 0])
         if cnt > capm:  # rare overflow: fetch the uncapped compaction
             hostf = np.asarray(full)
             pos_c, pay_c = hostf[0, :cnt], hostf[1, :cnt]
+        elif cnt > capm // 2:  # middle tier: fetch the full packed
+            hostp = np.asarray(packed)
+            pos_c, pay_c = hostp[0, 8:8 + cnt], hostp[1, 8:8 + cnt]
         else:
-            pos_c, pay_c = hp[0, :cnt], hp[1, :cnt]
+            pos_c, pay_c = hp[0, 8:8 + cnt], hp[1, 8:8 + cnt]
         if cnt == 0:
             continue
         mm = pos_c.astype(np.int64) + lo
@@ -784,9 +835,32 @@ def _collect_v3(handles, dict_table, max_distance, base=0):
     return all_m, all_l, all_d, all_f
 
 
-def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
+_CTX_TAB2 = None  # (65536,) uint8: lut0[p1] | lut1[p2], UTF8 mode
+
+
+def _ctx_tab2() -> np.ndarray:
+    global _CTX_TAB2
+    if _CTX_TAB2 is None:
+        from ..format import context as ctx
+        lut = ctx.context_lut(2)
+        p1 = np.arange(256, dtype=np.int64)
+        _CTX_TAB2 = (lut[0][p1][:, None] |
+                     lut[1][p1][None, :]).astype(np.uint8).reshape(-1)
+    return _CTX_TAB2
+
+
+def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
+                 lit_table: bool = False):
     """Host-side cost tables from the seed parse (a few KB; avoids
-    CostModel's per-position arrays -- the device computes those)."""
+    CostModel's per-position arrays -- the device computes those).
+
+    lit_table: return the quantized (64, 256) context-model bits table
+    itself (plus the (256, 256) ctx lookup) instead of a per-position
+    cost array -- the v3 DP gathers per-position costs ON DEVICE, so
+    only ~80 KB rides the tunnel instead of n bytes. Deliberately
+    drops the UTF8-window blend: measured on the 16 MB mix it costs
+    both size (+601 B) and a host pass, the exact 2nd-order context
+    model alone prices literals better for the device parse."""
     from ..enc.optimal import QB as QBH, CMD_BASE_Q
     from ..format import context as ctx
     from ..format import prefix
@@ -794,17 +868,22 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
     m, lens, dists, flags = seed
 
     n = len(data)
-    covered = np.zeros(n + 1, np.int32)
-    np.add.at(covered, np.minimum(m, n), 1)
-    np.add.at(covered, np.minimum(m + lens, n), -1)
+    # int32/int16 throughout: the int64 index chain here touched
+    # ~400 MB of fresh pages and the first call per process paid
+    # ~0.7 s of page faults (cold 0.93 s vs warm 0.16 s measured) --
+    # this runs once per encode, so the cold cost IS the cost
+    covered = np.zeros(n + 1, np.int16)
+    np.add.at(covered, np.minimum(m, n), np.int16(1))
+    np.add.at(covered, np.minimum(m + lens, n), np.int16(-1))
     is_lit = np.cumsum(covered[:n], dtype=np.int32) == 0
     lut = ctx.context_lut(2)
-    lp = np.flatnonzero(is_lit)
-    p1l = data[np.maximum(lp - 1, 0)].astype(np.int64)
-    p2l = data[np.maximum(lp - 2, 0)].astype(np.int64)
-    cidl = (lut[0][p1l] | lut[1][p2l]).astype(np.int64)
-    hist = np.bincount(cidl * 256 + data[lp].astype(np.int64),
-                       minlength=64 * 256).reshape(64, 256) + 1
+    lp = np.flatnonzero(is_lit).astype(np.int32)
+    p1l = data[np.maximum(lp - 1, 0)].astype(np.int32)
+    p2l = data[np.maximum(lp - 2, 0)].astype(np.int32)
+    cidl = (lut[0][p1l] | lut[1][p2l]).astype(np.int32)
+    hist = np.bincount((cidl << 8) | data[lp],
+                       minlength=64 * 256)[:64 * 256].reshape(
+                           64, 256) + 1
     bits = -np.log2(hist / hist.sum(axis=1, keepdims=True))
 
     # copy-code + distance symbol costs (mirrors CostModel's tables)
@@ -862,7 +941,10 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
     # clustering losses the ideal entropy table does not see
     import os as _os
     _sur = float(_os.environ.get("BROTLI_TPU_LIT_SURCHARGE", "1.1"))
-    if not exact_lit:
+    if lit_table:
+        litbits_q = np.clip(np.round(bits * _sur * QBH / 2), 0,
+                            255).astype(np.uint8)  # (64, 256)
+    elif not exact_lit:
         # marginalize p2 exactly: ctx = lut0[p1] | lut1[p2], and lut1
         # takes only a handful of values -- weight each by
         # P(lut1[p2] | p1) over adjacent byte pairs (sampled: the mix
@@ -884,7 +966,7 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
         l0 = lut[0][np.arange(256)].astype(np.int64)
         for j, v in enumerate(vals):
             tab += wt[:, j:j + 1] * bits[l0 | v]
-    if exact_lit:
+    if exact_lit and not lit_table:
         # exact per-position literal cost (full 2nd-order context
         # model + the windowed UTF8 model, like the host DP) -- the v3
         # path ships it per segment instead of a marginalized table.
@@ -912,7 +994,7 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
                 litpos = (litpos + u) / 2
             litbits_q = np.clip(np.round(litpos * _sur * QBH / 2), 0,
                                 255).astype(np.uint8)
-    else:
+    elif not lit_table:
         litbits_q = np.minimum(tab * _sur * QBH, 24 * QBH).astype(
             np.int32)
 
@@ -923,6 +1005,8 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False):
              _cmdq).astype(np.int32)
     copyq[:2] = 1 << 28
     dist_sym_bits_q = (cm.dist_sym_bits * QBH).astype(np.int32)
+    if lit_table:
+        return litbits_q, copyq, dist_sym_bits_q, _ctx_tab2()
     return litbits_q, copyq, dist_sym_bits_q
 
 
@@ -939,9 +1023,12 @@ def _seed_parse(arr: np.ndarray, max_distance: int, base: int):
             try:
                 from .. import native
                 import os as _os3
-                # q7-grade seed measured best (q5 -1092B on the cycle
-                # corpus; q9 over-reaches for distance)
-                _sq = int(_os3.environ.get("BROTLI_TPU_SEED_Q", "7"))
+                # q9-grade seed: -366 B AND faster than q7 on the
+                # 16 MB mix (better continuation edges outweigh the
+                # slower host pass; re-measured after the device-lit
+                # tables landed). q10 routes the greedy walker through
+                # the DP hasher config and is pathological -- rejected.
+                _sq = int(_os3.environ.get("BROTLI_TPU_SEED_Q", "9"))
                 p, l, d = native.find_matches(
                     np.ascontiguousarray(arr).tobytes(), _sq, lgwin)
                 z = np.zeros(len(p), np.int64)
@@ -975,35 +1062,38 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     if iterations is None:
         # a second cost-refinement pass measured neutral-to-worse on
         # this corpus family BEFORE the dict-edge/atomic-slot work;
-        # BROTLI_TPU_DP_ITERS re-tests it (streaming requires 1)
+        # BROTLI_TPU_DP_ITERS re-tests it (v1 streaming requires 1;
+        # v3 emits spans after the final collect, so it iterates)
         iterations = int(_os_mod.environ.get("BROTLI_TPU_DP_ITERS",
                                              "1"))
-    if on_block is not None:
+    mode = _dp_mode()
+    if on_block is not None and mode != "v3":
         iterations = 1
     from ..utils import trace
     n = len(data)
     arr = np.asarray(data)
+    # the input ships as ONE lazy H2D (segments are on-device slices).
+    # Lazy is deliberate: this host has ONE core, so "overlapping" the
+    # push with the host prefix (an eager-poke dispatch, or a
+    # blocking-force thread) just steals the core from the seed/table
+    # passes -- measured 0.35 s -> 6.2 s cost-tables under a
+    # background push. Left lazy, the client pushes the bytes inside
+    # the first blocking collect, exactly when the host is idle; the
+    # backend then executes eagerly (probed: a fetch issued after a
+    # 1.5 s host sleep takes 0.11 s vs 0.56 s issued immediately).
+    dev_big = upload_input(arr, n) if mode == "v3" else None
     # seed: greedy/lazy parse, no dictionary probing (the post-pass
     # below probes the final parse's gaps once). The native C matcher
     # runs it on host -- the chip stays free for the DP kernels and the
     # seed overlaps their dispatch; device sort-carry is the fallback.
     with trace.stage("dp.seed"):
         seed = _seed_parse(arr, max_distance, base)
-    mode = _dp_mode()
     m = lens = dists = flags = None
     dict_future = None
-    if mode == "v3":
-        # the static-dict probe and the cost tables are independent
-        # GIL-releasing native passes: overlap them
-        import concurrent.futures
-        _pool = concurrent.futures.ThreadPoolExecutor(1)
-        dict_future = _pool.submit(_dict_probe_global, arr, [seed],
-                                   base, max_distance)
-        _pool.shutdown(wait=False)
     for it in range(iterations):
         prev = seed if it == 0 else (m, lens, dists, flags)
         with trace.stage("dp.cost-tables"):
-            tables = _cost_tables(arr, prev, exact_lit=(mode == "v3"))
+            tables = _cost_tables(arr, prev, lit_table=(mode == "v3"))
         # later iterations seed with the union of the greedy parse and
         # the previous DP parse
         seeds_list = [seed] if it == 0 else [seed, prev]
@@ -1011,7 +1101,14 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
             with trace.stage("dp.device"):
                 handles, dict_table = _dispatch_v3(
                     arr, n, max_distance, tables, seeds_list, base,
-                    dict_future=dict_future if it == 0 else None)
+                    dict_future=dict_future if it == 0 else None,
+                    dev_big=dev_big)
+                if on_block is not None and it == iterations - 1:
+                    # final iteration streams: emit the first half's
+                    # spans while the backend computes the rest
+                    _stream_v3(arr, handles, dict_table, n, mb_size,
+                               max_distance, base, on_block)
+                    return None
                 all_m, all_l, all_d, all_f = _collect_v3(
                     handles, dict_table, max_distance, base)
         else:
@@ -1110,7 +1207,7 @@ def find_matches_optimal_sharded(arr, bounds, max_distance,
         with trace.stage("dp.seed"):
             seed = _seed_parse(buf, max_distance, base)
         with trace.stage("dp.cost-tables"):
-            tables = _cost_tables(buf, seed, exact_lit=True)
+            tables = _cost_tables(buf, seed, lit_table=True)
         dict_g = _dict_probe_global(buf, [seed], base, max_distance)
         return dict(lo=lo, hi=hi, h=h, buf=buf, base=base, seed=seed,
                     tables=tables, dict_g=dict_g)
@@ -1124,49 +1221,53 @@ def find_matches_optimal_sharded(arr, bounds, max_distance,
     rounds = max((len(s["buf"]) + SEG_V3 - 1) // SEG_V3 for s in shards)
     mesh = Mesh(np.array(devs[:n_shards]), axis_names=("data",))
 
-    def step(padded, npos, lit, cq, dq, spos, slen, sdist, dloc, dval,
-             segb):
+    def step(padded, npos, btab, ctab, cq, dq, spos, slen, sdist,
+             dloc, dval, segb):
         packed, full = _dp_v3_impl(
-            padded[0], npos[0], jnp.int32(max_distance), lit[0], cq[0],
-            dq[0], spos[0], slen[0], sdist[0], dloc[0], dval[0],
-            segb[0], capm=capm, interpret=interp)
+            padded[0], npos[0], jnp.int32(max_distance), btab[0],
+            ctab[0], cq[0], dq[0], spos[0], slen[0], sdist[0],
+            dloc[0], dval[0], segb[0], capm=capm, interpret=interp)
         return packed[None], full[None]
 
     jstep = jax.jit(shard_map(
-        step, mesh=mesh, in_specs=(P("data"),) * 11,
+        step, mesh=mesh, in_specs=(P("data"),) * 12,
         out_specs=(P("data"), P("data")), check_vma=False))
 
     handles = [[] for _ in range(n_shards)]
+    keys = ("padded", "npos", "btab", "ctab", "cq", "dq", "spos",
+            "slen", "sdist", "dloc", "dval", "segb")
     for k in range(rounds):
-        batch = {key: [] for key in ("padded", "npos", "lit", "cq",
-                                     "dq", "spos", "slen", "sdist",
-                                     "dloc", "dval", "segb")}
+        batch = {key: [] for key in keys}
         seg_los = []
         for s in shards:
             nbuf = len(s["buf"])
             lo_k = k * SEG_V3
             hi_k = min(lo_k + SEG_V3, nbuf)
             seg_los.append(lo_k if lo_k < nbuf else -1)
-            litpos, copyq, distq = s["tables"]
+            bits_tab, copyq, distq, ctx_tab = s["tables"]
             cq_row = np.zeros((1, 128), np.int32)
             cq_row[0, :W] = copyq[:W]
             if lo_k >= nbuf:  # shard exhausted: dummy segment
                 padded = np.zeros(b, np.uint8)
                 npos = 0
-                lit = np.zeros(b, np.uint8)
-                spos = np.zeros(b // 32, np.int32)
+                spos = np.zeros(b // 128, np.int32)
                 slen, sdist = spos, spos
                 dloc = np.zeros(b // 64, np.int32)
                 dval = dloc
             else:
                 dpos_g, dpay_g, _ = s["dict_g"]
                 with trace.stage("dp.seg-prep"):
-                    (padded, npos, lit, spos, slen, sdist, dloc,
+                    padded = np.zeros(b, np.uint8)
+                    padded[:hi_k - lo_k] = s["buf"][lo_k:hi_k]
+                    (npos, spos, slen, sdist, dloc,
                      dval) = _prep_segment_v3(
-                        s["buf"], litpos, [s["seed"]], dpos_g, dpay_g,
+                        s["buf"], [s["seed"]], dpos_g, dpay_g,
                         lo_k, hi_k, b)
             for key, v in (("padded", padded), ("npos", np.int32(npos)),
-                           ("lit", lit), ("cq", cq_row),
+                           ("btab",
+                            bits_tab.astype(np.int32).reshape(-1)),
+                           ("ctab", ctx_tab.astype(np.int32)),
+                           ("cq", cq_row),
                            ("dq", np.asarray(distq)), ("spos", spos),
                            ("slen", slen), ("sdist", sdist),
                            ("dloc", dloc), ("dval", dval),
@@ -1174,10 +1275,7 @@ def find_matches_optimal_sharded(arr, bounds, max_distance,
                 batch[key].append(v)
         with trace.stage("dp.mesh-dispatch"):
             packed, full = jstep(*(jnp.asarray(np.stack(batch[key]))
-                                   for key in ("padded", "npos", "lit",
-                                               "cq", "dq", "spos",
-                                               "slen", "sdist", "dloc",
-                                               "dval", "segb")))
+                                   for key in keys))
         with trace.stage("dp.fetch"):
             packed_np = np.asarray(packed)
         for si in range(n_shards):
@@ -1267,17 +1365,49 @@ def _stream_blocks(arr, handles, n, mb_size, max_distance, base,
             emitted = mb_hi
 
 
+def _stream_v3(arr, handles, dict_table, n, mb_size, max_distance,
+               base, on_block):
+    """Chunked v3 streaming collect: fetch the first half of the
+    segments and emit their spans (native serialization on the host)
+    while the backend still computes the second half -- the only real
+    overlap available on a 1-core host: serialize is GIL-releasing C
+    and the producer's next fetch blocks on DEVICE compute. Segment
+    boundaries are hard parse boundaries and mb_size divides SEG_V3,
+    so each group covers whole metablocks."""
+    from ..enc.optimal import _coalesce, bridge_matches
+
+    half = (len(handles) + 1) // 2
+    z = np.zeros(0, np.int64)
+    for group in (handles[:half], handles[half:]):
+        if not group:
+            continue
+        glo = group[0][0]
+        ghi = min(group[-1][0] + SEG_V3, n)
+        am, al, ad, af = _collect_v3(group, dict_table, max_distance,
+                                     base)
+        if am:
+            gm, gl, gd, gf = (np.concatenate(am), np.concatenate(al),
+                              np.concatenate(ad), np.concatenate(af))
+            gm, gl, gd, gf = bridge_matches(arr, *_coalesce(gm, gl, gd,
+                                                            gf))
+        else:
+            gm = gl = gd = gf = z
+        _emit_spans(arr, gm, gl, gd, gf, n, mb_size, max_distance,
+                    base, on_block, lo=glo, hi=ghi)
+
+
 def _emit_spans(arr, m, lens, dists, flags, n, mb_size, max_distance,
-                base, on_block):
-    """Emit the finished parse as metablock spans (v3 streaming tail:
-    the batched collect already has the whole parse; the consumer
-    thread still overlaps dictionary post-pass + serialization)."""
+                base, on_block, lo=0, hi=None):
+    """Emit the finished parse as metablock spans (v3 streaming tail;
+    [lo, hi) restricts to one collected group's span range)."""
     from ..enc.matcher import add_dictionary_matches, split_matches_at
 
     from ..utils import trace
     pm, pl, pd, pf = m, lens, dists, flags
-    emitted = 0
-    while emitted < n:
+    emitted = lo
+    if hi is None:
+        hi = n
+    while emitted < hi:
         mb_hi = min(emitted + mb_size, n)
         with trace.stage("dp.span-split"):
             pm, pl, pd, pf = split_matches_at(

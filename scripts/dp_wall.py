@@ -26,7 +26,7 @@ def main(corpus="/tmp/bench_corpus16"):
     n = len(arr)
     maxd = (1 << 22) - 16
     seed = oj._seed_parse(arr, maxd, 0)
-    tables = oj._cost_tables(arr, seed, exact_lit=True)
+    tables = oj._cost_tables(arr, seed, lit_table=True)
 
     # warm
     handles, dt_ = oj._dispatch_v3(arr, n, maxd, tables, [seed])

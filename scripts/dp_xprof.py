@@ -32,7 +32,7 @@ def run_segment(corpus):
     n = len(arr)
     maxd = (1 << 22) - 16
     seed = oj._seed_parse(arr, maxd, 0)
-    tables = oj._cost_tables(arr, seed, exact_lit=True)
+    tables = oj._cost_tables(arr, seed, lit_table=True)
     # production dispatch path (adds the dict slot row -> 35 slots)
     handles, dict_table = oj._dispatch_v3(arr, n, maxd, tables, [seed])
     oj._collect_v3(handles, dict_table, maxd)  # warm + force
