@@ -235,12 +235,15 @@ class Decompressor:
 
     ``output_buffer_limit`` caps the bytes returned by a single
     ``process`` call (parity: python/_brotli.c Decompressor, 1.2.0
-    SECURITY change). On the native path this is TRUE back-pressure:
-    decoding SUSPENDS at the limit (mid-metablock, even mid-copy), so
-    a small fed chunk that expands enormously is never materialized --
-    retained memory stays O(limit + window). While undelivered output
-    is pending, ``can_accept_more_data()`` is False and ``process(b"")``
-    drains the next slice.
+    SECURITY change). Both backends apply TRUE back-pressure:
+    the native decoder SUSPENDS at the limit (mid-metablock, even
+    mid-copy); the pure-python core (custom-words dictionaries) parks
+    its decoder thread at the limit (dec/stream.py), at one emitted
+    chunk (<= 64 KB) granularity. Either way a small fed chunk that
+    expands enormously is never materialized -- retained memory stays
+    O(limit + window). While undelivered output is pending,
+    ``can_accept_more_data()`` is False and ``process(b"")`` drains
+    the next slice.
     """
 
     def __init__(self, dictionary=None):
@@ -294,9 +297,12 @@ class Decompressor:
                 return self._inc.feed(bytes(string))
             except ValueError as e:
                 raise error(str(e)) from e
-        # pure-python fallback core: decode then chunk the delivery
-        # (the spec-driven decoder is not resumable at an output byte
-        # count; the native path above is the production behavior)
+        # pure-python fallback core (custom-words dictionaries):
+        # same true back-pressure as the native path -- the decoder
+        # THREAD parks once undrained output reaches the limit
+        # (dec/stream.py _WindowBuffer._gate), so a decompression
+        # bomb never materializes past O(limit + window)
+        self._inc.set_output_limit(output_buffer_limit)
         try:
             self._pending += self._inc.feed(bytes(string))
         except (FormatError, ValueError) as e:

@@ -286,6 +286,7 @@ class Decoder:
         self._dz_ends = []      # cumulative output pos after command k
         self._dz_lstarts = []   # literal-stream offset of command k
         self._dz_nlit_total = 0
+        self._dz_cache = {}     # resolved byte per chased position
         self._dz_p12 = (0, 0)   # (p1, p2) context bytes across blocks
 
     def _ft(self, bit0, bit1, label, value):
@@ -649,16 +650,31 @@ class Decoder:
         D = self.defer_lz
         ends, nlit, dist = self._dz_ends, D["nlit"], D["dist"]
         lits, lstarts = D["lits"], self._dz_lstarts
+        cache = self._dz_cache  # the graph is append-only, so
+        path = []               # resolved bytes stay valid forever
         while True:
+            val = cache.get(i)
+            if val is not None:
+                break
             k = bisect_right(ends, i)
             base = ends[k - 1] if k else 0
             off = i - base
             nl = nlit[k]
             if off < nl:
-                return lits[lstarts[k] + off]
+                val = lits[lstarts[k] + off]
+                break
+            # every position on the chase resolves to the SAME byte:
+            # memoize the whole path so adversarial tail-chains (each
+            # copy tail sourcing the previous copy's tail) stay O(1)
+            # amortized instead of O(commands crossed) per peek
+            path.append(i)
             j = off - nl
             d = dist[k]
             i = base + nl + (j % d) - d
+        cache[i] = val
+        for p in path:
+            cache[p] = val
+        return val
 
     def _metablock_deferred(self, br, mlen, max_backward, dist_rb,
                             rb_idx, blocks, lit_cmap, lit_trees,

@@ -115,15 +115,28 @@ class _BlockingBitReader:
 class _WindowBuffer:
     """bytearray lookalike with absolute indexing and window trimming:
     supports len / bool / negative index / absolute slice / append /
-    += -- everything the decode loop touches."""
+    += -- everything the decode loop touches.
 
-    __slots__ = ("_buf", "_base", "window", "drained")
+    Output back-pressure (the reference python binding's
+    ``output_buffer_limit``, python/_brotli.c:712-860): when `limit`
+    is set, the DECODER THREAD parks inside append/+= once undrained
+    output reaches the limit, and resumes when the consumer drains
+    (take_new) or the limit lifts. Granularity is one emitted chunk
+    (<= 64 KB slices for big copies), so retained memory stays
+    O(limit + window + chunk) even on a decompression bomb."""
 
-    def __init__(self, window: int):
+    __slots__ = ("_buf", "_base", "window", "drained", "cond", "limit",
+                 "out_waiting", "closing")
+
+    def __init__(self, window: int, cond=None):
         self._buf = bytearray()
         self._base = 0
         self.window = window
         self.drained = 0  # bytes handed to the consumer
+        self.cond = cond or threading.Condition()
+        self.limit = None        # undrained-output budget (None = off)
+        self.out_waiting = False  # decoder parked on a full budget
+        self.closing = False     # finish/close: never park again
 
     def __len__(self):
         return self._base + len(self._buf)
@@ -140,17 +153,49 @@ class _WindowBuffer:
             return self._buf[i]
         return self._buf[i - self._base]
 
+    def _gate(self, extra: int) -> None:
+        """Decoder-thread side: park until `extra` more bytes fit the
+        undrained budget."""
+        lim = self.limit
+        if lim is None or self.closing:
+            return
+        if self._base + len(self._buf) + extra - self.drained <= lim:
+            return
+        with self.cond:
+            while (not self.closing and self.limit is not None and
+                   self._base + len(self._buf) + extra - self.drained
+                   > self.limit):
+                self.out_waiting = True
+                self.cond.notify_all()
+                self.cond.wait()
+            self.out_waiting = False
+
     def append(self, b):
+        self._gate(1)
         self._buf.append(b)
 
     def __iadd__(self, other):
-        self._buf += other
+        n = len(other)
+        if self.limit is not None and n > (1 << 16):
+            mv = memoryview(bytes(other))
+            for off in range(0, n, 1 << 16):
+                ch = mv[off:off + (1 << 16)]
+                self._gate(len(ch))
+                self._buf += ch
+        else:
+            self._gate(n)
+            self._buf += other
         return self
 
-    def take_new(self) -> bytes:
-        out = bytes(self._buf[self.drained - self._base:])
-        self.drained = len(self)
+    def take_new(self, cap=None) -> bytes:
+        """Consumer side: runs only while the decoder thread is parked
+        (feed/finish wait for a park first)."""
+        avail = self._buf[self.drained - self._base:]
+        out = bytes(avail[:cap]) if cap is not None else bytes(avail)
+        self.drained += len(out)
         self._trim()
+        with self.cond:
+            self.cond.notify_all()  # budget freed: wake the decoder
         return out
 
     def _trim(self):
@@ -172,10 +217,27 @@ class StreamDecoder:
                             dictionary=dictionary, shared=shared)
         self._br = _BlockingBitReader()
         self._out = None
+        self._output_limit = None
         self._error = None
         self.finished = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
+
+    def set_output_limit(self, limit) -> None:
+        """Undrained-output budget (true back-pressure; see
+        _WindowBuffer). None or 0 disables."""
+        self._output_limit = limit or None
+        if self._out is not None:
+            with self._out.cond:
+                self._out.limit = self._output_limit
+                self._out.cond.notify_all()
+
+    @property
+    def pending_output(self) -> bool:
+        """Undelivered decoded bytes exist (drain with feed(b""))."""
+        out = self._out
+        return out is not None and (len(out) > out.drained or
+                                    out.out_waiting)
 
     @property
     def metadata_callback(self):
@@ -189,7 +251,9 @@ class StreamDecoder:
         br = self._br
         try:
             state = self._dec._read_stream_header(br)
-            self._out = _WindowBuffer(state["max_backward"] + 16)
+            self._out = _WindowBuffer(state["max_backward"] + 16,
+                                      cond=br._cond)
+            self._out.limit = self._output_limit
             done = False
             while not done:
                 done = self._dec._one_metablock(br, self._out, state)
@@ -207,12 +271,14 @@ class StreamDecoder:
 
     def _wait_parked(self, seq):
         """Block until the decoder parked AFTER examining push `seq`
-        (a stale park from before the push does not count) or it
-        terminated."""
+        (a stale park from before the push does not count), parked on
+        a full output budget, or terminated."""
         with self._br._cond:
             while not (self.finished or
                        (self._br.waiting and
-                        self._br.seen_seq >= seq)):
+                        self._br.seen_seq >= seq) or
+                       (self._out is not None and
+                        self._out.out_waiting)):
                 self._br._cond.wait()
 
     def feed(self, chunk: bytes) -> bytes:
@@ -233,10 +299,22 @@ class StreamDecoder:
             raise self._error
         return self._out.take_new() if self._out is not None else b""
 
+    def _release_gate(self) -> None:
+        """Lift the output budget so the worker can run to completion
+        (finish/close deliver everything; the budget protects only the
+        incremental process() path)."""
+        self._output_limit = None  # a not-yet-created buffer: no gate
+        out = self._out
+        if out is not None:
+            with out.cond:
+                out.closing = True
+                out.cond.notify_all()
+
     def finish(self) -> bytes:
         if not self._started:
             self._started = True
             self._thread.start()
+        self._release_gate()
         self._br.push(b"", closed=True)
         self._thread.join()
         self.finished = True
@@ -248,6 +326,7 @@ class StreamDecoder:
         """Release the worker thread without validating termination
         (abandoned streams; idempotent)."""
         if self._started and not self.finished:
+            self._release_gate()
             self._br.push(b"", closed=True)
             self._thread.join()
             self.finished = True

@@ -1311,7 +1311,29 @@ typedef struct {
   int use_dict;  /* static dictionary probing on */
   int min_len;
   int h4;        /* hash 4-byte prefixes (q10/11 DP: sees len-4 matches) */
+  int h8;        /* hash 8-byte prefixes (hash8 role note) */
+  /* long-range table (role: the reference's rolling-hash composite
+     hashers H35/H55/H65, hash_rolling_inc.h + quality.h:206-222):
+     a second sparse table keyed on 16-byte prefixes.
+     Window-scale repeats (multi-MB distances) flood the
+     primary rings' few slots with near occurrences; a 16-byte key is
+     near-unique in text, so a handful of slots per bucket survive a
+     whole 4 MB window and one probe hit anywhere inside a long repeat
+     recovers the rest via the distance cache. lr_bits == 0 disables. */
+  uint32_t* lr_tab;    /* [1<<lr_bits][8]: {count, pos+1 x4, pad x3} --
+                          one 32-byte record per bucket so probe and
+                          insert each touch ONE cache line */
+  int lr_bits;
+  struct BTreeS* bt;   /* non-NULL: binary-tree candidate source for
+                          the optimal-parse DP (H10 role; see bt_walk) */
 } MatchCfg;
+
+#define LR_RING_BITS 2   /* 4-entry rings */
+#define LR_REC_SHIFT 3   /* 8 uint32 per bucket record */
+static int g_lr_min = 16; /* accept threshold for long-range matches
+                             (the 16-byte key means accepted lengths
+                             are >= 16 in practice anyway) */
+#define LR_MIN_LEN g_lr_min
 
 static inline uint64_t load64(const uint8_t* p) {
   uint64_t v;
@@ -1327,6 +1349,20 @@ static inline uint32_t hash5(const uint8_t* p, int hbits) {
 static inline uint32_t hash4n(const uint8_t* p, int hbits) {
   return (uint32_t)(((load64(p) & 0xFFFFFFFFull) *
                      0x1FE35A7BD3579BD3ull) >> (64 - hbits));
+}
+
+static inline uint32_t hash8(const uint8_t* p, int hbits) {
+  /* 8-byte key (role: the reference's H6 hash_longest_match64, chosen
+     by ChooseHasher for q5-9 with a >=1MB size hint, quality.h:183-191):
+     common text 4/5-grams flood small rings within KBs, so long keys
+     are what lets a small-ring hasher see window-scale distances */
+  return (uint32_t)((load64(p) * 0x1FE35A7BD3579BD3ull) >> (64 - hbits));
+}
+
+static inline uint32_t hash16(const uint8_t* p, int hbits) {
+  uint64_t x = load64(p) * 0x9E3779B185EBCA87ull;
+  x ^= load64(p + 8) * 0xC2B2AE3D27D4EB4Full;
+  return (uint32_t)((x * 0x165667B19E3779F9ull) >> (64 - hbits));
 }
 
 typedef struct {
@@ -1349,6 +1385,18 @@ static inline int match_score(size_t len, size_t dist, int cache_slot) {
 }
 
 #define MAX_COPY_LEN ((size_t)1 << 22) /* keeps copy codes + mlen in range */
+
+/* long-range probe gate: probe only when the local match is shorter
+   than this (the probe exists to rescue UNDER-matched positions; a
+   confident local match already wins on score and the probe's two
+   cold cache lines are the single biggest find_match cost) */
+static int g_lr_gate = 32;
+static void lr_gate_init(void) {
+  const char* v = getenv("BTPU_LR_GATE");
+  if (v) g_lr_gate = atoi(v);
+  v = getenv("BTPU_LR_MIN");
+  if (v) g_lr_min = atoi(v);
+}
 
 static void find_match(const uint8_t* data, size_t pos, size_t n,
                        size_t maxback, const uint32_t* ring,
@@ -1381,8 +1429,12 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
     }
   }
   /* bucket-ring walk, newest to oldest (positions in a bucket only
-     grow, so distances only grow -- the window check is a break) */
-  uint32_t h = cfg->h4 ? hash4n(p, cfg->hbits) : hash5(p, cfg->hbits);
+     grow, so distances only grow -- the window check is a break).
+     (A two-pass prefetch-then-evaluate variant measured SLOWER on
+     this host -- 114 -> 77 MB/s q5/16MB -- so the walk stays serial.) */
+  uint32_t h = cfg->h4 ? hash4n(p, cfg->hbits)
+               : cfg->h8 ? hash8(p, cfg->hbits)
+                         : hash5(p, cfg->hbits);
   uint32_t cnt = cfg->num[h];
   uint32_t bmask = (1u << cfg->block_bits) - 1;
   const uint32_t* bk = cfg->bucket + ((size_t)h << cfg->block_bits);
@@ -1408,6 +1460,40 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
       }
     }
   }
+  /* long-range probe: 16-byte-keyed ring, newest to oldest (see
+     MatchCfg.lr_tab). Only improvements past LR_MIN_LEN count -- a
+     short match at multi-MB distance prices worse than literals --
+     and a local match >= 32 already wins on score, so the probe is
+     skipped there (it exists to rescue UNDER-matched positions). */
+  if (cfg->lr_bits && rem >= LR_MIN_LEN && (int)out->len < g_lr_gate) {
+    uint32_t lh = hash16(p, cfg->lr_bits);
+    const uint32_t* lbk = cfg->lr_tab + ((size_t)lh << LR_REC_SHIFT);
+    uint32_t lcnt = lbk[0];
+    uint32_t lit = lcnt < (1u << LR_RING_BITS) ? lcnt
+                                               : (1u << LR_RING_BITS);
+    size_t lbest = out->len > LR_MIN_LEN - 1 ? out->len
+                                             : LR_MIN_LEN - 1;
+    for (uint32_t i = 1; i <= lit; i++) {
+      size_t cand = (size_t)lbk[1 + ((lcnt - i) &
+                                     ((1u << LR_RING_BITS) - 1))] - 1;
+      size_t d = pos - cand;
+      if (d > maxd) break;
+      const uint8_t* q = data + cand;
+      if (lbest >= limit) break;
+      if (q[lbest] == p[lbest] && q[0] == p[0]) {
+        size_t l = common_len(p, q, limit);
+        if (l > lbest) {
+          int sc = match_score(l, d, -1);
+          if (sc > out->score) {
+            out->score = sc;
+            out->len = l;
+            out->dist = d;
+            lbest = l;
+          }
+        }
+      }
+    }
+  }
   if (out->len < (size_t)cfg->min_len) {
     out->len = 0;
     out->dist = 0;
@@ -1415,15 +1501,146 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
   }
 }
 
-static inline void insert_hash(const uint8_t* data, size_t pos,
-                               const MatchCfg* cfg) {
+/* lr = 0 skips the long-range insert: inside a committed match's
+   interior the 16-gram at pos equals the one at pos-dist, which is
+   already in the table -- re-inserting only evicts other entries.
+   Front-line positions insert at EVERY position (a strided gate
+   couples badly with the miss-run stride: both walk the same residue
+   class, so whole inputs could end up with zero long-range entries). */
+static inline void lr_insert(const uint8_t* data, size_t pos,
+                             const MatchCfg* cfg) {
+  uint32_t lh = hash16(data + pos, cfg->lr_bits);
+  uint32_t* lbk = cfg->lr_tab + ((size_t)lh << LR_REC_SHIFT);
+  uint32_t lcnt = lbk[0];
+  lbk[1 + (lcnt & ((1u << LR_RING_BITS) - 1))] = (uint32_t)(pos + 1);
+  lbk[0] = lcnt + 1;
+}
+
+static inline void insert_hash_ex(const uint8_t* data, size_t pos,
+                                  const MatchCfg* cfg, int lr) {
   uint32_t h = cfg->h4 ? hash4n(data + pos, cfg->hbits)
-                       : hash5(data + pos, cfg->hbits);
+               : cfg->h8 ? hash8(data + pos, cfg->hbits)
+                         : hash5(data + pos, cfg->hbits);
   uint32_t cnt = cfg->num[h];
   cfg->bucket[((size_t)h << cfg->block_bits) +
               (cnt & ((1u << cfg->block_bits) - 1))] =
       (uint32_t)(pos + 1);
   cfg->num[h] = cnt + 1;
+  if (lr && cfg->lr_bits) lr_insert(data, pos, cfg);
+}
+
+static inline void insert_hash(const uint8_t* data, size_t pos,
+                               const MatchCfg* cfg) {
+  insert_hash_ex(data, pos, cfg, 1);
+}
+
+/* ---------- binary-tree matcher (q10/11 DP candidate source) ----------
+ *
+ * Role parity: the reference's H10 hash-to-binary-tree
+ * (c/enc/hash_to_binary_tree_inc.h), the hasher ChooseHasher assigns
+ * to the zopfli tiers (quality.h:174-175). Design is the classic BT4
+ * structure, written from scratch: per 4-byte hash a tree of previous
+ * positions ordered by suffix; inserting a position re-roots its
+ * bucket and splits the old tree into < / > subtrees while collecting
+ * the increasing-length candidate set. A depth-64 descent replaces
+ * the 2048-entry ring walk (the q11 profile's top cost) with ~64
+ * string compares that START at the accumulated common-prefix bound,
+ * so total compare work stays near-linear. */
+
+#define BT_HBITS 17
+#define BT_DEPTH 64
+/* tree-compare cap: identical strings longer than this collapse into
+   one node (the new position adopts the old node's children), which
+   keeps the tree healthy on repetitive data -- an uncapped compare
+   walked megabyte common prefixes per insert on the 16MB repeat
+   corpus (0.06 MB/s). The true length of the longest candidate is
+   recovered OUTSIDE the tree by one extension (see opt_parse_block).
+   The reference caps H10 compares the same way (max_comp_len,
+   hash_to_binary_tree_inc.h). */
+#ifndef BT_MAX_CMP
+#define BT_MAX_CMP 128
+#endif
+
+typedef struct BTreeS {
+  uint32_t* head; /* [1<<BT_HBITS] root pos+1 per hash */
+  uint32_t* lr;   /* [2 * wsize]: {left, right} child pos+1 per slot */
+  size_t wmask;   /* wsize - 1, wsize = pow2 >= min(n, window) */
+} BTree;
+
+static int bt_alloc(BTree* bt, size_t n, size_t window) {
+  size_t w = n < window ? n : window;
+  size_t ws = 1;
+  while (ws < w) ws <<= 1;
+  if (ws < 256) ws = 256;
+  bt->wmask = ws - 1;
+  bt->head = (uint32_t*)calloc((size_t)1 << BT_HBITS, sizeof(uint32_t));
+  bt->lr = (uint32_t*)calloc(2 * ws, sizeof(uint32_t));
+  return (bt->head && bt->lr) ? 0 : EERR_ALLOC;
+}
+
+static void bt_free(BTree* bt) {
+  if (!bt) return;
+  free(bt->head);
+  free(bt->lr);
+  bt->head = NULL;
+  bt->lr = NULL;
+}
+
+/* Insert data[pos..] into the tree and collect candidates with
+   strictly increasing match length (>= min_len) into out_cand/out_len
+   (capacity BT_DEPTH; pass NULL to insert without collecting).
+   `limit` caps compared length. Returns the candidate count. */
+static inline size_t bt_walk(BTree* bt, const uint8_t* data, size_t pos,
+                             size_t maxd, size_t limit, int depth,
+                             size_t min_len, uint32_t* out_cand,
+                             uint32_t* out_len) {
+  uint32_t h = hash4n(data + pos, BT_HBITS);
+  size_t cur = (size_t)bt->head[h];
+  bt->head[h] = (uint32_t)(pos + 1);
+  uint32_t* pl = &bt->lr[2 * (pos & bt->wmask)];
+  uint32_t* pr = pl + 1;
+  size_t llen = 0, rlen = 0, nout = 0;
+  size_t best = min_len - 1;
+  for (;;) {
+    if (!cur || depth-- <= 0) {
+      *pl = 0;
+      *pr = 0;
+      break;
+    }
+    size_t cpos = cur - 1;
+    if (pos - cpos > maxd) { /* expired (or stale slot reuse) */
+      *pl = 0;
+      *pr = 0;
+      break;
+    }
+    uint32_t* clr = &bt->lr[2 * (cpos & bt->wmask)];
+    size_t l = llen < rlen ? llen : rlen;
+    l += common_len(data + pos + l, data + cpos + l, limit - l);
+    if (out_cand && l > best) {
+      out_cand[nout] = (uint32_t)cpos;
+      out_len[nout] = (uint32_t)l;
+      nout++;
+      best = l;
+    }
+    if (l >= limit) {
+      /* full-length duplicate: the new node replaces it entirely */
+      *pl = clr[0];
+      *pr = clr[1];
+      break;
+    }
+    if (data[cpos + l] < data[pos + l]) {
+      *pl = (uint32_t)cur;
+      pl = &clr[1];
+      cur = clr[1];
+      llen = l;
+    } else {
+      *pr = (uint32_t)cur;
+      pr = &clr[0];
+      cur = clr[0];
+      rlen = l;
+    }
+  }
+  return nout;
 }
 
 /* ---------- command planning + emission ---------- */
@@ -2906,22 +3123,82 @@ static void put_stream_header(BW* bw, int wbits) {
   }
 }
 
+static void opt_cover_init(void);
+
 /* quality -> matcher parameters */
 static void cfg_for_quality(MatchCfg* cfg, int q) {
   /* hash width swept on the 16MB corpus: the 15-bit tables keep the
      whole bucket array cache-resident (q5: 207 vs 144 MB/s for +0.5%
-     size; q9: 105 vs 93); q6-7's deeper walk prefers 16 bits */
+     size; q6-7's deeper walk prefers 16 bits */
   cfg->hbits = q <= 1 ? 15 : q <= 4 ? 16 : q <= 5 ? 15 : q <= 7 ? 16
                                                             : 15;
-  /* q5 depth 8: +40% throughput for ~1% size on the 16MB corpus
-     (still 8-9% smaller than reference q5 output) */
-  cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 8 : q <= 7 ? 32 : 48;
-  cfg->block_bits = q <= 1 ? 0 : q <= 3 ? 2 : q <= 5 ? 3 : q <= 7 ? 5
+  /* round-5 re-sweep vs the reference file-mode bar (ref picks
+     block_bits = q-1, quality.h:188): q5 16-deep / q9 48-deep rings
+     put the 16MB corpus BELOW ref file-mode size at each tier
+     (570,592 vs 575,664 q5; 563,642 vs 564,293 q9) */
+  cfg->depth = q <= 1 ? 1 : q <= 3 ? 4 : q <= 5 ? 16 : q <= 7 ? 32 : 48;
+  cfg->block_bits = q <= 1 ? 0 : q <= 3 ? 2 : q <= 5 ? 4 : q <= 7 ? 5
                                                               : 6;
   cfg->lazy = q >= 2;
   cfg->use_dict = q >= 5;
   cfg->min_len = 4;
   cfg->h4 = 0;
+  cfg->bt = NULL;
+  /* 8-byte keys for the mid tiers on big inputs (the reference's
+     file-mode H6 choice, quality.h:183-191); swept OFF: losing dense
+     4-7 byte matches cost far more than the reach bought (16MB q5
+     578 -> 643 KB) -- the long-range table supplies the reach instead */
+  cfg->h8 = 0;
+  /* long-range table (multi-MB repeat discovery): q2+; the q0/q1
+     fast tiers have their own window-wide discovery. 15 bits keeps
+     the table LLC-resident: swept 14/15/16/18 on the 16MB corpus,
+     sizes within 0.06% but 127 vs 91 MB/s at q5 */
+  cfg->lr_bits = q >= 2 ? 15 : 0;
+  {
+    const char* v = getenv("BTPU_LR");
+    if (v && atoi(v) == 0) cfg->lr_bits = 0;
+    v = getenv("BTPU_LR_BITS");
+    if (v && cfg->lr_bits) cfg->lr_bits = atoi(v);
+    v = getenv("BTPU_BB");
+    if (v) cfg->block_bits = atoi(v);
+    v = getenv("BTPU_DEPTH");
+    if (v) cfg->depth = atoi(v);
+    v = getenv("BTPU_H8");
+    if (v) cfg->h8 = atoi(v);
+    lr_gate_init();
+    opt_cover_init();
+  }
+  cfg->lr_tab = NULL;
+}
+
+/* Allocate the hash tables a config calls for; input_hint (0 = not
+   known, e.g. streaming) drops the long-range table for inputs too
+   small for it to ever fire. */
+static int cfg_alloc_tables(MatchCfg* cfg, size_t input_hint) {
+  size_t hsize = (size_t)1 << cfg->hbits;
+  cfg->bucket = (uint32_t*)calloc(hsize << cfg->block_bits,
+                                  sizeof(uint32_t));
+  cfg->num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  if (!cfg->bucket || !cfg->num) return EERR_ALLOC;
+  if (cfg->lr_bits && input_hint && input_hint < ((size_t)1 << 19))
+    cfg->lr_bits = 0;
+  if (cfg->h8 && (!input_hint || input_hint < ((size_t)1 << 20)))
+    cfg->h8 = 0;
+  if (cfg->lr_bits) {
+    size_t bytes = ((size_t)1 << (cfg->lr_bits + LR_REC_SHIFT)) *
+                   sizeof(uint32_t);
+    cfg->lr_tab = (uint32_t*)aligned_alloc(64, bytes);
+    if (!cfg->lr_tab) return EERR_ALLOC;
+    memset(cfg->lr_tab, 0, bytes);
+  }
+  return 0;
+}
+
+static void cfg_free_tables(MatchCfg* cfg) {
+  free(cfg->bucket);
+  free(cfg->num);
+  free(cfg->lr_tab);
+  cfg->bucket = cfg->num = cfg->lr_tab = NULL;
 }
 
 /* incompressibility estimate: sampled literal entropy */
@@ -2979,6 +3256,44 @@ static double opt_dist_scale(void) {
 /* matches at least this long are committed greedily and their
    interior skipped (BROTLI_LONG_COPY_QUICK_STEP, quality.h:14) */
 #define OPT_LONG_SKIP 16384
+
+/* Position insertion for the optimal-parse DP: binary tree when
+   attached (depth-16 insert-only descent; interior positions carry
+   no long-range insert -- their 16-grams duplicate the match source,
+   see insert_hash_ex), bucket rings otherwise. */
+static inline void opt_insert_pos(const uint8_t* data, size_t n,
+                                  size_t i, size_t maxback,
+                                  MatchCfg* cfg, int interior) {
+  if (cfg->bt) {
+    /* interior positions are NOT indexed in the tree (the reference's
+       H10 skip behavior: sources inside a committed long copy
+       duplicate the first occurrence, which IS indexed; the 64 live
+       positions before each skip end cover the seams) */
+    size_t rem = n - i;
+    if (!interior && rem >= 4) {
+      size_t maxd = i < maxback ? i : maxback;
+      size_t limit = rem < BT_MAX_CMP ? rem : BT_MAX_CMP;
+      bt_walk(cfg->bt, data, i, maxd, limit, 16, 4, NULL, NULL);
+    }
+    if (!interior && cfg->lr_bits) lr_insert(data, i, cfg);
+  } else {
+    insert_hash_ex(data, i, cfg, !interior);
+  }
+}
+
+/* seed-covered walk budget (see opt_parse_block): inside a seed match
+   with >= g_opt_cover_gate bytes remaining, the candidate walk drops
+   to g_opt_cover_depth entries */
+/* defaults swept on Canterbury-4+maps: gate/depth 64 halves q11 wall
+   (11.0 -> 5.3 s) for +5 B; 32/32 starts costing size (+93 B) */
+static int g_opt_cover_gate = 64;
+static int g_opt_cover_depth = 64;
+static void opt_cover_init(void) {
+  const char* v = getenv("BTPU_OPT_COVER_GATE");
+  if (v) g_opt_cover_gate = atoi(v);
+  v = getenv("BTPU_OPT_COVER_DEPTH");
+  if (v) g_opt_cover_depth = atoi(v);
+}
 
 /* dense short stops: the reference zopfli relaxes EVERY length of a
    candidate (UpdateNodes), so truncations land exactly on later match
@@ -3232,7 +3547,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       si++;
     }
     if (dp[ii] >= 1e29f) { /* unreachable (skipped-span interior) */
-      if ((i & 7) == 0) insert_hash(data, i, cfg);
+      if ((i & 7) == 0) opt_insert_pos(data, n, i, maxback, cfg, 1);
       continue;
     }
     /* literal edge */
@@ -3245,7 +3560,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       }
     }
     if (i < skip_until) {
-      if ((i & 7) == 0) insert_hash(data, i, cfg);
+      if ((i & 7) == 0) opt_insert_pos(data, n, i, maxback, cfg, 1);
       continue;
     }
     size_t rem = n - i;
@@ -3292,6 +3607,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
        SLOT_SEED / the device DP's continuation edges -- the bucket
        ring forgets far sources long before the window does, so long
        seed matches are pool candidates the walk cannot reproduce) */
+    size_t cover_rem = 0; /* remaining span of the covering seed match */
     if (si < nseed && rem >= 4) {
       const Cmd* sc = &seed[si];
       if (sc->cpy && !(sc->adv & CMD_DICT)) {
@@ -3304,6 +3620,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
             OPT_RELAX(l, sc->dist, (size_t)0,
                       opt_dist_cost(oc, (uint32_t)sc->dist));
             if (l > best_len) best_len = l;
+            cover_rem = l;
           }
         }
       }
@@ -3385,16 +3702,55 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
           }
         }
       }
+      size_t walk_best = 3;
+      if (cfg->bt) {
+        /* binary-tree candidate walk (H10 role, see bt_walk): the
+           descent yields a strictly-increasing-length candidate set
+           and inserts the position as a side effect. Covered
+           positions keep a shallow descent (the continuation edge is
+           already the high-value candidate there). */
+        int bdep = cover_rem >= (size_t)g_opt_cover_gate
+                       ? (g_opt_cover_depth < BT_DEPTH
+                              ? g_opt_cover_depth : BT_DEPTH)
+                       : BT_DEPTH;
+        uint32_t bc[BT_DEPTH], bln[BT_DEPTH];
+        size_t cap = limit < BT_MAX_CMP ? limit : BT_MAX_CMP;
+        size_t nb = bt_walk(cfg->bt, data, i, maxd, cap, bdep, 4,
+                            bc, bln);
+        if (nb && bln[nb - 1] == cap && cap < limit) {
+          /* longest candidate hit the tree-compare cap: recover its
+             true length with one extension outside the tree */
+          size_t cpos = bc[nb - 1];
+          bln[nb - 1] = (uint32_t)(cap + common_len(
+              p + cap, data + cpos + cap, limit - cap));
+        }
+        for (size_t t = 0; t < nb; t++) {
+          size_t l = bln[t];
+          size_t d = i - (size_t)bc[t];
+          OPT_RELAX(l, d, walk_best, opt_dist_cost(oc, (uint32_t)d));
+          walk_best = l;
+          if (l > best_len) best_len = l;
+        }
+      } else {
       /* bucket-ring walk, nearest to farthest: within the walk, a
          candidate matters only above the best NEARER length */
       uint32_t h = cfg->h4 ? hash4n(p, cfg->hbits)
-                           : hash5(p, cfg->hbits);
+                   : cfg->h8 ? hash8(p, cfg->hbits)
+                             : hash5(p, cfg->hbits);
       uint32_t cnt = cfg->num[h];
       uint32_t bmask = (1u << cfg->block_bits) - 1;
       const uint32_t* bk = cfg->bucket + ((size_t)h << cfg->block_bits);
       uint32_t iters = cnt < bmask + 1u ? cnt : bmask + 1u;
-      if (iters > (uint32_t)cfg->depth) iters = (uint32_t)cfg->depth;
-      size_t walk_best = 3;
+      {
+        /* walk budget: a position the seed already covers with a
+           long match keeps only a shallow walk -- the continuation
+           edge IS the high-value candidate there, and the deep walk
+           is the q11 hot cost (80% of wall in opt_parse_block) */
+        uint32_t dcap = cover_rem >= (size_t)g_opt_cover_gate
+                            ? (uint32_t)g_opt_cover_depth
+                            : (uint32_t)cfg->depth;
+        if (iters > dcap) iters = dcap;
+      }
       for (uint32_t t = 1; t <= iters; t++) {
         size_t cand = (size_t)bk[(cnt - t) & bmask] - 1;
         size_t d = i - cand;
@@ -3407,6 +3763,35 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
           OPT_RELAX(l, d, walk_best, opt_dist_cost(oc, (uint32_t)d));
           walk_best = l;
           if (l > best_len) best_len = l;
+        }
+      }
+      }
+      /* long-range probe: window-scale repeats the primary rings
+         forget (see MatchCfg.lr_tab) */
+      if (cfg->lr_bits && rem >= LR_MIN_LEN) {
+        uint32_t lh = hash16(p, cfg->lr_bits);
+        const uint32_t* lbk = cfg->lr_tab +
+                              ((size_t)lh << LR_REC_SHIFT);
+        uint32_t lcnt = lbk[0];
+        uint32_t lit_ = lcnt < (1u << LR_RING_BITS)
+                            ? lcnt : (1u << LR_RING_BITS);
+        size_t lbest = walk_best > LR_MIN_LEN - 1 ? walk_best
+                                                  : LR_MIN_LEN - 1;
+        for (uint32_t t = 1; t <= lit_; t++) {
+          size_t cand =
+              (size_t)lbk[1 + ((lcnt - t) &
+                              ((1u << LR_RING_BITS) - 1))] - 1;
+          size_t d = i - cand;
+          if (d > maxd) break;
+          if (lbest >= limit) break;
+          const uint8_t* q = data + cand;
+          if (q[lbest] != p[lbest] || q[0] != p[0]) continue;
+          size_t l = common_len(p, q, limit);
+          if (l > lbest) {
+            OPT_RELAX(l, d, lbest, opt_dist_cost(oc, (uint32_t)d));
+            lbest = l;
+            if (l > best_len) best_len = l;
+          }
         }
       }
       /* dictionary edge (atomic: relax the exact output length) */
@@ -3439,7 +3824,11 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
       size_t su = i + best_len - 64;
       if (su > skip_until) skip_until = su;
     }
-    insert_hash(data, i, cfg);
+    if (cfg->bt) { /* bt_walk already inserted at the candidate stage */
+      if (cfg->lr_bits) lr_insert(data, i, cfg);
+    } else {
+      insert_hash(data, i, cfg);
+    }
   }
   /* backtrack into commands */
   size_t ncmd = 0, j = m;
@@ -3560,7 +3949,7 @@ static int opt_seed_pass(const uint8_t* data, size_t n, size_t lo,
       size_t step = mr.len > 256 ? 4 : 1;
       if (!pos_inserted) insert_hash(data, pos, cfg);
       for (size_t p2 = pos + 1; p2 < end; p2 += step)
-        insert_hash(data, p2, cfg);
+        insert_hash_ex(data, p2, cfg, 0);
       pos = end;
       lit_start = pos;
       miss_run = 0;
@@ -3659,24 +4048,29 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
     const char* v = getenv("BTPU_OPT_DEPTH2");
     if (v) cfg_dp2.depth = atoi(v);
   }
-  cfg_seed.bucket = (uint32_t*)calloc(
-      (size_t)1 << (cfg_seed.hbits + cfg_seed.block_bits),
-      sizeof(uint32_t));
-  cfg_seed.num = (uint32_t*)calloc((size_t)1 << cfg_seed.hbits,
-                                   sizeof(uint32_t));
-  cfg_dp.bucket = (uint32_t*)calloc(
-      (size_t)1 << (cfg_dp.hbits + cfg_dp.block_bits), sizeof(uint32_t));
-  cfg_dp.num = (uint32_t*)calloc((size_t)1 << cfg_dp.hbits,
-                                 sizeof(uint32_t));
-  cfg_dp2.bucket = NULL;
-  cfg_dp2.num = NULL;
-  if (quality >= 11) {
-    cfg_dp2.bucket = (uint32_t*)calloc(
-        (size_t)1 << (cfg_dp2.hbits + cfg_dp2.block_bits),
-        sizeof(uint32_t));
-    cfg_dp2.num = (uint32_t*)calloc((size_t)1 << cfg_dp2.hbits,
-                                    sizeof(uint32_t));
+  /* the DP walks candidates itself; the long-range table rides the
+     seed cfg (its matches reach the DP as continuation edges) AND
+     the DP cfg (probed per relax position) */
+  cfg_dp.lr_bits = 18;
+  cfg_dp2.lr_bits = quality >= 11 ? 18 : 0;
+  /* binary-tree candidate source (bt_walk): when it allocates, the
+     DP's deep rings shrink to a vestigial fallback footprint */
+  BTree bt_dp, bt_dp2;
+  memset(&bt_dp, 0, sizeof(bt_dp));
+  memset(&bt_dp2, 0, sizeof(bt_dp2));
+  if (!getenv("BTPU_OPT_NO_BT")) {
+    if (bt_alloc(&bt_dp, n, e.maxback) == 0) {
+      cfg_dp.bt = &bt_dp;
+      cfg_dp.block_bits = 0;
+      if (quality >= 11 && bt_alloc(&bt_dp2, n, e.maxback) == 0) {
+        cfg_dp2.bt = &bt_dp2;
+        cfg_dp2.block_bits = 0;
+      }
+    }
   }
+  int alloc_rc = cfg_alloc_tables(&cfg_seed, n) ||
+                 cfg_alloc_tables(&cfg_dp, n);
+  if (quality >= 11) alloc_rc = alloc_rc || cfg_alloc_tables(&cfg_dp2, n);
   size_t mb_target = (size_t)1 << 22;
   size_t mb_max = n < mb_target ? n : mb_target;
   float* dp = (float*)malloc(sizeof(float) * (mb_max + 1));
@@ -3692,11 +4086,8 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   uint32_t sim_ring[4];
   for (int i = 0; i < 4; i++) sim_ring[i] = kInitialRing[3 - i];
   int rc = 0;
-  if (!e.pm.w || !e.pm.leaf || !cfg_seed.bucket || !cfg_seed.num ||
-      !cfg_dp.bucket || !cfg_dp.num || !dp || !blen || !bcpy || !bdist ||
-      !lastm ||
-      !oc.litc ||
-      (quality >= 11 && (!cfg_dp2.bucket || !cfg_dp2.num))) {
+  if (!e.pm.w || !e.pm.leaf || alloc_rc || !dp || !blen || !bcpy ||
+      !bdist || !lastm || !oc.litc) {
     rc = EERR_ALLOC;
     goto done;
   }
@@ -3845,12 +4236,11 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
     }
   }
 done:
-  free(cfg_seed.bucket);
-  free(cfg_seed.num);
-  free(cfg_dp.bucket);
-  free(cfg_dp.num);
-  free(cfg_dp2.bucket);
-  free(cfg_dp2.num);
+  cfg_free_tables(&cfg_seed);
+  cfg_free_tables(&cfg_dp);
+  cfg_free_tables(&cfg_dp2);
+  bt_free(&bt_dp);
+  bt_free(&bt_dp2);
   free(dp);
   free(blen);
   free(bcpy);
@@ -4103,14 +4493,11 @@ int btpu_encode2(const uint8_t* raw, size_t n, int quality, int lgwin,
   } else if (cfg.use_dict && !g_dict.ready) {
     cfg.use_dict = 0;
   }
-  size_t hsize = (size_t)1 << cfg.hbits;
-  cfg.bucket = (uint32_t*)calloc(hsize << cfg.block_bits,
-                                 sizeof(uint32_t));
-  cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  int cfg_rc = cfg_alloc_tables(&cfg, n);
   size_t cmd_cap = 1 << 16;
   Cmd* cmds = (Cmd*)malloc(sizeof(Cmd) * cmd_cap);
   int rc = 0;
-  if (!cfg.bucket || !cfg.num || !cmds || !e.pm.w || !e.pm.leaf) {
+  if (cfg_rc || !cmds || !e.pm.w || !e.pm.leaf) {
     rc = EERR_ALLOC;
     goto done;
   }
@@ -4118,7 +4505,16 @@ int btpu_encode2(const uint8_t* raw, size_t n, int quality, int lgwin,
   put_stream_header(&e.bw, lgwin);
 
   {
-    size_t mb_target = (size_t)1 << 22; /* ~4 MB metablocks */
+    /* 128 KB metablocks at the greedy tiers (reference lgblock role,
+       quality.h:76-92 picks 64-256 KB): one 4 MB metablock over
+       heterogeneous input cost +16 KB vs per-type-adaptive trees on
+       the 16 MB corpus (swept 64K-4M; 128K best, and per-file
+       Canterbury is neutral-to-better too) */
+    size_t mb_target = (size_t)1 << 17;
+    {
+      const char* v = getenv("BTPU_MB_TARGET");
+      if (v && atoi(v) >= 16) mb_target = (size_t)atoi(v);
+    }
     size_t pos = 0;       /* next input byte to consume */
     size_t mb_lo = 0;     /* metablock start */
     size_t lit_start = 0; /* first unconsumed literal */
@@ -4235,7 +4631,7 @@ int btpu_encode2(const uint8_t* raw, size_t n, int quality, int lgwin,
         size_t step = m.len > 256 ? 4 : 1;
         if (!pos_inserted) insert_hash(data, pos, &cfg);
         for (size_t p2 = pos + 1; p2 < end; p2 += step)
-          insert_hash(data, p2, &cfg);
+          insert_hash_ex(data, p2, &cfg, 0);
         pos = end;
         lit_start = pos;
         miss_run = 0;
@@ -4304,8 +4700,7 @@ int btpu_encode2(const uint8_t* raw, size_t n, int quality, int lgwin,
   }
 
 done:
-  free(cfg.bucket);
-  free(cfg.num);
+  cfg_free_tables(&cfg);
   free(cmds);
   free(e.plan);
   free(e.pm.w);
@@ -4348,13 +4743,8 @@ int btpu_find_matches(const uint8_t* raw, size_t n, int quality,
   MatchCfg cfg;
   cfg_for_quality(&cfg, quality);
   cfg.use_dict = 0;
-  size_t hsize = (size_t)1 << cfg.hbits;
-  cfg.bucket = (uint32_t*)calloc(hsize << cfg.block_bits,
-                                 sizeof(uint32_t));
-  cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
-  if (!cfg.bucket || !cfg.num) {
-    free(cfg.bucket);
-    free(cfg.num);
+  if (cfg_alloc_tables(&cfg, n)) {
+    cfg_free_tables(&cfg);
     free(data);
     return EERR_ALLOC;
   }
@@ -4403,7 +4793,7 @@ int btpu_find_matches(const uint8_t* raw, size_t n, int quality,
       size_t step = m.len > 256 ? 4 : 1;
       if (!pos_inserted) insert_hash(data, pos, &cfg);
       for (size_t p2 = pos + 1; p2 < end; p2 += step)
-        insert_hash(data, p2, &cfg);
+        insert_hash_ex(data, p2, &cfg, 0);
       pos = end;
       miss_run = 0;
     } else {
@@ -4418,8 +4808,7 @@ int btpu_find_matches(const uint8_t* raw, size_t n, int quality,
       if (pos > n) pos = n;
     }
   }
-  free(cfg.bucket);
-  free(cfg.num);
+  cfg_free_tables(&cfg);
   free(data);
   if (rc) return rc;
   *out_cnt = cnt;
@@ -4478,6 +4867,7 @@ typedef struct {
      only over the NEW bytes (O(chunk) flushes at the default
      quality; parity contract: encode.h:100-116) */
   MatchCfg cfg_dp, cfg_dp2;
+  BTree bt_dp, bt_dp2; /* binary-tree candidate source (bt_walk) */
   float* odp;
   uint32_t *oblen, *obcpy, *obdist, *olastm;
   OptCost oc;
@@ -4551,14 +4941,10 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
   } else if (S->cfg.use_dict && !g_dict.ready) {
     S->cfg.use_dict = 0;
   }
-  size_t hsize = (size_t)1 << S->cfg.hbits;
-  S->cfg.bucket = (uint32_t*)calloc(hsize << S->cfg.block_bits,
-                                    sizeof(uint32_t));
-  S->cfg.num = (uint32_t*)calloc(hsize, sizeof(uint32_t));
+  int cfg_rc = cfg_alloc_tables(&S->cfg, 0);
   S->cmd_cap = 1 << 12;
   S->cmds = (Cmd*)malloc(sizeof(Cmd) * S->cmd_cap);
-  int ok = S->e.pm.w && S->e.pm.leaf && S->cfg.bucket && S->cfg.num &&
-           S->cmds;
+  int ok = S->e.pm.w && S->e.pm.leaf && !cfg_rc && S->cmds;
   if (ok && quality >= 10) {
     size_t mb_max = (size_t)1 << 22;
     memset(&S->cfg_dp, 0, sizeof(S->cfg_dp));
@@ -4574,21 +4960,26 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
     } else if (!g_dict.ready) {
       S->cfg_dp.use_dict = 0;
     }
-    S->cfg_dp.bucket = (uint32_t*)calloc(
-        (size_t)1 << (S->cfg_dp.hbits + S->cfg_dp.block_bits),
-        sizeof(uint32_t));
-    S->cfg_dp.num = (uint32_t*)calloc((size_t)1 << S->cfg_dp.hbits,
-                                      sizeof(uint32_t));
+    S->cfg_dp.lr_bits = 18;
+    if (!getenv("BTPU_OPT_NO_BT") &&
+        bt_alloc(&S->bt_dp, S->e.maxback, S->e.maxback) == 0) {
+      S->cfg_dp.bt = &S->bt_dp;
+      S->cfg_dp.block_bits = 0;
+    }
+    int dp_rc = cfg_alloc_tables(&S->cfg_dp, 0);
     S->cfg_dp2 = S->cfg_dp;
     S->cfg_dp2.depth = 32;
     S->cfg_dp2.bucket = NULL;
     S->cfg_dp2.num = NULL;
+    S->cfg_dp2.lr_tab = NULL;
+    S->cfg_dp2.bt = NULL;
     if (quality >= 11) {
-      S->cfg_dp2.bucket = (uint32_t*)calloc(
-          (size_t)1 << (S->cfg_dp2.hbits + S->cfg_dp2.block_bits),
-          sizeof(uint32_t));
-      S->cfg_dp2.num = (uint32_t*)calloc(
-          (size_t)1 << S->cfg_dp2.hbits, sizeof(uint32_t));
+      if (S->cfg_dp.bt &&
+          bt_alloc(&S->bt_dp2, S->e.maxback, S->e.maxback) == 0)
+        S->cfg_dp2.bt = &S->bt_dp2;
+      dp_rc = dp_rc || cfg_alloc_tables(&S->cfg_dp2, 0);
+    } else {
+      S->cfg_dp2.lr_bits = 0;
     }
     S->odp = (float*)malloc(sizeof(float) * (mb_max + 1));
     S->oblen = (uint32_t*)malloc(sizeof(uint32_t) * (mb_max + 1));
@@ -4598,14 +4989,14 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
     S->oc.dalpha = S->e.dist_alpha;
     S->oc.ctx_mode_force = -1;
     S->oc.litc = (float*)malloc(sizeof(float) * mb_max);
-    ok = S->cfg_dp.bucket && S->cfg_dp.num && S->odp && S->oblen &&
-         S->obcpy && S->obdist && S->olastm && S->oc.litc &&
-         (quality < 11 || (S->cfg_dp2.bucket && S->cfg_dp2.num));
+    ok = !dp_rc && S->odp && S->oblen &&
+         S->obcpy && S->obdist && S->olastm && S->oc.litc;
   }
   if (!ok) {
-    free(S->e.pm.w); free(S->e.pm.leaf); free(S->cfg.bucket);
-    free(S->cfg.num); free(S->cmds); free(S->cfg_dp.bucket);
-    free(S->cfg_dp.num); free(S->cfg_dp2.bucket); free(S->cfg_dp2.num);
+    free(S->e.pm.w); free(S->e.pm.leaf);
+    cfg_free_tables(&S->cfg); free(S->cmds);
+    cfg_free_tables(&S->cfg_dp); cfg_free_tables(&S->cfg_dp2);
+    bt_free(&S->bt_dp); bt_free(&S->bt_dp2);
     free(S->odp); free(S->oblen); free(S->obcpy); free(S->obdist);
     free(S->olastm); free(S->oc.litc); free(S);
     return NULL;
@@ -4617,10 +5008,10 @@ void btpu_enc_free_stream(void* p) {
   EncStream* S = (EncStream*)p;
   if (!S) return;
   free(S->e.pm.w); free(S->e.pm.leaf); free(S->e.plan);
-  free(S->cfg.bucket); free(S->cfg.num);
+  cfg_free_tables(&S->cfg);
   free(S->cmds); free(S->buf); free(S->e.bw.buf);
-  free(S->cfg_dp.bucket); free(S->cfg_dp.num);
-  free(S->cfg_dp2.bucket); free(S->cfg_dp2.num);
+  cfg_free_tables(&S->cfg_dp); cfg_free_tables(&S->cfg_dp2);
+  bt_free(&S->bt_dp); bt_free(&S->bt_dp2);
   free(S->odp); free(S->oblen); free(S->obcpy); free(S->obdist);
   free(S->olastm); free(S->oc.litc);
   free(S);
@@ -4714,7 +5105,7 @@ static int stream_consume(EncStream* S, size_t until) {
       size_t step = m.len > 256 ? 4 : 1;
       if (!pos_inserted) insert_hash(data, pos, &S->cfg);
       for (size_t p2 = pos + 1; p2 < end; p2 += step)
-        insert_hash(data, p2, &S->cfg);
+        insert_hash_ex(data, p2, &S->cfg, 0);
       S->pos = end;
       S->lit_start = S->pos;
       S->miss_run = 0;
@@ -4867,8 +5258,10 @@ int btpu_enc_attach(void* p, const uint8_t* dict, size_t dlen) {
   if (dlen >= 5) {
     for (size_t p2 = 0; p2 + 5 <= dlen; p2++) {
       insert_hash(S->buf, p2, &S->cfg);
-      if (S->cfg_dp.bucket) insert_hash(S->buf, p2, &S->cfg_dp);
-      if (S->cfg_dp2.bucket) insert_hash(S->buf, p2, &S->cfg_dp2);
+      if (S->cfg_dp.bucket)
+        opt_insert_pos(S->buf, dlen, p2, S->e.maxback, &S->cfg_dp, 0);
+      if (S->cfg_dp2.bucket)
+        opt_insert_pos(S->buf, dlen, p2, S->e.maxback, &S->cfg_dp2, 0);
     }
   }
   return 0;
@@ -5075,6 +5468,12 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
                   (1 << 16);
   /* output writer: uncompressed-fallback ceiling */
   size_t writer = n + n / 16 + 1024;
+  /* long-range table (cfg_alloc_tables: allocated when the input can
+     use it); worst-case touched-page bound per table */
+  size_t lr_one = n >= ((size_t)1 << 19)
+                      ? ((size_t)1 << (18 + LR_REC_SHIFT)) *
+                            sizeof(uint32_t)
+                      : 0;
   if (quality >= 10) {
     MatchCfg seedc, dpc;
     cfg_for_quality(&seedc, 7);
@@ -5083,11 +5482,22 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
     dpc.block_bits = quality >= 11 ? 11 : 6;
     size_t hashers =
         ((((size_t)1 << (seedc.hbits + seedc.block_bits)) +
-          ((size_t)1 << seedc.hbits)) +
+          ((size_t)1 << (size_t)seedc.hbits)) +
          (quality >= 11 ? 2u : 1u) *
              (((size_t)1 << (dpc.hbits + dpc.block_bits)) +
               ((size_t)1 << dpc.hbits))) *
-        sizeof(uint32_t);
+        sizeof(uint32_t) +
+        (quality >= 11 ? 3u : 2u) * lr_one;
+    {
+      /* binary-tree candidate source (bt_alloc): head + 2-slot child
+         array over pow2(min(n, window)) positions, per DP iteration */
+      size_t win = ((size_t)1 << lgwin) - 16;
+      size_t w = n < win ? n : win;
+      size_t ws = 256;
+      while (ws < w) ws <<= 1;
+      hashers += (quality >= 11 ? 2u : 1u) *
+                 ((((size_t)1 << BT_HBITS) + 2 * ws) * sizeof(uint32_t));
+    }
     /* DP arrays: dp float + blen/bcpy/bdist/lastm, literal costs,
        plan, and two command generations live at once */
     size_t dp_arrays = (mb + 1) * (sizeof(float) + 4 * sizeof(uint32_t))
@@ -5098,7 +5508,8 @@ size_t btpu_peak_memory(size_t n, int quality, int lgwin) {
   MatchCfg cfg;
   cfg_for_quality(&cfg, quality);
   size_t hasher = (((size_t)1 << (cfg.hbits + cfg.block_bits)) +
-                   ((size_t)1 << cfg.hbits)) * sizeof(uint32_t);
+                   ((size_t)1 << cfg.hbits)) * sizeof(uint32_t) +
+                  (cfg.lr_bits ? lr_one : 0);
   size_t cmd_bufs = ((size_t)1 << 16) * sizeof(Cmd) +
                     mb_cmds * sizeof(Plan);
   return total + hasher + cmd_bufs + serial + writer;

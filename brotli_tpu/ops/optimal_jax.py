@@ -1103,9 +1103,16 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                     arr, n, max_distance, tables, seeds_list, base,
                     dict_future=dict_future if it == 0 else None,
                     dev_big=dev_big)
-                if on_block is not None and it == iterations - 1:
+                if (on_block is not None and it == iterations - 1
+                        and SEG_V3 % mb_size == 0):
                     # final iteration streams: emit the first half's
-                    # spans while the backend computes the rest
+                    # spans while the backend computes the rest.
+                    # _stream_v3 groups cover whole metablocks ONLY
+                    # when mb_size divides SEG_V3 (lgblock <= 22);
+                    # otherwise fall through to the full collect +
+                    # single _emit_spans(0, n) below, which handles
+                    # any mb_size (overlapping-span regression:
+                    # lgblock 23 emitted the tail metablock twice).
                     _stream_v3(arr, handles, dict_table, n, mb_size,
                                max_distance, base, on_block)
                     return None

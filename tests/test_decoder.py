@@ -84,19 +84,22 @@ def test_device_decode_golden(testdata):
     stream must decode bit-exactly -- context-modeled literals
     included (the parser peeks the <=2 context bytes through the
     deferred copy graph, decoder._dz_byte_at). Streams >100 KB are
-    skipped for suite time; the full 45/45 sweep is the same code
-    path (verified 2026-08-20, 524 s)."""
+    skipped for suite time by default; set BROTLI_TPU_FULL_SWEEP=1
+    (the CI nightly job / pre-release check) to run the full 45/45
+    contract machine-checked instead of trusting a docstring."""
+    import os
     import re
     from brotli_tpu.dec.device_decode import decompress_device
+    full = bool(os.environ.get("BROTLI_TPU_FULL_SWEEP"))
     ok = 0
     for f in sorted(testdata.glob("*.compressed*")):
-        if f.stat().st_size > 100_000:
+        if not full and f.stat().st_size > 100_000:
             continue
         base = re.sub(r"\.compressed(\.\d+)?$", "", f.name)
         want = (testdata / base).read_bytes()
         assert decompress_device(f.read_bytes()) == want, f.name
         ok += 1
-    assert ok >= 41, ok
+    assert ok >= (45 if full else 41), ok
 
 
 def test_device_decode_own_streams(testdata):

@@ -114,6 +114,52 @@ def test_streamed_q11_matches_batch(small_segments, testdata, ref_cli):
     assert len(comp) < len(batch) * 1.02 + 64
 
 
+def test_streamed_q11_mb_size_exceeds_segment(testdata, ref_cli,
+                                              monkeypatch):
+    """mb_size (1 << lgblock) larger than the v3 segment must NOT take
+    the chunked streaming-collect path: its half-group boundaries are
+    segment-aligned, so a metablock spanning the group seam was emitted
+    by BOTH groups (overlapping spans -> reference decode fails with
+    PADDING_2). Regression for the round-4 advisor finding."""
+    from brotli_tpu.ops import optimal_jax as OJ
+    from brotli_tpu.enc import encoder as E
+
+    monkeypatch.setenv("BROTLI_TPU_DP", "v3")
+    old_v3 = OJ.SEG_V3, OJ._BUCKETS_V3
+    # two segments of 128 KiB; lgblock 18 -> one 256 KiB metablock
+    # covering both (mb_size does not divide SEG_V3's span count)
+    OJ.SEG_V3, OJ._BUCKETS_V3 = 1 << 17, [1 << 17]
+    try:
+        data = ((testdata / "alice29.txt").read_bytes() +
+                (testdata / "asyoulik.txt").read_bytes())[:260_000]
+        arr = np.frombuffer(data, np.uint8)
+        spans = []
+        orig_emit = OJ._emit_spans
+
+        def spy_emit(arr_, m, lens, dists, flags, n, mb_size,
+                     max_distance, base, on_block, lo=0, hi=None):
+            def spy_block(lo_, hi_, matches):
+                spans.append((lo_, hi_))
+                on_block(lo_, hi_, matches)
+            return orig_emit(arr_, m, lens, dists, flags, n, mb_size,
+                            max_distance, base, spy_block, lo=lo, hi=hi)
+
+        monkeypatch.setattr(OJ, "_emit_spans", spy_emit)
+        comp = E._encode_q11_streamed(arr, len(arr),
+                                      C.max_backward_distance(22),
+                                      11, 18, 22)
+        # spans must tile [0, n) without overlap
+        assert spans == sorted(spans)
+        for (l0, h0), (l1, h1) in zip(spans, spans[1:]):
+            assert h0 == l1, spans
+        assert spans[0][0] == 0 and spans[-1][1] == len(arr), spans
+        r = subprocess.run([ref_cli, "-d", "-c"], input=comp,
+                           capture_output=True)
+        assert r.returncode == 0 and r.stdout == data
+    finally:
+        OJ.SEG_V3, OJ._BUCKETS_V3 = old_v3
+
+
 def test_sharded_q11_mesh(small_segments, testdata, ref_cli):
     """compress_sharded at q11 dispatches the per-shard optimal-parse
     DP over the mesh (round-3 gap: it silently parsed greedily). The
