@@ -3288,11 +3288,14 @@ static inline void opt_insert_pos(const uint8_t* data, size_t n,
    (11.0 -> 5.3 s) for +5 B; 32/32 starts costing size (+93 B) */
 static int g_opt_cover_gate = 64;
 static int g_opt_cover_depth = 64;
+static int g_opt_no_ring = 0; /* diagnostic: drop distance-cache edges */
 static void opt_cover_init(void) {
   const char* v = getenv("BTPU_OPT_COVER_GATE");
   if (v) g_opt_cover_gate = atoi(v);
   v = getenv("BTPU_OPT_COVER_DEPTH");
   if (v) g_opt_cover_depth = atoi(v);
+  v = getenv("BTPU_OPT_NO_RING");
+  g_opt_no_ring = v ? atoi(v) : 0;
 }
 
 /* dense short stops: the reference zopfli relaxes EVERY length of a
@@ -3630,7 +3633,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
        backward_references_hq.c) so short-code pricing matches what
        emission replay will actually see; relax every stop -- ring
        distances are not ordered vs the bucket walk's */
-    if (rem >= 4) {
+    if (rem >= 4 && g_opt_no_ring != 1) {
       uint32_t nring[4];
       {
         int nf = 0;
@@ -3645,6 +3648,30 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         }
         for (int t = 0; nf < 4; t++, nf++) nring[nf] = ring_in[t];
       }
+      if (g_opt_no_ring == 3 || g_opt_no_ring == 4) {
+        /* diagnostic: SEED-timeline ring (what a device-side slot can
+           know without path state) instead of the path ring. Mode 3:
+           ring[0] only; mode 4: the last 4 DISTINCT seed distances. */
+        uint32_t sr_[4] = {0, 0, 0, 0};
+        int nf_ = 0;
+        if (si < nseed) {
+          const Cmd* sc = &seed[si];
+          size_t ms = spos + sc->ins;
+          if (sc->cpy && !(sc->adv & CMD_DICT) && i >= ms)
+            sr_[nf_++] = sc->dist;
+        }
+        int want_ = g_opt_no_ring == 3 ? 1 : 4;
+        for (size_t t = si; t-- > 0 && nf_ < want_;) {
+          if (seed[t].cpy && !(seed[t].adv & CMD_DICT)) {
+            uint32_t d_ = seed[t].dist;
+            int dup_ = 0;
+            for (int u = 0; u < nf_; u++) dup_ |= sr_[u] == d_;
+            if (!dup_) sr_[nf_++] = d_;
+          }
+        }
+        for (int u = 0; u < 4; u++)
+          nring[u] = u < nf_ ? sr_[u] : 0;
+      }
       /* 16 short-code probes: the 4 exact slots plus ring[0]+-1..3
          and ring[1]+-1..3 (dcodes 4-15), each priced at its
          short-code symbol cost (kDistanceCacheIndex/-Offset role) */
@@ -3652,7 +3679,8 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
                                           0, 0, 1, 1, 1, 1, 1, 1};
       static const int8_t kRingOff[16] = {0, 0, 0, 0, -1, 1, -2, 2,
                                           -3, 3, -1, 1, -2, 2, -3, 3};
-      for (int s = 0; s < 16; s++) {
+      int nprobe = g_opt_no_ring < 0 ? -g_opt_no_ring : 16;
+      for (int s = 0; s < nprobe; s++) {
         long ds = (long)nring[kRingIdx[s]] + kRingOff[s];
         if (ds <= 0 || (size_t)ds > maxd) continue;
         size_t d = (size_t)ds;
@@ -3672,7 +3700,7 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
           OPT_RELAX(l, d, (size_t)0, oc->dring[s]);
           if (l > best_len) best_len = l;
         }
-        if (s == 0 && l >= 2) {
+        if (s == 0 && l >= 2 && g_opt_no_ring != 2) {
           /* re-relax short lengths at the joint implicit-cell price */
           size_t lcap = l <= 69 ? l : 69;
           size_t lset[4] = {lcap, 2, 3, 0};

@@ -217,16 +217,15 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
     cont_len = jnp.clip(end_fill - pos, 0, W - 1)
     cont_dist = jnp.where(cont_len >= 2, dist_fill, 0)
 
-    # (measured twice, not kept: a ring-cache probe slot gathering
-    # match lengths at dist_fill -- the host DP's cache_probes role --
-    # moved the cycle corpus by +3 bytes at explicit pricing, and a
-    # round-3 re-test with JOINT icell pricing (cq row 1, the host
-    # DP's icell basin) changed NOTHING on lcet10/maps: inside seed
-    # matches the edges duplicate the continuation slot, and after
-    # match ends the seed-trained cell/ring histograms price the
-    # short-copy basin out of reach -- the bootstrap the reference
-    # gets from its 2-iteration cost model does not ignite from a
-    # single-iteration device pass)
+    # (ring modeling lives IN THE SCAN, not here: a round-5 ablation
+    # on the native DP isolated path-ring distance-cache pricing as
+    # the dominant parse feature -- 37.7K bytes on Canterbury-5 --
+    # but a precomputed slot can only know the SEED-timeline ring,
+    # which recovers 2.9K of 35.7K on the 16MB corpus (measured both
+    # on the host emulation, BTPU_OPT_NO_RING=3, and as a device
+    # slot: 1.3K). ring[0] of the best path INTO each position is
+    # path state, so _scan_math_v3 carries it and prices one
+    # ring-code edge per step -- see its docstring.)
 
     # per-slot edge (len, dist-costq), flat (nslots, n). The copy-code
     # side of the command cost is added per relaxed length downstream
@@ -254,7 +253,6 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
     slots_cost.append(jnp.where((cont_len >= 2) & (cont_dist > 0),
                                 ccost, 1 << 28))
 
-    nslots = num_candidates + 1
     ls_flat = jnp.stack(slots_len)          # (nslots, n)
     cs_flat = jnp.stack(slots_cost)
     slots_dist = [(cp & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
@@ -265,7 +263,7 @@ def _edges_slots(data, npos, max_distance, dist_sym_bits_q,
     ls_flat = jnp.minimum(ls_flat, B - i_in_b)
     cs_flat = jnp.where(ls_flat >= 2, cs_flat, 1 << 28)
     return (ls_flat.astype(jnp.int32), cs_flat.astype(jnp.int32),
-            ds_flat.astype(jnp.int32))
+            ds_flat.astype(jnp.int32), dist_fill)
 
 
 @jax.jit
@@ -276,7 +274,7 @@ def _edges_kernel(data, npos, max_distance, litbits_q, copyq,
     n = data.shape[0]
     nb = n // B
     pos = jnp.arange(n, dtype=jnp.int32)
-    ls_flat, cs_flat, ds_flat = _edges_slots(
+    ls_flat, cs_flat, ds_flat, _ = _edges_slots(
         data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
         seed_dist)
     nslots = ls_flat.shape[0]
@@ -357,18 +355,51 @@ def _scan_kernel(pd_all, cs_all, litq_b, copyq):
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
-def _scan_math_v3(mp_all, litq_b):
+def _scan_math_v3(mp_all, litq_b, wc_all=None, w_full=None,
+                  ring_init=None, ring_cost=None, copyq_row=None,
+                  npos=None):
     """The v3 DP wavefront: the Pallas pre-reduction already collapsed
     the slots into per-position (cost, payload) tables over the W
     columns (packed [M | P] in the 128-lane minor dim), so a step is
     one (nb, W) compare-update -- nslots-times less sequential work
-    than _scan_kernel."""
+    than _scan_kernel.
+
+    Distance-cache modeling (pass the ring args together; None = off):
+    ring[0] of the best path INTO a position is PATH STATE -- a
+    precomputed slot can only know the seed-timeline ring, which
+    recovers 2.9K of the 35.7K bytes path-ring pricing is worth on
+    the 16MB corpus (native-DP ablation, BTPU_OPT_NO_RING). So the
+    scan carries R, the ring[0] per window column, updated alongside
+    every cost win (match -> its distance; literal -> inherited), and
+    each step prices ONE extra edge: the match at the CURRENT path
+    ring distance (length from a 16-byte gather-compare against the
+    full segment), at the short-code symbol cost `ring_cost` instead
+    of explicit distance bits (the host DP's s==0 probe,
+    opt_parse_block; reference ComputeDistanceCache role,
+    backward_references_hq.c).
+
+    wc_all: (B, 4, nb) u32 -- the 16-byte window of each lane's
+    position, scanned in. w_full: (4, n) u32 -- the same words over
+    the whole segment, gathered at pos - ring. ring_init: (nb,) seed
+    ring at block starts (blocks are hard parse boundaries, so the
+    true entry ring is unknowable; the seed timeline warms up within
+    a few matches)."""
     INF = jnp.int32(1 << 30)
     nb = litq_b.shape[1]
+    with_ring = wc_all is not None
+    if with_ring:
+        n_full = w_full.shape[1]
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        cq_w = copyq_row[0, :W]
+        lane_base = jnp.arange(nb, dtype=jnp.int32) * B
 
     def step(carry, xs):
-        F, P = carry
-        lq, mp = xs  # (nb,), (nb, 2 * W)
+        if with_ring:
+            F, P, R, i = carry
+            lq, mp, wc = xs  # (nb,), (nb, 2*W), (4, nb)
+        else:
+            F, P = carry
+            lq, mp = xs
         M = mp[:, :W]
         PY = mp[:, W:]
         cost_i = F[:, 0]
@@ -377,6 +408,46 @@ def _scan_math_v3(mp_all, litq_b):
         upd = lv < F[:, 1]
         F = F.at[:, 1].set(jnp.where(upd, lv, F[:, 1]))
         P = P.at[:, 1].set(jnp.where(upd, 0, P[:, 1]))
+        if with_ring:
+            ring_i = R[:, 0]
+            # literal advance inherits the ring
+            R = R.at[:, 1].set(jnp.where(upd, ring_i, R[:, 1]))
+            # ring edge: match length at dist = ring_i (16-byte cap)
+            src = lane_base + i - ring_i
+            ok = (ring_i > 0) & (src >= 0)
+            srcc = jnp.clip(src, 0, n_full - 1)
+            rl = jnp.zeros(nb, jnp.int32)
+            alive = ok
+            for k in range(4):
+                x = wc[k] ^ w_full[k][srcc]
+                tz = _tz_bytes_u32(x.astype(jnp.uint32))
+                rl = rl + jnp.where(alive, tz, 0)
+                alive = alive & (x == 0)
+            rl = jnp.minimum(rl, B - (i % B))
+            rl = jnp.minimum(rl, jnp.maximum(
+                npos + 3 - (lane_base + i), 0))  # wrapped-pad guard
+            rv = jnp.where((iota_w[None, :] >= 2) &
+                           (iota_w[None, :] <= rl[:, None]),
+                           cost_i[:, None] + ring_cost + cq_w[None, :],
+                           INF)
+            rbet = rv < F
+            F = jnp.where(rbet, rv, F)
+            P = jnp.where(rbet, (iota_w[None, :] << 25) | ring_i[:, None],
+                          P)
+            R = jnp.where(rbet, ring_i[:, None], R)
+            # pre-reduced edges
+            minv = cost_i[:, None] + M
+            better = minv < F
+            F = jnp.where(better, minv, F)
+            P = jnp.where(better, PY, P)
+            R = jnp.where(better, PY & jnp.int32((1 << 25) - 1), R)
+            F = jnp.concatenate([F[:, 1:], jnp.full((nb, 1), INF)],
+                                axis=1)
+            P = jnp.concatenate([P[:, 1:],
+                                 jnp.zeros((nb, 1), jnp.int32)], axis=1)
+            R = jnp.concatenate([R[:, 1:],
+                                 jnp.zeros((nb, 1), jnp.int32)], axis=1)
+            return (F, P, R, i + 1), pay_i
         minv = cost_i[:, None] + M
         better = minv < F
         F = jnp.where(better, minv, F)
@@ -391,8 +462,14 @@ def _scan_math_v3(mp_all, litq_b):
     # unroll: the per-step vector work is tiny (nb x 2W), so the while
     # loop is overhead-bound (~21 us/step profiled); 4 steps per
     # iteration amortize it
-    (Fend, Pend), pays = jax.lax.scan(step, (F0, P0), (litq_b, mp_all),
-                                      unroll=4)
+    if with_ring:
+        R0 = jnp.zeros((nb, W), jnp.int32) + ring_init[:, None]
+        (Fend, Pend, _, _), pays = jax.lax.scan(
+            step, (F0, P0, R0, jnp.int32(0)), (litq_b, mp_all, wc_all),
+            unroll=4)
+    else:
+        (Fend, Pend), pays = jax.lax.scan(step, (F0, P0),
+                                          (litq_b, mp_all), unroll=4)
     return jnp.concatenate([pays.T, Pend[:, 0][:, None]], axis=1)
 
 
@@ -584,7 +661,7 @@ def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
     uncapped (2, n//2) compaction, fetched only on capm overflow."""
     n = data.shape[0]
     nb = n // B
-    ls_flat, cs_flat, ds_flat = _edges_slots(
+    ls_flat, cs_flat, ds_flat, dist_fill = _edges_slots(
         data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
         seed_dist)
     pd_flat = (ls_flat << 25) | jnp.where(ls_flat >= 2, ds_flat, 0)
@@ -618,7 +695,19 @@ def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
     cid = ctx_tab[(p1 << 8) | p2].astype(jnp.int32)
     litq_u8 = bits_tab[(cid << 8) | d32]
     litq_b = (litq_u8.astype(jnp.int32) * 2).reshape(nb, B).T
-    paymat = _scan_math_v3(mp_all, litq_b)
+    # in-scan path-ring pricing inputs (see _scan_math_v3): 16-byte
+    # windows per position, both scanned in lane order and gatherable
+    # over the whole segment
+    du = data.astype(jnp.uint32)
+    w0 = du | jnp.roll(du, -1) << 8 | jnp.roll(du, -2) << 16 | \
+        jnp.roll(du, -3) << 24
+    w_full = jnp.stack([jnp.roll(w0, -4 * k) for k in range(4)])
+    wc_all = w_full.reshape(4, nb, B).transpose(2, 0, 1)
+    ring_init = dist_fill.reshape(nb, B)[:, 0]
+    paymat = _scan_math_v3(mp_all, litq_b, wc_all=wc_all,
+                           w_full=w_full, ring_init=ring_init,
+                           ring_cost=dist_sym_bits_q[0],
+                           copyq_row=copyq_row, npos=npos)
     count, stacked = _finish_math(paymat, npos)
     packed = jnp.zeros((2, capm + 8), jnp.uint32)
     packed = packed.at[0, 0].set(count.astype(jnp.uint32))
@@ -868,20 +957,43 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
     m, lens, dists, flags = seed
 
     n = len(data)
+    # table statistics come from a bounded SAMPLE of the seed parse
+    # (default 4 MB): entropy estimates converge long before that,
+    # and the full-input pass was ~0.9 s of the device pipeline's
+    # host prologue (mostly fresh-page faults on the n-length
+    # coverage chain). exact_lit (the host/v1 path) still prices
+    # per-position over the full input below.
+    import os as _os0
+    _cap = int(_os0.environ.get("BROTLI_TPU_COST_SAMPLE",
+                                str(1 << 22)))
+    if n > _cap:
+        # replay stats keep whole matches only (truncating a
+        # dict-flagged match would fabricate an unserializable word
+        # length); literal coverage below clips instead, so a giant
+        # match spanning the cap cannot masquerade as literals
+        _k = (m + lens) <= _cap
+        sm, sl = m[_k], lens[_k]
+        sd, sf = dists[_k], flags[_k]
+        cm_, cl_ = m[m < _cap], lens[m < _cap]
+        sdata, sn = data[:_cap], _cap
+    else:
+        sm, sl, sd, sf = m, lens, dists, flags
+        cm_, cl_ = m, lens
+        sdata, sn = data, n
     # int32/int16 throughout: the int64 index chain here touched
     # ~400 MB of fresh pages and the first call per process paid
     # ~0.7 s of page faults (cold 0.93 s vs warm 0.16 s measured) --
     # this runs once per encode, so the cold cost IS the cost
-    covered = np.zeros(n + 1, np.int16)
-    np.add.at(covered, np.minimum(m, n), np.int16(1))
-    np.add.at(covered, np.minimum(m + lens, n), np.int16(-1))
-    is_lit = np.cumsum(covered[:n], dtype=np.int32) == 0
+    covered = np.zeros(sn + 1, np.int16)
+    np.add.at(covered, np.minimum(cm_, sn), np.int16(1))
+    np.add.at(covered, np.minimum(cm_ + cl_, sn), np.int16(-1))
+    is_lit = np.cumsum(covered[:sn], dtype=np.int32) == 0
     lut = ctx.context_lut(2)
     lp = np.flatnonzero(is_lit).astype(np.int32)
-    p1l = data[np.maximum(lp - 1, 0)].astype(np.int32)
-    p2l = data[np.maximum(lp - 2, 0)].astype(np.int32)
+    p1l = sdata[np.maximum(lp - 1, 0)].astype(np.int32)
+    p2l = sdata[np.maximum(lp - 2, 0)].astype(np.int32)
     cidl = (lut[0][p1l] | lut[1][p2l]).astype(np.int32)
-    hist = np.bincount((cidl << 8) | data[lp],
+    hist = np.bincount((cidl << 8) | sdata[lp],
                        minlength=64 * 256)[:64 * 256].reshape(
                            64, 256) + 1
     bits = -np.log2(hist / hist.sum(axis=1, keepdims=True))
@@ -891,17 +1003,17 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
         pass
     cm = _CM()
     ccode, _, _ = bitstream._encode_values(
-        np.maximum(lens, 2), prefix.COPY_BASE, prefix.COPY_EXTRA)
+        np.maximum(sl, 2), prefix.COPY_BASE, prefix.COPY_EXTRA)
     cc_hist = np.bincount(ccode, minlength=24).astype(np.float64) + 0.2
     cc_p = cc_hist / cc_hist.sum()
     ins_share = 3.0
-    if len(m) > 16:
-        prev_end = np.concatenate([[0], (m + lens)[:-1]])
-        ins_lens = np.maximum(m - prev_end, 0)
+    if len(sm) > 16:
+        prev_end = np.concatenate([[0], (sm + sl)[:-1]])
+        ins_lens = np.maximum(sm - prev_end, 0)
         icode, _, _ = bitstream._encode_values(
             ins_lens, prefix.INSERT_BASE, prefix.INSERT_EXTRA)
         syms = bitstream._combine_codes(icode, ccode,
-                                        np.zeros(len(m), bool))
+                                        np.zeros(len(sm), bool))
         jh = np.bincount(syms, minlength=704).astype(np.float64)
         jp = jh / jh.sum()
         joint_avg = float(-(jp[jh > 0] * np.log2(jp[jh > 0])).sum())
@@ -921,8 +1033,8 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
     # codes included), matching the host CostModel: replay through
     # plan_commands so short codes 0-15 carry learned costs
     from ..enc.matcher import matches_to_commands
-    if len(m):
-        cmds = matches_to_commands(m, lens, dists, flags, 0, n)
+    if len(sm):
+        cmds = matches_to_commands(sm, sl, sd, sf, 0, sn)
         plan, _ = bitstream.plan_commands(*cmds[:3], None, cmds[3])
         dsym = plan["dist_syms"][plan["has_dist"]]
         dh = np.bincount(dsym, minlength=64).astype(np.float64)[:64]

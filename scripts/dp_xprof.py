@@ -48,7 +48,10 @@ def run_segment(corpus):
 
 
 def aggregate(tdir):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:  # proto layout moved; tensorflow carries a copy
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     files = glob.glob(tdir + "/**/*.xplane.pb", recursive=True)
     if not files:
         print("no xplane captured (device trace unsupported here?)")
