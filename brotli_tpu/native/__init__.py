@@ -110,6 +110,16 @@ def get_lib():
         lib.btpu_peak_memory.argtypes = [
             ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
         lib.btpu_peak_memory.restype = ctypes.c_size_t
+        lib.btpu_parse_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.btpu_parse_stream.restype = ctypes.c_int
         lib.btpu_lit_cost.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_double,
@@ -387,6 +397,50 @@ def dict_post(data: bytes, mpos, mlen, max_distance: int,
     k = cnt.value
     return (op[:k].astype(np.int64), ol[:k].astype(np.int64),
             od[:k].astype(np.int64), of[:k].astype(np.int64))
+
+
+def parse_stream(data: bytes, large_window: bool = False):
+    """Native deferred symbol parse (device-decode front end; see
+    btpu_dec.c btpu_parse_stream): decodes the bit-serial symbol
+    stream at native speed and returns the copy graph for device-side
+    LZ resolution (ops/lz_resolve.py).
+
+    Returns (lits, nlit_runs, copy_lens, dists): the literal byte
+    stream plus per-command arrays. Raises DecodeError (compound
+    dictionaries and invalid streams fall back to the host decoder)."""
+    import numpy as np
+    from ..format.dictionary import dictionary_data
+    lib = get_lib()
+    lits_p = ctypes.c_void_p()
+    nlit = ctypes.c_size_t()
+    cn_p = ctypes.c_void_p()
+    cc_p = ctypes.c_void_p()
+    cd_p = ctypes.c_void_p()
+    ncmd = ctypes.c_size_t()
+    rc = lib.btpu_parse_stream(data, len(data), dictionary_data(),
+                               1 if large_window else 0,
+                               ctypes.byref(lits_p), ctypes.byref(nlit),
+                               ctypes.byref(cn_p), ctypes.byref(cc_p),
+                               ctypes.byref(cd_p), ctypes.byref(ncmd))
+    if rc != 0:
+        raise DecodeError(rc)
+    try:
+        lits = ctypes.string_at(lits_p, nlit.value)
+        k = ncmd.value
+        cn = np.ctypeslib.as_array(
+            ctypes.cast(cn_p, ctypes.POINTER(ctypes.c_uint32)),
+            (k,)).copy() if k else np.zeros(0, np.uint32)
+        cc = np.ctypeslib.as_array(
+            ctypes.cast(cc_p, ctypes.POINTER(ctypes.c_uint32)),
+            (k,)).copy() if k else np.zeros(0, np.uint32)
+        cd = np.ctypeslib.as_array(
+            ctypes.cast(cd_p, ctypes.POINTER(ctypes.c_uint32)),
+            (k,)).copy() if k else np.zeros(0, np.uint32)
+    finally:
+        for p in (lits_p, cn_p, cc_p, cd_p):
+            if p.value:
+                lib.btpu_free(p)
+    return lits, cn, cc, cd
 
 
 def dict_probe_all(data: bytes, mpos, mlen, base: int = 0,

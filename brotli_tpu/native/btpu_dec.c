@@ -856,7 +856,10 @@ resume_mb:;
           bs[1].length--;
           if ((e = tree_decode(&cmd_trees[cmd_bt], &br, &sym)))
             goto fail;
-          uint64_t insert_len = (uint64_t)kCmdInsertBase[sym];
+  #ifdef PARSE_DEBUG
+        fprintf(stderr, "cmd sym=%u bit=%zu\n", sym, br.bitpos);
+#endif
+        uint64_t insert_len = (uint64_t)kCmdInsertBase[sym];
           if (kCmdInsertExtra[sym]) {
             if ((e = br_take(&br, kCmdInsertExtra[sym], &v))) goto fail;
             insert_len += v;
@@ -1156,6 +1159,432 @@ hard:
     mbctx_free(S->mb);
     S->mb = NULL;
   }
+  return e ? e : ERR_FORMAT;
+}
+
+/* ---------- deferred symbol parse (device-decode front end) ----------
+ *
+ * Role: c/dec/decode.c:2401 ProcessCommands re-split per SURVEY §7
+ * step 2 -- the inherently bit-serial symbol parse runs HERE at
+ * native speed while the byte movement (the LZ copy graph) resolves
+ * on the device (ops/lz_resolve.py log-step pointer doubling). The
+ * parse emits (literal-run, copy-len, distance) commands plus the
+ * raw literal stream; dictionary words and uncompressed blocks fold
+ * in as pre-resolved literal runs.
+ *
+ * Context-modeled literal trees need only the two previous OUTPUT
+ * bytes (RFC 7932 7.1); after a copy those are its trailing bytes,
+ * resolved by chasing the command graph with a memo (the python
+ * decoder's _dz_byte_at role) -- overlapping/RLE copies collapse in
+ * one modulo jump, so each chase is O(commands crossed) amortized
+ * O(1) with the memo. */
+
+typedef struct {
+  uint8_t* lits;
+  size_t nlit, lit_cap;
+  uint32_t *cn, *cc, *cd; /* per command: lit run, copy len, dist */
+  size_t ncmd, cmd_cap;
+  uint64_t *ends, *lstarts; /* cumulative indexes for the chase */
+  uint64_t out_total;
+  uint64_t lit_run; /* literals since the last copy */
+  uint64_t* mk;     /* memo keys: pos + 1 (0 = empty) */
+  uint8_t* mv;
+} DeferP;
+
+#define DZ_MBITS 18
+
+static int defer_lit_reserve(DeferP* P, size_t extra) {
+  if (P->nlit + extra <= P->lit_cap) return 0;
+  size_t nc = P->lit_cap ? P->lit_cap * 2 : 1 << 16;
+  while (nc < P->nlit + extra) nc *= 2;
+  uint8_t* np = (uint8_t*)realloc(P->lits, nc);
+  if (!np) return ERR_ALLOC;
+  P->lits = np;
+  P->lit_cap = nc;
+  return 0;
+}
+
+static int defer_push_copy(DeferP* P, uint64_t cpy, uint64_t dist) {
+  if (P->ncmd == P->cmd_cap) {
+    size_t nc = P->cmd_cap ? P->cmd_cap * 2 : 1 << 12;
+    uint32_t* a = (uint32_t*)realloc(P->cn, nc * 4);
+    uint32_t* b = (uint32_t*)realloc(P->cc, nc * 4);
+    uint32_t* c = (uint32_t*)realloc(P->cd, nc * 4);
+    uint64_t* d = (uint64_t*)realloc(P->ends, nc * 8);
+    uint64_t* f = (uint64_t*)realloc(P->lstarts, nc * 8);
+    if (a) P->cn = a;
+    if (b) P->cc = b;
+    if (c) P->cd = c;
+    if (d) P->ends = d;
+    if (f) P->lstarts = f;
+    if (!a || !b || !c || !d || !f) return ERR_ALLOC;
+    P->cmd_cap = nc;
+  }
+  P->cn[P->ncmd] = (uint32_t)P->lit_run;
+  P->cc[P->ncmd] = (uint32_t)cpy;
+  P->cd[P->ncmd] = (uint32_t)dist;
+  P->lstarts[P->ncmd] = P->nlit - P->lit_run;
+  P->out_total += P->lit_run + cpy;
+  P->ends[P->ncmd] = P->out_total;
+  P->ncmd++;
+  P->lit_run = 0;
+  return 0;
+}
+
+/* output byte at virtual position pos, via the copy graph + memo */
+static uint8_t defer_byte(DeferP* P, uint64_t pos) {
+  uint64_t chain[64];
+  int nchain = 0;
+  uint8_t b = 0;
+  for (;;) {
+    size_t slot = (size_t)((pos * 0x9E3779B97F4A7C15ull) >>
+                           (64 - DZ_MBITS));
+    if (P->mk[slot] == pos + 1) {
+      b = P->mv[slot];
+      break;
+    }
+    /* binary search: first command whose end exceeds pos */
+    size_t lo = 0, hi = P->ncmd;
+    while (lo < hi) {
+      size_t mid = (lo + hi) >> 1;
+      if (P->ends[mid] <= pos) lo = mid + 1;
+      else hi = mid;
+    }
+    uint64_t base = lo ? P->ends[lo - 1] : 0;
+    uint64_t off = pos - base;
+    uint32_t nl = P->cn[lo];
+    if (off < nl) {
+      b = P->lits[P->lstarts[lo] + off];
+      break;
+    }
+    if (nchain < 64) chain[nchain++] = pos;
+    uint64_t j = off - nl;
+    uint64_t d = P->cd[lo];
+    pos = base + nl + (j % d) - d;
+  }
+  for (int i = 0; i < nchain; i++) {
+    uint64_t p2 = chain[i];
+    size_t slot = (size_t)((p2 * 0x9E3779B97F4A7C15ull) >>
+                           (64 - DZ_MBITS));
+    P->mk[slot] = p2 + 1;
+    P->mv[slot] = b;
+  }
+  return b;
+}
+
+int btpu_parse_stream(const uint8_t* in, size_t in_len,
+                      const uint8_t* dict, int large_window,
+                      uint8_t** out_lits, size_t* out_nlit,
+                      uint32_t** out_cn, uint32_t** out_cc,
+                      uint32_t** out_cd, size_t* out_ncmd) {
+  BitReader br = {in, in_len, 0};
+  int e = 0;
+  uint32_t v;
+  DeferP P;
+  memset(&P, 0, sizeof(P));
+  P.mk = (uint64_t*)calloc((size_t)1 << DZ_MBITS, 8);
+  P.mv = (uint8_t*)calloc((size_t)1 << DZ_MBITS, 1);
+  Tree* lit_trees = NULL;
+  Tree* cmd_trees = NULL;
+  Tree* dist_trees = NULL;
+  uint8_t* lit_cmap = NULL;
+  uint8_t* dist_cmap = NULL;
+  uint8_t scratch[1200];
+  int32_t dist_rb[4] = {16, 15, 11, 4};
+  int rb_idx = 0;
+  uint8_t p1 = 0, p2 = 0;
+  BlockState bs[3];
+  uint8_t ctx_modes[256];
+  if (!P.mk || !P.mv) { e = ERR_ALLOC; goto fail; }
+
+  int wbits;
+  int is_large = 0;
+  if ((e = br_take(&br, 1, &v))) goto fail;
+  if (v == 0) {
+    wbits = 16;
+  } else {
+    if ((e = br_take(&br, 3, &v))) goto fail;
+    if (v != 0) {
+      wbits = 17 + (int)v;
+    } else {
+      if ((e = br_take(&br, 3, &v))) goto fail;
+      if (v == 1) {
+        if (!large_window) { e = ERR_WINDOW_BITS; goto fail; }
+        if ((e = br_take(&br, 1, &v)) || v) { if (!e) e = ERR_WINDOW_BITS; goto fail; }
+        if ((e = br_take(&br, 6, &v))) goto fail;
+        if (v < 10 || v > 30) { e = ERR_WINDOW_BITS; goto fail; }
+        wbits = (int)v;
+        is_large = 1;
+      } else {
+        wbits = v ? 8 + (int)v : 17;
+      }
+    }
+  }
+  {
+    uint64_t max_backward = ((uint64_t)1 << wbits) - 16;
+    uint32_t is_last = 0;
+    for (;;) { /* metablock loop */
+      if ((e = br_take(&br, 1, &is_last))) goto fail;
+      if (is_last) {
+        if ((e = br_take(&br, 1, &v))) goto fail;
+        if (v) break; /* ISLASTEMPTY */
+      }
+      uint32_t mnib;
+      if ((e = br_take(&br, 2, &mnib))) goto fail;
+      if (mnib == 3) { /* metadata: skip */
+        if ((e = br_take(&br, 1, &v)) || v) { if (!e) e = ERR_RESERVED; goto fail; }
+        uint32_t skip_bytes;
+        if ((e = br_take(&br, 2, &skip_bytes))) goto fail;
+        uint64_t mlen = 0;
+        for (uint32_t i = 0; i < skip_bytes; i++) {
+          if ((e = br_take(&br, 8, &v))) goto fail;
+          if (i + 1 == skip_bytes && skip_bytes > 1 && v == 0) {
+            e = ERR_EXUBERANT_META_NIBBLE; goto fail;
+          }
+          mlen |= (uint64_t)v << (8 * i);
+        }
+        if (skip_bytes) mlen += 1;
+        if (br.bitpos & 7) {
+          if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+          if (v) { e = ERR_PADDING_1; goto fail; }
+        }
+        if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
+        br.bitpos += mlen * 8;
+        if (is_last) break;
+        continue;
+      }
+      uint32_t nibbles = mnib + 4;
+      uint64_t mlen = 0;
+      for (uint32_t i = 0; i < nibbles; i++) {
+        if ((e = br_take(&br, 4, &v))) goto fail;
+        if (i + 1 == nibbles && nibbles > 4 && v == 0) {
+          e = ERR_EXUBERANT_NIBBLE; goto fail;
+        }
+        mlen |= (uint64_t)v << (4 * i);
+      }
+      mlen += 1;
+      uint32_t is_uncompressed = 0;
+      if (!is_last) {
+        if ((e = br_take(&br, 1, &is_uncompressed))) goto fail;
+      }
+      if (is_uncompressed) {
+        if (br.bitpos & 7) {
+          if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+          if (v) { e = ERR_PADDING_1; goto fail; }
+        }
+        if (!br_avail(&br, mlen * 8)) { e = ERR_TRUNCATED; goto fail; }
+        if ((e = defer_lit_reserve(&P, mlen))) goto fail;
+        memcpy(P.lits + P.nlit, br.buf + (br.bitpos >> 3), mlen);
+        P.nlit += mlen;
+        P.lit_run += mlen;
+        p2 = mlen >= 2 ? P.lits[P.nlit - 2] : (mlen == 1 ? p1 : p2);
+        p1 = P.lits[P.nlit - 1];
+        br.bitpos += mlen * 8;
+        continue;
+      }
+
+      for (int c = 0; c < 3; c++) {
+        if ((e = block_state_init(&bs[c], &br, scratch))) goto fail;
+      }
+      uint32_t npostfix, ndirect_raw, ndirect;
+      if ((e = br_take(&br, 2, &npostfix))) goto fail;
+      if ((e = br_take(&br, 4, &ndirect_raw))) goto fail;
+      ndirect = ndirect_raw << npostfix;
+      for (uint32_t i = 0; i < bs[0].num_types; i++) {
+        if ((e = br_take(&br, 2, &v))) goto fail;
+        ctx_modes[i] = (uint8_t)v;
+      }
+      size_t lit_cmap_size = (size_t)bs[0].num_types << 6;
+      size_t dist_cmap_size = (size_t)bs[2].num_types << 2;
+      uint32_t n_lit_trees = 0, n_cmd_trees = bs[1].num_types;
+      uint32_t n_dist_trees = 0;
+      lit_cmap = (uint8_t*)malloc(lit_cmap_size);
+      dist_cmap = (uint8_t*)malloc(dist_cmap_size);
+      if (!lit_cmap || !dist_cmap) { e = ERR_ALLOC; goto fail; }
+      if ((e = read_context_map(&br, (uint32_t)lit_cmap_size, lit_cmap,
+                                &n_lit_trees, scratch))) goto fail;
+      if ((e = read_context_map(&br, (uint32_t)dist_cmap_size, dist_cmap,
+                                &n_dist_trees, scratch))) goto fail;
+      uint32_t maxnbits = is_large ? 62u : 24u;
+      uint32_t dist_alpha = 16 + ndirect + (maxnbits << (npostfix + 1));
+      lit_trees = (Tree*)malloc(sizeof(Tree) * n_lit_trees);
+      cmd_trees = (Tree*)malloc(sizeof(Tree) * n_cmd_trees);
+      dist_trees = (Tree*)malloc(sizeof(Tree) * n_dist_trees);
+      if (!lit_trees || !cmd_trees || !dist_trees) { e = ERR_ALLOC; goto fail; }
+      for (uint32_t i = 0; i < n_lit_trees; i++)
+        if ((e = read_huffman_code(&br, 256, &lit_trees[i], scratch)))
+          goto fail;
+      for (uint32_t i = 0; i < n_cmd_trees; i++)
+        if ((e = read_huffman_code(&br, 704, &cmd_trees[i], scratch)))
+          goto fail;
+      for (uint32_t i = 0; i < n_dist_trees; i++)
+        if ((e = read_huffman_code(&br, (int)dist_alpha, &dist_trees[i],
+                                   scratch))) goto fail;
+
+      uint32_t lit_bt = 0, cmd_bt = 0, dist_bt = 0;
+      int64_t remaining = (int64_t)mlen;
+      const uint8_t* lut = kContextLut[ctx_modes[lit_bt]];
+      if ((e = defer_lit_reserve(&P, (size_t)remaining + 32))) goto fail;
+      while (remaining > 0) {
+        if (bs[1].length == 0) {
+          if ((e = block_switch(&bs[1], &br, &cmd_bt))) goto fail;
+        }
+        bs[1].length--;
+        uint32_t sym;
+        if ((e = tree_decode(&cmd_trees[cmd_bt], &br, &sym))) goto fail;
+#ifdef PARSE_DEBUG
+        fprintf(stderr, "cmd sym=%u bit=%zu\n", sym, br.bitpos);
+#endif
+        uint64_t insert_len = (uint64_t)kCmdInsertBase[sym];
+        if (kCmdInsertExtra[sym]) {
+          if ((e = br_take(&br, kCmdInsertExtra[sym], &v))) goto fail;
+          insert_len += v;
+        }
+        uint64_t copy_len = (uint64_t)kCmdCopyBase[sym];
+        if (kCmdCopyExtra[sym]) {
+          if ((e = br_take(&br, kCmdCopyExtra[sym], &v))) goto fail;
+          copy_len += v;
+        }
+        for (uint64_t i = 0; i < insert_len; i++) {
+          if (bs[0].length == 0) {
+            if ((e = block_switch(&bs[0], &br, &lit_bt))) goto fail;
+            lut = kContextLut[ctx_modes[lit_bt]];
+          }
+          bs[0].length--;
+          uint32_t ctx = (uint32_t)lut[p1] | lut[256 + p2];
+          uint32_t lit;
+          if ((e = tree_decode(
+                   &lit_trees[lit_cmap[(lit_bt << 6) + ctx]], &br,
+                   &lit))) goto fail;
+#ifdef PARSE_DEBUG
+          fprintf(stderr, "L %zu ctx=%u p1=%u p2=%u lit=%u\n",
+                  (size_t)(P.out_total + P.lit_run), ctx, p1, p2, lit);
+#endif
+          P.lits[P.nlit++] = (uint8_t)lit;
+          P.lit_run++;
+          p2 = p1;
+          p1 = (uint8_t)lit;
+          remaining--;
+        }
+        if (remaining <= 0) break;
+        uint64_t max_distance =
+            P.out_total + P.lit_run < max_backward
+                ? P.out_total + P.lit_run : max_backward;
+        int64_t distance;
+        int dist_code_zero;
+        if (kCmdImplicitDist0[sym]) {
+          distance = dist_rb[(rb_idx - 1) & 3];
+          dist_code_zero = 1;
+        } else {
+          if (bs[2].length == 0) {
+            if ((e = block_switch(&bs[2], &br, &dist_bt))) goto fail;
+          }
+          bs[2].length--;
+          uint32_t dctx = kCmdDistCtx[sym];
+          uint32_t dcode;
+          if ((e = tree_decode(
+                   &dist_trees[dist_cmap[(dist_bt << 2) + dctx]], &br,
+                   &dcode))) goto fail;
+          dist_code_zero = (dcode == 0);
+          if (dcode < 16) {
+            static const int8_t ring[16] = {0, 1, 2, 3, 0, 0, 0, 0,
+                                            0, 0, 1, 1, 1, 1, 1, 1};
+            static const int8_t delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
+                                             -3, 3, -1, 1, -2, 2, -3, 3};
+            distance =
+                (int64_t)dist_rb[(rb_idx - 1 - ring[dcode]) & 3] +
+                delta[dcode];
+            if (distance <= 0) { e = ERR_DISTANCE; goto fail; }
+          } else if (dcode < 16 + ndirect) {
+            distance = (int64_t)(dcode - 16 + 1);
+          } else {
+            uint32_t x = dcode - ndirect - 16;
+            uint32_t postfix = x & ((1u << npostfix) - 1);
+            uint32_t h = x >> npostfix;
+            uint32_t nbits = 1 + (h >> 1);
+            uint64_t offset = ((uint64_t)(2 + (h & 1)) << nbits) - 4;
+            uint32_t extra;
+            if ((e = br_take(&br, (int)nbits, &extra))) goto fail;
+            distance = (int64_t)(((offset + extra) << npostfix) +
+                                 postfix + ndirect + 1);
+            if (distance > 0x7FFFFFFCll) { e = ERR_DISTANCE; goto fail; }
+          }
+        }
+        if ((uint64_t)distance > max_distance) {
+          /* static dictionary word: expand to a literal run (the
+             device path's pre-resolved bytes); compound dictionaries
+             route to the host decoder instead */
+          if (copy_len < 4 || copy_len > 24 || !dict) {
+            e = ERR_DICTIONARY; goto fail;
+          }
+          uint32_t nbits_d = kDictSizeBits[copy_len];
+          if (!nbits_d) { e = ERR_DICTIONARY; goto fail; }
+          uint64_t address = (uint64_t)distance - max_distance - 1;
+          uint32_t word_idx =
+              (uint32_t)(address & ((1u << nbits_d) - 1));
+          uint32_t tid = (uint32_t)(address >> nbits_d);
+          if (tid >= 121) { e = ERR_DICTIONARY; goto fail; }
+          const uint8_t* word = dict + kDictOffsets[copy_len] +
+                                (size_t)word_idx * copy_len;
+          uint8_t wbuf[40];
+          int wl;
+          if (tid == 0) {
+            memcpy(wbuf, word, copy_len);
+            wl = (int)copy_len;
+          } else {
+            wl = transform_word(wbuf, word, (int)copy_len, (int)tid);
+            if (wl == 0) { e = ERR_TRANSFORM; goto fail; }
+          }
+          if ((e = defer_lit_reserve(&P, (size_t)wl))) goto fail;
+          memcpy(P.lits + P.nlit, wbuf, wl);
+          P.nlit += wl;
+          P.lit_run += wl;
+          p2 = wl >= 2 ? wbuf[wl - 2] : p1;
+          p1 = wbuf[wl - 1];
+          /* mlen counts OUTPUT bytes: a transformed word's length can
+             differ from the command's copy_len */
+          remaining -= wl;
+        } else {
+          if (!dist_code_zero) {
+            dist_rb[rb_idx & 3] = (int32_t)distance;
+            rb_idx++;
+          }
+          if ((e = defer_push_copy(&P, copy_len, (uint64_t)distance)))
+            goto fail;
+          remaining -= copy_len;
+          p1 = defer_byte(&P, P.out_total - 1);
+          p2 = defer_byte(&P, P.out_total - 2);
+        }
+        if (remaining < 0) { e = ERR_BLOCK_LENGTH; goto fail; }
+      }
+      free(lit_cmap); free(dist_cmap); lit_cmap = dist_cmap = NULL;
+      free(lit_trees); free(cmd_trees); free(dist_trees);
+      lit_trees = cmd_trees = dist_trees = NULL;
+      if (is_last) break;
+    }
+  }
+  /* stream padding */
+  if (br.bitpos & 7) {
+    if ((e = br_take(&br, (int)(8 - (br.bitpos & 7)), &v))) goto fail;
+    if (v) { e = ERR_PADDING_2; goto fail; }
+  }
+  /* trailing literal-only command */
+  if (P.lit_run || P.ncmd == 0) {
+    if ((e = defer_push_copy(&P, 0, 0))) goto fail;
+  }
+  free(P.mk); free(P.mv); free(P.ends); free(P.lstarts);
+  *out_lits = P.lits;
+  *out_nlit = P.nlit;
+  *out_cn = P.cn;
+  *out_cc = P.cc;
+  *out_cd = P.cd;
+  *out_ncmd = P.ncmd;
+  return 0;
+fail:
+  free(P.lits); free(P.cn); free(P.cc); free(P.cd);
+  free(P.ends); free(P.lstarts); free(P.mk); free(P.mv);
+  free(lit_cmap); free(dist_cmap);
+  free(lit_trees); free(cmd_trees); free(dist_trees);
   return e ? e : ERR_FORMAT;
 }
 

@@ -3679,7 +3679,8 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
                                           0, 0, 1, 1, 1, 1, 1, 1};
       static const int8_t kRingOff[16] = {0, 0, 0, 0, -1, 1, -2, 2,
                                           -3, 3, -1, 1, -2, 2, -3, 3};
-      int nprobe = g_opt_no_ring < 0 ? -g_opt_no_ring : 16;
+      int nprobe = g_opt_no_ring < 0 ? -g_opt_no_ring
+                   : g_opt_no_ring == 7 ? 0 : 16;
       for (int s = 0; s < nprobe; s++) {
         long ds = (long)nring[kRingIdx[s]] + kRingOff[s];
         if (ds <= 0 || (size_t)ds > maxd) continue;
@@ -3689,7 +3690,10 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
           continue;
         const uint8_t* q = p - d;
         if (q[0] != p[0]) continue;
-        size_t l = common_len(p, q, limit);
+        size_t lim_ = limit;
+        if (g_opt_no_ring == 5 && lim_ > 16) lim_ = 16;  /* diag */
+        if (g_opt_no_ring == 6 && lim_ > 32) lim_ = 32;  /* diag */
+        size_t l = common_len(p, q, lim_);
         /* len-2 copies are in the command alphabet and pay no match
            discovery: on cached distances they beat two literals
            whenever the short code is cheap (the reference zopfli

@@ -357,7 +357,7 @@ def _scan_kernel(pd_all, cs_all, litq_b, copyq):
 
 def _scan_math_v3(mp_all, litq_b, wc_all=None, w_full=None,
                   ring_init=None, ring_cost=None, copyq_row=None,
-                  npos=None):
+                  npos=None, icell_row=None):
     """The v3 DP wavefront: the Pallas pre-reduction already collapsed
     the slots into per-position (cost, payload) tables over the W
     columns (packed [M | P] in the 128-lane minor dim), so a step is
@@ -391,6 +391,17 @@ def _scan_math_v3(mp_all, litq_b, wc_all=None, w_full=None,
         n_full = w_full.shape[1]
         iota_w = jnp.arange(W, dtype=jnp.int32)
         cq_w = copyq_row[0, :W]
+        # min-pricing the ring edge against the implicit-cell row was
+        # measured WORSE on the real chip (16MB 536,399 -> 538,084 B:
+        # the seed replay's sparse implicit-cell stats smooth into an
+        # over-optimistic price and the DP overbuys short ring
+        # copies), so the cell row ships but stays out of the price
+        # unless BROTLI_TPU_ICELL=1 (re-test hook; traced at compile)
+        use_icell = (icell_row is not None and
+                     _os_mod.environ.get("BROTLI_TPU_ICELL") == "1")
+        ring_w = jnp.minimum(ring_cost + cq_w,
+                             icell_row if use_icell
+                             else jnp.int32(1 << 28))
         lane_base = jnp.arange(nb, dtype=jnp.int32) * B
 
     def step(carry, xs):
@@ -428,7 +439,7 @@ def _scan_math_v3(mp_all, litq_b, wc_all=None, w_full=None,
                 npos + 3 - (lane_base + i), 0))  # wrapped-pad guard
             rv = jnp.where((iota_w[None, :] >= 2) &
                            (iota_w[None, :] <= rl[:, None]),
-                           cost_i[:, None] + ring_cost + cq_w[None, :],
+                           cost_i[:, None] + ring_w[None, :],
                            INF)
             rbet = rv < F
             F = jnp.where(rbet, rv, F)
@@ -661,6 +672,8 @@ def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
     uncapped (2, n//2) compaction, fetched only on capm overflow."""
     n = data.shape[0]
     nb = n // B
+    icell_row = dist_sym_bits_q[64:64 + W]  # see _dispatch_v3 packing
+    dist_sym_bits_q = dist_sym_bits_q[:64]
     ls_flat, cs_flat, ds_flat, dist_fill = _edges_slots(
         data, npos, max_distance, dist_sym_bits_q, seed_pos, seed_len,
         seed_dist)
@@ -707,7 +720,8 @@ def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
     paymat = _scan_math_v3(mp_all, litq_b, wc_all=wc_all,
                            w_full=w_full, ring_init=ring_init,
                            ring_cost=dist_sym_bits_q[0],
-                           copyq_row=copyq_row, npos=npos)
+                           copyq_row=copyq_row, npos=npos,
+                           icell_row=icell_row)
     count, stacked = _finish_math(paymat, npos)
     packed = jnp.zeros((2, capm + 8), jnp.uint32)
     packed = packed.at[0, 0].set(count.astype(jnp.uint32))
@@ -819,11 +833,14 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
     tables -- both are GIL-releasing native passes). `dev_big`: the
     upload_input() handle if the caller started the upload early."""
     from ..utils import trace
-    bits_tab, copyq, distq, ctx_tab = tables
+    bits_tab, copyq, distq, ctx_tab, icellq = tables
     copyq_row = np.zeros((1, 128), np.int32)
     copyq_row[0, :W] = copyq[:W]
     cq = jnp.asarray(copyq_row)
-    dq = jnp.asarray(distq)
+    # the dist channel carries [64 distance-symbol costs | W-entry
+    # implicit-cell row] so the icell table rides the existing
+    # plumbing (kernel signature unchanged)
+    dq = jnp.asarray(np.concatenate([distq, icellq]).astype(np.int32))
     btab = jnp.asarray(bits_tab.astype(np.int32).reshape(-1))
     ctab = jnp.asarray(ctx_tab.astype(np.int32))
     if dev_big is None:
@@ -1007,6 +1024,7 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
     cc_hist = np.bincount(ccode, minlength=24).astype(np.float64) + 0.2
     cc_p = cc_hist / cc_hist.sum()
     ins_share = 3.0
+    jh = None
     if len(sm) > 16:
         prev_end = np.concatenate([[0], (sm + sl)[:-1]])
         ins_lens = np.maximum(sm - prev_end, 0)
@@ -1118,7 +1136,28 @@ def _cost_tables(data: np.ndarray, seed, exact_lit: bool = False,
     copyq[:2] = 1 << 28
     dist_sym_bits_q = (cm.dist_sym_bits * QBH).astype(np.int32)
     if lit_table:
-        return litbits_q, copyq, dist_sym_bits_q, _ctx_tab2()
+        # implicit-dist0 cell prices by landed length (the host DP's
+        # oc->icell role, btpu_enc.c): commands whose distance rides
+        # the joint cell pay NO distance symbol at all -- the in-scan
+        # ring edge min-prices against this row
+        icell_q = np.full(W, 1 << 28, np.int32)
+        lc_all = np.searchsorted(prefix.COPY_BASE,
+                                 np.maximum(lens_all, 2),
+                                 side="right") - 1
+        if jh is not None and jh.sum() > 16:
+            jtot = jh.sum()
+            for c in range(W):
+                cc = int(lc_all[c])
+                if cc > 15:
+                    continue
+                f = 0.2 + sum(jh[(64 if cc >= 8 else 0) + (ic << 3) +
+                                 (cc & 7)] for ic in range(8))
+                icell_q[c] = int((-np.log2(f / jtot) +
+                                  prefix.COPY_EXTRA[cc]) * QBH)
+        else:
+            icell_q = (copyq + dist_sym_bits_q[0]).astype(np.int32)
+        icell_q[:2] = 1 << 28
+        return litbits_q, copyq, dist_sym_bits_q, _ctx_tab2(), icell_q
     return litbits_q, copyq, dist_sym_bits_q
 
 
@@ -1363,7 +1402,8 @@ def find_matches_optimal_sharded(arr, bounds, max_distance,
             lo_k = k * SEG_V3
             hi_k = min(lo_k + SEG_V3, nbuf)
             seg_los.append(lo_k if lo_k < nbuf else -1)
-            bits_tab, copyq, distq, ctx_tab = s["tables"]
+            bits_tab, copyq, distq, ctx_tab, icellq = s["tables"]
+            distq = np.concatenate([distq, icellq]).astype(np.int32)
             cq_row = np.zeros((1, 128), np.int32)
             cq_row[0, :W] = copyq[:W]
             if lo_k >= nbuf:  # shard exhausted: dummy segment
