@@ -189,6 +189,16 @@ def main():
 
     skip_dev = bool(os.environ.get("BENCH_SKIP_DEVICE"))
     dev_proc = None if skip_dev else start_device_pass(tmp)
+    dev = {}
+    if dev_proc is not None:
+        # WAIT for the device pass before touching the host tier: this
+        # box has ONE core, and the device pipeline's own host stages
+        # (seed parse, serialization) read 3-4x slow under a
+        # concurrent host-tier run (measured 1.3 vs 4.4-6.0 MB/s).
+        # The budget still bounds a cold-compile hang.
+        deadline = min(t_start + GLOBAL_BUDGET - 120,
+                       t_start + DEVICE_BUDGET)
+        dev = collect_device(dev_proc, deadline)
 
     # host-native C tier (zero chips) -- comparison field
     brotli_tpu.compress(data[: 1 << 20], quality=QUALITY)  # warm
@@ -236,25 +246,8 @@ def main():
     mesh = mesh_scaling(data)
     mesh_note = (f"; 8-vdev CPU-mesh q5 scaling eff {mesh['eff']}"
                  f" (t1 {mesh['t1']}s / t8 {mesh['t8']}s; overhead proxy,"
-                 f" not a chip number)" if mesh else "")
-
-    dev = {}
-    if dev_proc is not None:
-        deadline = min(t_start + GLOBAL_BUDGET - 25,
-                       t_start + DEVICE_BUDGET)
-        dev = collect_device(dev_proc, deadline)
-        # one clean host-tier re-time now that the device subprocess
-        # exited: the concurrent runs above share CPU with the device
-        # pass's host stages (seed parse, serialization) and read low
-        # (measured 1.58 MB/s contended vs 5.5-8.9 clean)
-        if time.time() - t_start < GLOBAL_BUDGET - 40:
-            t0 = time.time()
-            host_comp = brotli_tpu.compress(data, quality=QUALITY)
-            host_best = max(host_best, len(data) / (time.time() - t0)
-                            / 1e6)
-            host_note = (f"host-native C tier (zero chips): "
-                         f"{host_best:.2f} MB/s, size "
-                         f"{ratio(len(host_comp))}")
+                 f" not a chip number -- on a 1-core host the formula's"
+                 f" ceiling is 0.125)" if mesh else "")
 
     if dev.get("mbps"):
         value = dev["mbps"]

@@ -34,8 +34,8 @@ def decompress_device(data: bytes, large_window: bool = False) -> bytes:
     from ..ops.lz_resolve import resolve
     try:
         from .. import native
-        lits, cn, cc, cd = native.parse_stream(data, large_window)
-        return resolve(lits, cn, cc, cd)
+        lits, cn, cc, cd, mdep = native.parse_stream(data, large_window)
+        return resolve(lits, cn, cc, cd, max_depth=mdep)
     except (ImportError, OSError, ValueError):
         pass
     d = Decoder()

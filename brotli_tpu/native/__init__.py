@@ -118,7 +118,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_size_t)]
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_uint32)]
         lib.btpu_parse_stream.restype = ctypes.c_int
         lib.btpu_lit_cost.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -405,9 +406,11 @@ def parse_stream(data: bytes, large_window: bool = False):
     stream at native speed and returns the copy graph for device-side
     LZ resolution (ops/lz_resolve.py).
 
-    Returns (lits, nlit_runs, copy_lens, dists): the literal byte
-    stream plus per-command arrays. Raises DecodeError (compound
-    dictionaries and invalid streams fall back to the host decoder)."""
+    Returns (lits, nlit_runs, copy_lens, dists, max_depth): the
+    literal byte stream, per-command arrays, and the copy-chain depth
+    bound (the device resolver needs ceil(log2(depth)) gather steps).
+    Raises DecodeError (compound dictionaries and invalid streams
+    fall back to the host decoder)."""
     import numpy as np
     from ..format.dictionary import dictionary_data
     lib = get_lib()
@@ -417,11 +420,13 @@ def parse_stream(data: bytes, large_window: bool = False):
     cc_p = ctypes.c_void_p()
     cd_p = ctypes.c_void_p()
     ncmd = ctypes.c_size_t()
+    max_depth = ctypes.c_uint32()
     rc = lib.btpu_parse_stream(data, len(data), dictionary_data(),
                                1 if large_window else 0,
                                ctypes.byref(lits_p), ctypes.byref(nlit),
                                ctypes.byref(cn_p), ctypes.byref(cc_p),
-                               ctypes.byref(cd_p), ctypes.byref(ncmd))
+                               ctypes.byref(cd_p), ctypes.byref(ncmd),
+                               ctypes.byref(max_depth))
     if rc != 0:
         raise DecodeError(rc)
     try:
@@ -440,7 +445,7 @@ def parse_stream(data: bytes, large_window: bool = False):
         for p in (lits_p, cn_p, cc_p, cd_p):
             if p.value:
                 lib.btpu_free(p)
-    return lits, cn, cc, cd
+    return lits, cn, cc, cd, max_depth.value
 
 
 def dict_probe_all(data: bytes, mpos, mlen, base: int = 0,

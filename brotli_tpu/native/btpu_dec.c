@@ -1276,7 +1276,8 @@ int btpu_parse_stream(const uint8_t* in, size_t in_len,
                       const uint8_t* dict, int large_window,
                       uint8_t** out_lits, size_t* out_nlit,
                       uint32_t** out_cn, uint32_t** out_cc,
-                      uint32_t** out_cd, size_t* out_ncmd) {
+                      uint32_t** out_cd, size_t* out_ncmd,
+                      uint32_t* out_max_depth) {
   BitReader br = {in, in_len, 0};
   int e = 0;
   uint32_t v;
@@ -1571,6 +1572,31 @@ int btpu_parse_stream(const uint8_t* in, size_t in_len,
   /* trailing literal-only command */
   if (P.lit_run || P.ncmd == 0) {
     if ((e = defer_push_copy(&P, 0, 0))) goto fail;
+  }
+  /* copy-chain depth: the device resolver's pointer doubling needs
+     ceil(log2(max_depth)) gather steps, and a fixed worst-case 24
+     was 3x the typical need (measured 7.7 s -> the gathers dominate
+     the tunnel path). One linear pass: depth = 0 for literals,
+     depth[src] + 1 for copied bytes. */
+  if (out_max_depth) {
+    uint32_t mx = 0;
+    uint32_t* dep = (uint32_t*)malloc(P.out_total * 4);
+    if (dep) {
+      uint64_t pos = 0;
+      for (size_t k = 0; k < P.ncmd; k++) {
+        for (uint32_t i = 0; i < P.cn[k]; i++) dep[pos++] = 0;
+        uint64_t d = P.cd[k];
+        for (uint32_t i = 0; i < P.cc[k]; i++) {
+          uint32_t v2 = dep[pos - d] + 1;
+          dep[pos++] = v2;
+          if (v2 > mx) mx = v2;
+        }
+      }
+      free(dep);
+      *out_max_depth = mx;
+    } else {
+      *out_max_depth = 0xFFFFFFFFu; /* unknown: caller uses worst case */
+    }
   }
   free(P.mk); free(P.mv); free(P.ends); free(P.lstarts);
   *out_lits = P.lits;

@@ -44,8 +44,14 @@ def _resolve(lits, nlit, ncopy, dist, n_out, n_steps):
     return jnp.where(is_lit[src], litval[src], jnp.uint8(0))
 
 
-def resolve(lits: bytes, nlit, ncopy, dist) -> bytes:
-    """Resolve the deferred-LZ command list into output bytes."""
+def resolve(lits: bytes, nlit, ncopy, dist, max_depth=None) -> bytes:
+    """Resolve the deferred-LZ command list into output bytes.
+
+    max_depth: copy-chain depth bound when the parser measured one
+    (native parse_stream does); the doubling loop then runs
+    ceil(log2(depth)) steps instead of the worst-case log2(n) -- the
+    gathers are the whole cost of the device path, so on typical
+    streams this is a ~3x cut."""
     ensure_cache()
     nlit = np.asarray(nlit, np.int32)
     ncopy = np.asarray(ncopy, np.int32)
@@ -54,6 +60,8 @@ def resolve(lits: bytes, nlit, ncopy, dist) -> bytes:
     if n_out == 0:
         return b""
     n_steps = max(1, int(np.ceil(np.log2(n_out))))
+    if max_depth is not None and 0 < max_depth < (1 << 30):
+        n_steps = min(n_steps, max(1, int(max_depth).bit_length()))
     la = np.frombuffer(bytes(lits), np.uint8)
     if len(la) == 0:
         la = np.zeros(1, np.uint8)  # gather base for all-copy streams

@@ -54,8 +54,15 @@ B = 4096          # DP block size (hard parse boundary)
 LEVELS = (
     (4, tuple(range(1, 13)) + (16,)),
     (8, tuple(range(1, 9)) + (16, 32, 64, 128, 256, 512)),
-    (16, (1, 2, 3, 4, 8, 16, 32, 64, 128, 256)),
 )
+# (a third 16-byte level with 10 far ranks was part of the round-3
+# pool design; BROTLI_TPU_LEVEL3=1 restores it. Dropped by default in
+# round 5: the q9 seed's long-range table now finds the window-scale
+# repeats the level existed for, and its sort stack was ~25% of the
+# per-segment device time)
+if _dp_level3_env := __import__("os").environ.get("BROTLI_TPU_LEVEL3"):
+    if _dp_level3_env == "1":
+        LEVELS = LEVELS + ((16, (1, 2, 3, 4, 8, 16, 32, 64, 128, 256)),)
 QB = 16           # cost quantization (1/16 bit), matches host DP
 SEG = 1 << 21     # DP segment size: one pad-bucket shape keeps the
                   # (expensive) kernel compile count at one; long-range
@@ -708,20 +715,27 @@ def _dp_v3_impl(data, npos, max_distance, bits_tab, ctx_tab, copyq_row,
     cid = ctx_tab[(p1 << 8) | p2].astype(jnp.int32)
     litq_u8 = bits_tab[(cid << 8) | d32]
     litq_b = (litq_u8.astype(jnp.int32) * 2).reshape(nb, B).T
-    # in-scan path-ring pricing inputs (see _scan_math_v3): 16-byte
-    # windows per position, both scanned in lane order and gatherable
-    # over the whole segment
-    du = data.astype(jnp.uint32)
-    w0 = du | jnp.roll(du, -1) << 8 | jnp.roll(du, -2) << 16 | \
-        jnp.roll(du, -3) << 24
-    w_full = jnp.stack([jnp.roll(w0, -4 * k) for k in range(4)])
-    wc_all = w_full.reshape(4, nb, B).transpose(2, 0, 1)
-    ring_init = dist_fill.reshape(nb, B)[:, 0]
-    paymat = _scan_math_v3(mp_all, litq_b, wc_all=wc_all,
-                           w_full=w_full, ring_init=ring_init,
-                           ring_cost=dist_sym_bits_q[0],
-                           copyq_row=copyq_row, npos=npos,
-                           icell_row=icell_row)
+    # in-scan path-ring pricing (see _scan_math_v3). Default OFF on
+    # speed grounds: the per-step gathers profiled at 354 ms per 4 MB
+    # segment (xprof while.13; 43 ms without) and the edge recovers
+    # only ~400 B on the 16 MB corpus -- the path-ring feedback loop
+    # that makes the host DP's probes worth 2.6K needs 4 ring slots +
+    # unbounded lengths, which this single capped probe cannot reach.
+    # BROTLI_TPU_RING_SCAN=1 re-enables (traced at compile time).
+    if _os_mod.environ.get("BROTLI_TPU_RING_SCAN") == "1":
+        du = data.astype(jnp.uint32)
+        w0 = du | jnp.roll(du, -1) << 8 | jnp.roll(du, -2) << 16 | \
+            jnp.roll(du, -3) << 24
+        w_full = jnp.stack([jnp.roll(w0, -4 * k) for k in range(4)])
+        wc_all = w_full.reshape(4, nb, B).transpose(2, 0, 1)
+        ring_init = dist_fill.reshape(nb, B)[:, 0]
+        paymat = _scan_math_v3(mp_all, litq_b, wc_all=wc_all,
+                               w_full=w_full, ring_init=ring_init,
+                               ring_cost=dist_sym_bits_q[0],
+                               copyq_row=copyq_row, npos=npos,
+                               icell_row=icell_row)
+    else:
+        paymat = _scan_math_v3(mp_all, litq_b)
     count, stacked = _finish_math(paymat, npos)
     packed = jnp.zeros((2, capm + 8), jnp.uint32)
     packed = packed.at[0, 0].set(count.astype(jnp.uint32))

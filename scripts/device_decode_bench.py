@@ -32,14 +32,14 @@ def main(corpus="/tmp/bench_corpus16", quality="9"):
 
     # host symbol parse alone
     t0 = time.perf_counter()
-    lits, cn, cc, cd = native.parse_stream(blob)
+    lits, cn, cc, cd, mdep = native.parse_stream(blob)
     t_parse = time.perf_counter() - t0
 
     # device resolve (first call compiles; time the second)
-    out = resolve(lits, cn, cc, cd)
+    out = resolve(lits, cn, cc, cd, max_depth=mdep)
     assert out == data
     t0 = time.perf_counter()
-    out = resolve(lits, cn, cc, cd)
+    out = resolve(lits, cn, cc, cd, max_depth=mdep)
     t_resolve = time.perf_counter() - t0
 
     # end-to-end (parse + resolve, warm)
@@ -66,6 +66,7 @@ def main(corpus="/tmp/bench_corpus16", quality="9"):
         "backend": jax.default_backend(),
         "stream_mb": round(mb, 1),
         "parse_mbps": round(mb / t_parse, 1),
+        "max_chain_depth": int(mdep),
         "resolve_s": round(t_resolve, 3),
         "e2e_mbps": round(mb / t_e2e, 1),
         "native_full_mbps": round(mb / t_native, 1),
