@@ -3289,6 +3289,12 @@ static inline void opt_insert_pos(const uint8_t* data, size_t n,
 static int g_opt_cover_gate = 64;
 static int g_opt_cover_depth = 64;
 static int g_opt_no_ring = 0; /* diagnostic: drop distance-cache edges */
+static int g_opt_dict_gate = 16;  /* probe dict when best_len < this */
+/* affix level 2 (no prefix pass): the DP probes the dictionary at
+   ~70% of positions, and level 3's prefix probing was 22% of the
+   whole q11 wall for 328 B on Canterbury-5 (2.72 -> 2.11 s; 16MB
+   529,145 -> 529,565 B at 4.4 -> 5.4 MB/s) */
+static int g_opt_dict_level = 2;
 static void opt_cover_init(void) {
   const char* v = getenv("BTPU_OPT_COVER_GATE");
   if (v) g_opt_cover_gate = atoi(v);
@@ -3296,6 +3302,10 @@ static void opt_cover_init(void) {
   if (v) g_opt_cover_depth = atoi(v);
   v = getenv("BTPU_OPT_NO_RING");
   g_opt_no_ring = v ? atoi(v) : 0;
+  v = getenv("BTPU_OPT_DICT_GATE");
+  if (v) g_opt_dict_gate = atoi(v);
+  v = getenv("BTPU_OPT_DICT_LEVEL");
+  if (v) g_opt_dict_level = atoi(v);
 }
 
 /* dense short stops: the reference zopfli relaxes EVERY length of a
@@ -3827,11 +3837,11 @@ static int opt_parse_block(const uint8_t* data, size_t n, size_t lo,
         }
       }
       /* dictionary edge (atomic: relax the exact output length) */
-      if (cfg->use_dict && best_len < 16) {
+      if (cfg->use_dict && best_len < (size_t)g_opt_dict_gate) {
         int dcopy = 0, dtid = 0, dwlen = 0;
         uint32_t didx = 0;
-        int dout = dict_probe(data, i, n, 4, 3, &dcopy, &dtid, &didx,
-                              &dwlen);
+        int dout = dict_probe(data, i, n, 4, g_opt_dict_level, &dcopy,
+                              &dtid, &didx, &dwlen);
         if (dout >= 4 && (size_t)dout <= hi - i) {
           uint32_t dist = (uint32_t)(maxd + 1 +
                                      ((uint32_t)dtid
@@ -4083,8 +4093,12 @@ static int btpu_encode_opt_impl(const uint8_t* raw, size_t n,
   /* the DP walks candidates itself; the long-range table rides the
      seed cfg (its matches reach the DP as continuation edges) AND
      the DP cfg (probed per relax position) */
-  cfg_dp.lr_bits = 18;
-  cfg_dp2.lr_bits = quality >= 11 ? 18 : 0;
+  /* 15-bit LR table for the DP too: the 18-bit table's probe was
+     ~15%% of opt_parse_block (line profile; LLC misses), and the q9
+     seed's own long-range table already feeds the DP the multi-MB
+     repeats as continuation edges */
+  cfg_dp.lr_bits = 15;
+  cfg_dp2.lr_bits = quality >= 11 ? 15 : 0;
   /* binary-tree candidate source (bt_walk): when it allocates, the
      DP's deep rings shrink to a vestigial fallback footprint */
   BTree bt_dp, bt_dp2;
@@ -4992,7 +5006,7 @@ void* btpu_enc_new(int quality, int lgwin, const uint8_t* dict_blob) {
     } else if (!g_dict.ready) {
       S->cfg_dp.use_dict = 0;
     }
-    S->cfg_dp.lr_bits = 18;
+    S->cfg_dp.lr_bits = 15;
     if (!getenv("BTPU_OPT_NO_BT") &&
         bt_alloc(&S->bt_dp, S->e.maxback, S->e.maxback) == 0) {
       S->cfg_dp.bt = &S->bt_dp;
