@@ -1324,6 +1324,7 @@ typedef struct {
                           one 32-byte record per bucket so probe and
                           insert each touch ONE cache line */
   int lr_bits;
+  int lr_gate;   /* probe the LR table when the local match < this */
   struct BTreeS* bt;   /* non-NULL: binary-tree candidate source for
                           the optimal-parse DP (H10 role; see bt_walk) */
 } MatchCfg;
@@ -1390,7 +1391,7 @@ static inline int match_score(size_t len, size_t dist, int cache_slot) {
    than this (the probe exists to rescue UNDER-matched positions; a
    confident local match already wins on score and the probe's two
    cold cache lines are the single biggest find_match cost) */
-static int g_lr_gate = 32;
+static int g_lr_gate = -1; /* <0: use the per-quality cfg->lr_gate */
 static void lr_gate_init(void) {
   const char* v = getenv("BTPU_LR_GATE");
   if (v) g_lr_gate = atoi(v);
@@ -1465,7 +1466,8 @@ static void find_match(const uint8_t* data, size_t pos, size_t n,
      short match at multi-MB distance prices worse than literals --
      and a local match >= 32 already wins on score, so the probe is
      skipped there (it exists to rescue UNDER-matched positions). */
-  if (cfg->lr_bits && rem >= LR_MIN_LEN && (int)out->len < g_lr_gate) {
+  if (cfg->lr_bits && rem >= LR_MIN_LEN &&
+      (int)out->len < (g_lr_gate >= 0 ? g_lr_gate : cfg->lr_gate)) {
     uint32_t lh = hash16(p, cfg->lr_bits);
     const uint32_t* lbk = cfg->lr_tab + ((size_t)lh << LR_REC_SHIFT);
     uint32_t lcnt = lbk[0];
@@ -1526,7 +1528,14 @@ static inline void insert_hash_ex(const uint8_t* data, size_t pos,
               (cnt & ((1u << cfg->block_bits) - 1))] =
       (uint32_t)(pos + 1);
   cfg->num[h] = cnt + 1;
-  if (lr && cfg->lr_bits) lr_insert(data, pos, cfg);
+  /* stride-2 long-range inserts: the insert (hash16 + a record-line
+     write) was ~25% of q5 wall. A stride is safe against the
+     residue-coupling failure ONLY because probes are per-position:
+     a probe at p hits the entry at p-D whenever (p-D) is even --
+     half of all probes regardless of p's or D's parity. (The
+     original bug was strided inserts x strided probes: both walked
+     the same residue class and whole inputs got zero entries.) */
+  if (lr && cfg->lr_bits && !(pos & 1)) lr_insert(data, pos, cfg);
 }
 
 static inline void insert_hash(const uint8_t* data, size_t pos,
@@ -3154,6 +3163,11 @@ static void cfg_for_quality(MatchCfg* cfg, int q) {
      the table LLC-resident: swept 14/15/16/18 on the 16MB corpus,
      sizes within 0.06% but 127 vs 91 MB/s at q5 */
   cfg->lr_bits = q >= 2 ? 15 : 0;
+  /* probe budget by tier: the fast-mid tiers only use the table as a
+     repeat-onset safety net (probe at miss positions), the slow tiers
+     probe any under-matched position. Interleaved A/B on the 16MB
+     corpus: q5 probes at gate 32 cost ~22% wall for 1K of output. */
+  cfg->lr_gate = q <= 5 ? 4 : 32;
   {
     const char* v = getenv("BTPU_LR");
     if (v && atoi(v) == 0) cfg->lr_bits = 0;
@@ -3161,6 +3175,8 @@ static void cfg_for_quality(MatchCfg* cfg, int q) {
     if (v && cfg->lr_bits) cfg->lr_bits = atoi(v);
     v = getenv("BTPU_BB");
     if (v) cfg->block_bits = atoi(v);
+    v = getenv("BTPU_HBITS");
+    if (v) cfg->hbits = atoi(v);
     v = getenv("BTPU_DEPTH");
     if (v) cfg->depth = atoi(v);
     v = getenv("BTPU_H8");
