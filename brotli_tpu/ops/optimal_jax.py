@@ -838,7 +838,7 @@ def upload_input(arr, n):
 
 
 def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
-                 dict_future=None, dev_big=None):
+                 dict_future=None, dev_big=None, lo_start=0):
     """Dispatch every segment's v3 DP (async; one jit call each).
     Returns (handles, dict_table): dict_table = (global hit positions,
     word lengths) for flag recovery at collect time. `dict_future`:
@@ -867,7 +867,7 @@ def _dispatch_v3(arr, n, max_distance, tables, seeds_list, base=0,
         dpos_g, dpay_g, dwlen_g = _dict_probe_global(
             arr, seeds_list, base, max_distance)
     handles = []
-    for lo in range(0, n, SEG_V3):
+    for lo in range(lo_start, n, SEG_V3):
         hi = min(lo + SEG_V3, n)
         b = _bucket_v3(hi - lo)
         capm = b // CAPM_DIV
@@ -1247,6 +1247,37 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
     # backend then executes eagerly (probed: a fetch issued after a
     # 1.5 s host sleep takes 0.11 s vs 0.56 s issued immediately).
     dev_big = upload_input(arr, n) if mode == "v3" else None
+    # fast first segment: segment 1's seeds can only reference its own
+    # window, so a window-local seed parse + 4MB-sampled cost tables
+    # are enough to DISPATCH it immediately -- the full-input seed and
+    # dictionary probes then run in segment 1's device-compute shadow
+    # (the chip executes segments serially, so the old sequencing left
+    # it idle for the whole ~0.7s host prologue)
+    handles0 = None
+    dict1 = None
+    fast_first = (mode == "v3" and n > SEG_V3 and base == 0 and
+                  iterations == 1 and
+                  _os_mod.environ.get("BROTLI_TPU_FAST_FIRST",
+                                      "1") == "1")
+    if fast_first:
+        with trace.stage("dp.seed1"):
+            seed1 = _seed_parse(arr[:SEG_V3], max_distance, base)
+        with trace.stage("dp.cost-tables1"):
+            tables1 = _cost_tables(arr[:SEG_V3], seed1, lit_table=True)
+        dict1 = _dict_probe_global(arr[:SEG_V3], [seed1], base,
+                                   max_distance)
+
+        class _Done:
+            def __init__(self, v):
+                self.v = v
+
+            def result(self):
+                return self.v
+
+        with trace.stage("dp.device"):
+            handles0, _ = _dispatch_v3(
+                arr, SEG_V3, max_distance, tables1, [seed1], base,
+                dict_future=_Done(dict1), dev_big=dev_big)
     # seed: greedy/lazy parse, no dictionary probing (the post-pass
     # below probes the final parse's gaps once). The native C matcher
     # runs it on host -- the chip stays free for the DP kernels and the
@@ -1267,7 +1298,24 @@ def find_matches_optimal_jax(data: np.ndarray, max_distance: int,
                 handles, dict_table = _dispatch_v3(
                     arr, n, max_distance, tables, seeds_list, base,
                     dict_future=dict_future if it == 0 else None,
-                    dev_big=dev_big)
+                    dev_big=dev_big,
+                    lo_start=SEG_V3 if (handles0 and it == 0) else 0)
+                if handles0 and it == 0:
+                    # merge segment 1 (dispatched early) + its dict
+                    # probe's edges (flag recovery at collect needs
+                    # every position either probe selected)
+                    handles = handles0 + handles
+                    dp0, dy0, dw0 = dict1
+                    dpos_g, dwlen_g = dict_table
+                    mp = np.concatenate([dp0.astype(np.int64), dpos_g])
+                    mw = np.concatenate([dw0, dwlen_g])
+                    order = np.argsort(mp, kind="stable")
+                    mp, mw = mp[order], mw[order]
+                    if len(mp):
+                        keep = np.concatenate([[True],
+                                               np.diff(mp) != 0])
+                        mp, mw = mp[keep], mw[keep]
+                    dict_table = (mp, mw)
                 if (on_block is not None and it == iterations - 1
                         and SEG_V3 % mb_size == 0):
                     # final iteration streams: emit the first half's
