@@ -38,9 +38,14 @@ def run(corpus_path: str, sizes_mb, as_json: bool = False):
     data = pathlib.Path(corpus_path).read_bytes()
     for mb in sizes_mb:
         chunk = data[: mb << 20]
-        t0 = time.time()
-        blob = brotli_tpu.compress(chunk, quality=11)
-        dt = time.time() - t0
+        # best of 2 once warm: single-sample wall on this shared VM
+        # swings +-20-50% and the first size in the list doubles as
+        # the warmup (its first run pays the cache load)
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            blob = brotli_tpu.compress(chunk, quality=11)
+            dt = min(dt, time.time() - t0) if dt else time.time() - t0
         assert brotli_tpu.decompress(blob) == chunk
         if as_json:
             print(json.dumps({"mb": mb,
