@@ -155,16 +155,29 @@ class _WindowBuffer:
 
     def _gate(self, extra: int) -> None:
         """Decoder-thread side: park until `extra` more bytes fit the
-        undrained budget."""
+        undrained budget. A chunk LARGER than the budget must still
+        pass once the buffer is fully drained (otherwise the wait
+        condition can never clear and the consumer's drain loop spins
+        forever) -- the documented overshoot is one chunk. This also
+        guarantees out_waiting implies undrained > 0, which feed()
+        relies on to return progress."""
         lim = self.limit
         if lim is None or self.closing:
             return
+        if extra > lim:
+            lim = extra
         if self._base + len(self._buf) + extra - self.drained <= lim:
             return
         with self.cond:
-            while (not self.closing and self.limit is not None and
-                   self._base + len(self._buf) + extra - self.drained
-                   > self.limit):
+            while True:
+                lim = self.limit
+                if lim is None or self.closing:
+                    break
+                if extra > lim:
+                    lim = extra
+                if (self._base + len(self._buf) + extra - self.drained
+                        <= lim):
+                    break
                 self.out_waiting = True
                 self.cond.notify_all()
                 self.cond.wait()
@@ -267,18 +280,27 @@ class StreamDecoder:
             with br._cond:
                 self.finished = True
                 br.waiting = False
+                if self._out is not None:
+                    self._out.out_waiting = False
                 br._cond.notify_all()
 
     def _wait_parked(self, seq):
         """Block until the decoder parked AFTER examining push `seq`
         (a stale park from before the push does not count), parked on
-        a full output budget, or terminated."""
+        a full output budget WITH undrained bytes, or terminated.
+
+        The undrained check matters: out_waiting stays set from the
+        moment the worker decides to park until it is rescheduled
+        after a drain, so trusting the flag alone made every
+        process(b"") in a drain loop return empty immediately --
+        measured 151k hot empty rounds draining a 2 MB stream."""
         with self._br._cond:
             while not (self.finished or
                        (self._br.waiting and
                         self._br.seen_seq >= seq) or
                        (self._out is not None and
-                        self._out.out_waiting)):
+                        self._out.out_waiting and
+                        len(self._out) > self._out.drained)):
                 self._br._cond.wait()
 
     def feed(self, chunk: bytes) -> bytes:
@@ -287,7 +309,14 @@ class StreamDecoder:
                 raise self._error
             if chunk:
                 raise FormatError("data after stream end", -15)
-            return b""
+            # the worker can finish with undrained output still in the
+            # buffer (it completed _run in the same wake as its last
+            # production); this early path must keep draining or the
+            # consumer's is_finished()/process(b"") loop livelocks on
+            # pending_output forever (seen as a 100%-CPU hang in the
+            # bomb back-pressure test)
+            return self._out.take_new() if self._out is not None \
+                else b""
         if not self._started:
             # lazily create the output before the thread can race it
             self._started = True
