@@ -33,13 +33,31 @@ from brotli_tpu.dec.decoder import Decoder
 
 td = pathlib.Path("/root/reference/tests/testdata")
 
-# 1. golden decode sweep
+# 1. golden decode sweep -- whole-buffer decoder AND the deferred
+# symbol parse (the device-decode front end, btpu_parse_stream):
+# the parse graph must resolve to the same bytes. The replay is pure
+# python (jax's C++ exception machinery is incompatible with the
+# LD_PRELOADed ASan interceptors).
+def replay(lits, cn, cc, cd):
+    out = bytearray()
+    li = 0
+    for a, b, c in zip(cn.tolist(), cc.tolist(), cd.tolist()):
+        out += lits[li:li + a]
+        li += a
+        for _ in range(b):
+            out.append(out[len(out) - c])
+    return bytes(out)
+
 n = 0
 for f in sorted(td.glob("*.compressed*")):
     base = re.sub(r"\.compressed(\.\d+)?$", "", f.name)
-    assert native.decode(f.read_bytes()) == (td / base).read_bytes(), f.name
+    want = (td / base).read_bytes()
+    blob = f.read_bytes()
+    assert native.decode(blob) == want, f.name
+    lits, cn, cc, cd, mdep = native.parse_stream(blob)
+    assert replay(lits, cn, cc, cd) == want, f.name
     n += 1
-print(f"golden sweep: {n} files ok")
+print(f"golden sweep: {n} files ok (decode + deferred parse)")
 
 # 2. native encoder roundtrips (one-shot + streaming + metadata)
 for name in ["alice29.txt", "mapsdatazrh", "random_org_10k.bin", "zeros"]:
