@@ -50,7 +50,7 @@ TESTDATA = pathlib.Path("/root/reference/tests/testdata")
 REF_CLI = pathlib.Path(__file__).resolve().parent / "build/ref/brotli"
 BASELINE_MBPS = 0.5  # published Canterbury q11 compression speed
 QUALITY = 11
-DEVICE_BUDGET = int(os.environ.get("BENCH_DEVICE_BUDGET", "420"))
+DEVICE_BUDGET = int(os.environ.get("BENCH_DEVICE_BUDGET", "480"))
 MESH_BUDGET = 180
 GLOBAL_BUDGET = int(os.environ.get("BENCH_GLOBAL_BUDGET", "560"))
 
@@ -196,7 +196,11 @@ def main():
         # (seed parse, serialization) read 3-4x slow under a
         # concurrent host-tier run (measured 1.3 vs 4.4-6.0 MB/s).
         # The budget still bounds a cold-compile hang.
-        deadline = min(t_start + GLOBAL_BUDGET - 120,
+        # the tunneled backend's init alone fluctuates 70-390 s
+        # (measured over one evening), so the device pass gets most
+        # of the global budget; the remaining legs need ~15 s plus an
+        # optional mesh leg that is skipped when time runs short
+        deadline = min(t_start + GLOBAL_BUDGET - 60,
                        t_start + DEVICE_BUDGET)
         dev = collect_device(dev_proc, deadline)
 
@@ -243,7 +247,8 @@ def main():
         "vs_baseline": round(host_best / BASELINE_MBPS, 3),
     }
 
-    mesh = mesh_scaling(data)
+    mesh = (mesh_scaling(data)
+            if time.time() - t_start < GLOBAL_BUDGET - 90 else {})
     mesh_note = (f"; 8-vdev CPU-mesh q5 scaling eff {mesh['eff']}"
                  f" (t1 {mesh['t1']}s / t8 {mesh['t8']}s; overhead proxy,"
                  f" not a chip number -- on a 1-core host the formula's"
