@@ -168,6 +168,7 @@ def test_output_limit_true_backpressure():
     enormously is NOT eagerly materialized. Decoding suspends at the
     limit; retained memory stays O(limit + window) while the caller
     drains 64 KB slices."""
+    import time
     import brotli_tpu
 
     data = bytes(32 << 20)  # 32 MB of zeros -> ~150 byte bomb
@@ -183,7 +184,9 @@ def test_output_limit_true_backpressure():
     total = len(first)
     window = 1 << 18
     peak_retained = 0
+    deadline = time.monotonic() + 120  # a drain livelock FAILS, not hangs
     while not d.is_finished():
+        assert time.monotonic() < deadline, "drain loop wedged"
         o = d.process(b"", output_buffer_limit=limit)
         assert len(o) <= limit
         assert set(o) <= {0}
@@ -252,6 +255,7 @@ def test_output_limit_python_core_backpressure(monkeypatch):
     forced, a zero bomb parks the decoder thread at the budget
     (dec/stream.py _WindowBuffer._gate) and retained output stays
     O(limit + window)."""
+    import time
     import brotli_tpu
 
     monkeypatch.setenv("BROTLI_TPU_DECODER", "python")
@@ -265,7 +269,9 @@ def test_output_limit_python_core_backpressure(monkeypatch):
     assert 0 < len(out) <= limit
     assert not d.can_accept_more_data()
     peak = 0
+    deadline = time.monotonic() + 120  # regression: livelocked forever
     while not d.is_finished():
+        assert time.monotonic() < deadline, "drain loop wedged"
         o = d.process(b"", output_buffer_limit=limit)
         assert len(o) <= limit
         out += o
